@@ -1,0 +1,20 @@
+import os
+import sys
+
+# Multi-device CPU mesh for sharding tests; must be set before JAX import.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference/resources"
+
+
+@pytest.fixture
+def mattest_path():
+    path = os.path.join(REFERENCE_DIR, "mattest.glaze")
+    if not os.path.exists(path):
+        pytest.skip("mattest.glaze not available")
+    return path
