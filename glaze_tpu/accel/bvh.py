@@ -1,0 +1,329 @@
+"""BVH build + stackless (skip-link) traversal.
+
+Build runs on the host (native binned-SAH via
+:mod:`glaze_tpu.native`, with a NumPy median-split fallback) — the analogue
+of ``vkCmdBuildAccelerationStructuresKHR`` (acceleration.rs:199-317).
+Traversal is a batched JAX function: every ray carries a node pointer into
+the depth-first node array; an AABB hit advances to the next node (the
+"hit" successor is implicit DFS order), a miss jumps to the precomputed
+skip link. Leaves test up to LEAF_SIZE triangles with Moller-Trumbore.
+This is dense vector work + row gathers, the TPU-friendly formulation of
+what the RT cores do in hardware.
+
+Node packing (one (M, 8) float32 row per node, single gather per step):
+  [0:3] bmin   [3:6] bmax
+  [6]   bitcast int32: leaf ? first * 8 + count : -1
+  [7]   bitcast int32: skip link (M = terminate)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_SIZE = 4
+
+# Matches the reference's ray t bounds (path_trace.rgen:169, raytracer.rs)
+T_MIN = 1e-4
+INF = np.float32(np.inf)
+
+
+class BVH(NamedTuple):
+    """Device-resident BVH. ``tri`` holds (v0, e1, e2) rows, 9 floats."""
+
+    nodes: jnp.ndarray  # (M, 8) float32, packed as documented above
+    tri: jnp.ndarray  # (N, 9) float32 v0/e1/e2, in BVH order
+    n_nodes: int
+    n_tris: int
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+
+def _numpy_median_build(tri_verts: np.ndarray, leaf_size: int):
+    """Median-split fallback builder (same output layout as the native one)."""
+    n = tri_verts.shape[0]
+    bmin_t = tri_verts.min(axis=1)
+    bmax_t = tri_verts.max(axis=1)
+    centroid = (bmin_t + bmax_t) * 0.5
+    order = np.arange(n, dtype=np.uint32)
+
+    # pass 1: build the tree iteratively, recording DFS ranges
+    # node = [lo, hi, is_leaf]; children of an internal node are the next
+    # DFS slots, so only subtree sizes are needed for the skip links.
+    tree = []  # (lo, hi, leaf)
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= leaf_size:
+            tree.append((lo, hi, True))
+            continue
+        idx = order[lo:hi]
+        ext = centroid[idx].max(axis=0) - centroid[idx].min(axis=0)
+        axis = int(np.argmax(ext))
+        part = np.argsort(centroid[idx, axis], kind="stable")
+        order[lo:hi] = idx[part]
+        mid = (lo + hi) // 2
+        tree.append((lo, hi, False))
+        stack.append((mid, hi))  # pushed first so left is processed first
+        stack.append((lo, mid))
+    # NOTE: the DFS order above matches the emitted `tree` list order because
+    # children are appended immediately after their parent (LIFO with right
+    # pushed below left).
+    m = len(tree)
+    sizes = np.zeros(m, np.int64)
+    # subtree sizes: a node's subtree is contiguous in `tree`
+    for i in range(m - 1, -1, -1):
+        lo, hi, leaf = tree[i]
+        if leaf:
+            sizes[i] = 1
+        else:
+            left = i + 1
+            right = left + sizes[left]
+            sizes[i] = 1 + sizes[left] + sizes[right]
+    # pass 2: skip links + leaf ranges
+    bmin_o = np.empty((m, 3), np.float32)
+    bmax_o = np.empty((m, 3), np.float32)
+    first = np.full(m, -1, np.int32)
+    count = np.zeros(m, np.int32)
+    skip = np.empty(m, np.int32)
+    skip[0] = m
+    final_order = np.empty(n, np.uint32)
+    pos = 0
+    for i in range(m):
+        lo, hi, leaf = tree[i]
+        idx = order[lo:hi]
+        bmin_o[i] = bmin_t[idx].min(axis=0)
+        bmax_o[i] = bmax_t[idx].max(axis=0)
+        if leaf:
+            final_order[pos : pos + (hi - lo)] = idx
+            first[i] = pos
+            count[i] = hi - lo
+            pos += hi - lo
+        else:
+            left = i + 1
+            right = left + sizes[left]
+            skip[left] = right
+            skip[right] = skip[i]
+    return {
+        "bmin": bmin_o,
+        "bmax": bmax_o,
+        "first": first,
+        "count": count,
+        "skip": skip,
+        "tri_order": final_order,
+    }
+
+
+def build_host(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE) -> dict:
+    """Builds the flat node arrays on host; native SAH if available."""
+    tri_verts = np.ascontiguousarray(tri_verts, np.float32)
+    try:
+        from glaze_tpu import native
+
+        return native.lib.bvh_build(tri_verts, leaf_size)
+    except Exception:
+        return _numpy_median_build(tri_verts, leaf_size)
+
+
+def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
+    """Builds a device BVH over (N, 3, 3) world-space triangles.
+
+    Returns ``(bvh, tri_order)``: ``tri_order`` is the permutation applied to
+    triangles (callers must reorder per-triangle shading attributes with it
+    so hit indices line up).
+    """
+    tri_verts = np.ascontiguousarray(tri_verts, np.float32)
+    n = tri_verts.shape[0]
+    if n == 0:
+        nodes = np.zeros((1, 8), np.float32)
+        meta = np.zeros((1, 2), np.int32)
+        meta[0] = [0 * 8 + 0, 1]
+        nodes[:, 6:8] = meta.view(np.float32)
+        return (
+            BVH(jnp.asarray(nodes), jnp.zeros((1, 9), jnp.float32), 1, 0),
+            np.zeros(0, np.uint32),
+        )
+    flat = build_host(tri_verts, leaf_size)
+    m = flat["bmin"].shape[0]
+    order = flat["tri_order"]
+    tri_sorted = tri_verts[order]
+    v0 = tri_sorted[:, 0]
+    e1 = tri_sorted[:, 1] - v0
+    e2 = tri_sorted[:, 2] - v0
+    tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+
+    nodes = np.zeros((m, 8), np.float32)
+    nodes[:, 0:3] = flat["bmin"]
+    nodes[:, 3:6] = flat["bmax"]
+    is_leaf = flat["first"] >= 0
+    meta = np.where(is_leaf, flat["first"] * 8 + flat["count"], -1).astype(np.int32)
+    skip = np.where(flat["skip"] < 0, m, flat["skip"]).astype(np.int32)
+    nodes[:, 6] = meta.view(np.float32)
+    nodes[:, 7] = skip.view(np.float32)
+    return BVH(jnp.asarray(nodes), jnp.asarray(tri), int(m), int(n)), order
+
+
+# ---------------------------------------------------------------------------
+# Traversal
+# ---------------------------------------------------------------------------
+
+
+def _slab_test(node_row, origin, inv_dir, t_max):
+    """Ray/AABB slab test. Returns bool (...,)."""
+    bmin = node_row[..., 0:3]
+    bmax = node_row[..., 3:6]
+    t0 = (bmin - origin) * inv_dir
+    t1 = (bmax - origin) * inv_dir
+    tsmall = jnp.minimum(t0, t1)
+    tbig = jnp.maximum(t0, t1)
+    tenter = jnp.max(tsmall, axis=-1)
+    texit = jnp.min(tbig, axis=-1)
+    return (tenter <= texit) & (texit >= T_MIN) & (tenter <= t_max)
+
+
+def _tri_intersect(tri_row, origin, direction):
+    """Moller-Trumbore on packed (..., 9) rows. Returns (t, u, v, hit)."""
+    v0 = tri_row[..., 0:3]
+    e1 = tri_row[..., 3:6]
+    e2 = tri_row[..., 6:9]
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) >= 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > T_MIN)
+    )
+    return t, u, v, hit
+
+
+def closest_hit(bvh: BVH, origin, direction, t_max=None):
+    """Closest-hit trace over a ray batch.
+
+    ``origin``/``direction``: (R, 3). Returns a dict with
+    ``t`` (R,) = inf on miss, ``tri`` (R,) int32 = -1 on miss, and
+    barycentrics ``u``/``v`` (R,).
+    Equivalent of ``traceRayEXT`` + raytrace_hit.rchit barycentric output.
+    """
+    r = origin.shape[0]
+    m = bvh.n_nodes
+    inv_dir = jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.float32(1e20) * jnp.sign(direction) + jnp.float32(1e20) * (direction == 0.0),
+        1.0 / direction,
+    )
+    t0 = jnp.full((r,), INF if t_max is None else t_max, jnp.float32)
+
+    def cond(state):
+        ptr = state[0]
+        return jnp.any(ptr < m)
+
+    def body(state):
+        ptr, best_t, best_tri, best_u, best_v = state
+        safe_ptr = jnp.minimum(ptr, m - 1)
+        row = bvh.nodes[safe_ptr]
+        meta = row[..., 6].view(jnp.int32)
+        skip = row[..., 7].view(jnp.int32)
+        active = ptr < m
+        box_hit = _slab_test(row, origin, inv_dir, best_t) & active
+        is_leaf = meta >= 0
+        first = meta >> 3
+        count = meta & 7
+
+        def leaf_step(k, carry):
+            bt, btri, bu, bv = carry
+            tri_idx = jnp.minimum(first + k, bvh.n_tris - 1)
+            valid = box_hit & is_leaf & (k < count)
+            trow = bvh.tri[tri_idx]
+            t, u, v, hit = _tri_intersect(trow, origin, direction)
+            better = valid & hit & (t < bt)
+            bt = jnp.where(better, t, bt)
+            btri = jnp.where(better, tri_idx, btri)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            return bt, btri, bu, bv
+
+        best_t, best_tri, best_u, best_v = jax.lax.fori_loop(
+            0, LEAF_SIZE, leaf_step, (best_t, best_tri, best_u, best_v)
+        )
+        descend = box_hit & ~is_leaf
+        new_ptr = jnp.where(descend, ptr + 1, skip)
+        new_ptr = jnp.where(active, new_ptr, ptr)
+        return new_ptr, best_t, best_tri, best_u, best_v
+
+    init = (
+        jnp.zeros((r,), jnp.int32),
+        t0,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+    _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+    t = jnp.where(tri >= 0, t, INF)
+    return {"t": t, "tri": tri, "u": u, "v": v}
+
+
+def any_hit(bvh: BVH, origin, direction, t_max, t_min=1e-3, active=None):
+    """Shadow-ray trace: True where ANY triangle lies in (t_min, t_max).
+
+    Early-exits per lane (TerminateOnFirstHit | SkipClosestHit semantics,
+    path_trace.rgen:108-110). ``t_min`` defaults to the reference's shadow
+    ray offset (0.001). Lanes where ``active`` is False never traverse.
+    """
+    r = origin.shape[0]
+    m = bvh.n_nodes
+    t_min = jnp.float32(t_min)
+    inv_dir = jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.float32(1e20) * jnp.sign(direction) + jnp.float32(1e20) * (direction == 0.0),
+        1.0 / direction,
+    )
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    start = jnp.zeros((r,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, m)
+
+    def cond(state):
+        ptr, hit = state
+        return jnp.any((ptr < m) & ~hit)
+
+    def body(state):
+        ptr, hit_any = state
+        safe_ptr = jnp.minimum(ptr, m - 1)
+        row = bvh.nodes[safe_ptr]
+        meta = row[..., 6].view(jnp.int32)
+        skip = row[..., 7].view(jnp.int32)
+        lane_on = (ptr < m) & ~hit_any
+        box_hit = _slab_test(row, origin, inv_dir, t_max) & lane_on
+        is_leaf = meta >= 0
+        first = meta >> 3
+        count = meta & 7
+
+        def leaf_step(k, acc):
+            tri_idx = jnp.minimum(first + k, bvh.n_tris - 1)
+            valid = box_hit & is_leaf & (k < count)
+            t, _, _, hit = _tri_intersect(bvh.tri[tri_idx], origin, direction)
+            return acc | (valid & hit & (t > t_min) & (t < t_max))
+
+        hit_any = jax.lax.fori_loop(0, LEAF_SIZE, leaf_step, hit_any)
+        descend = box_hit & ~is_leaf
+        new_ptr = jnp.where(descend, ptr + 1, skip)
+        new_ptr = jnp.where(lane_on, new_ptr, ptr)
+        return new_ptr, hit_any
+
+    init = (start, jnp.zeros((r,), bool))
+    _, hit = jax.lax.while_loop(cond, body, init)
+    return hit

@@ -1,0 +1,141 @@
+"""Bindless-equivalent texture sampling on device.
+
+The reference binds every texture in a descriptor array and samples with
+hardware linear filtering (``scene.rs`` binding 6). The TPU design packs
+level 0 of every texture into ONE flat uint32 array (RGBA8 packed little-
+endian: R | G<<8 | B<<16 | A<<24) plus per-texture metadata rows, and
+samples with 4 dynamic gathers + bilinear weights. sRGB decode happens
+per-texel before filtering, matching Vulkan's behavior for *_SRGB formats.
+
+Atlas pytree fields (all jax.Array):
+  texels  (T,)  uint32 packed RGBA8
+  offset  (N,)  int32 start of each texture in ``texels``
+  width   (N,)  int32
+  height  (N,)  int32
+  srgb    (N,)  float32 1.0 if the RGB channels are sRGB encoded
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TextureAtlas(NamedTuple):
+    texels: jnp.ndarray
+    offset: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    srgb: jnp.ndarray
+
+
+def build_atlas(textures) -> TextureAtlas:
+    """Packs level 0 of each :class:`glaze_tpu.core.texture.Texture`.
+
+    Texture ids in materials index this list directly (id 0 = the default
+    1x1 white texture the reference also keeps at slot 0).
+    """
+    from glaze_tpu.core.texture import TextureFormat
+
+    texels = []
+    offsets, widths, heights, srgbs = [], [], [], []
+    pos = 0
+    for tex in textures:
+        arr = tex.array(0)
+        h, w = arr.shape[0], arr.shape[1]
+        if tex.format() == TextureFormat.Gray:
+            a = arr.astype(np.uint32)
+            packed = a | (a << 8) | (a << 16) | np.uint32(255 << 24)
+        else:
+            a = arr.astype(np.uint32)
+            packed = a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16) | (a[..., 3] << 24)
+        texels.append(packed.reshape(-1))
+        offsets.append(pos)
+        widths.append(w)
+        heights.append(h)
+        srgbs.append(1.0 if tex.format() == TextureFormat.RgbaSrgb else 0.0)
+        pos += w * h
+    if not texels:
+        texels = [np.full(1, 0xFFFFFFFF, np.uint32)]
+        offsets, widths, heights, srgbs = [0], [1], [1], [0.0]
+    return TextureAtlas(
+        texels=jnp.asarray(np.concatenate(texels).astype(np.uint32)),
+        offset=jnp.asarray(np.asarray(offsets, np.int32)),
+        width=jnp.asarray(np.asarray(widths, np.int32)),
+        height=jnp.asarray(np.asarray(heights, np.int32)),
+        srgb=jnp.asarray(np.asarray(srgbs, np.float32)),
+    )
+
+
+def _unpack(p):
+    """uint32 -> (..., 4) float in [0, 1]."""
+    p = p.astype(jnp.uint32)
+    r = (p & jnp.uint32(0xFF)).astype(jnp.float32)
+    g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    a = ((p >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) * jnp.float32(1.0 / 255.0)
+
+
+def srgb_to_linear(c):
+    """Per-channel sRGB EOTF (texel decode)."""
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(c):
+    return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
+
+
+def sample_rgba(atlas: TextureAtlas, tex_id, uv):
+    """Bilinear RGBA fetch at mip 0 with REPEAT wrap.
+
+    ``tex_id``: (...,) int32; ``uv``: (..., 2). Returns (..., 4) linear.
+    """
+    tex_id = jnp.asarray(tex_id, jnp.int32)
+    off = atlas.offset[tex_id]
+    w = atlas.width[tex_id]
+    h = atlas.height[tex_id]
+    srgb = atlas.srgb[tex_id]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(i, n):
+        return jnp.remainder(i.astype(jnp.int32), n)
+
+    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
+    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+
+    def fetch(xi, yi):
+        idx = off + yi * w + xi
+        texel = _unpack(atlas.texels[idx])
+        rgb = texel[..., :3]
+        rgb = jnp.where(srgb[..., None] > 0.5, srgb_to_linear(rgb), rgb)
+        return jnp.concatenate([rgb, texel[..., 3:]], axis=-1)
+
+    c00 = fetch(x0i, y0i)
+    c10 = fetch(x1i, y0i)
+    c01 = fetch(x0i, y1i)
+    c11 = fetch(x1i, y1i)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_rgb(atlas: TextureAtlas, tex_id, uv):
+    return sample_rgba(atlas, tex_id, uv)[..., :3]
+
+
+def sample_r(atlas: TextureAtlas, tex_id, uv):
+    """.r channel fetch (roughness/metalness/opacity maps)."""
+    return sample_rgba(atlas, tex_id, uv)[..., 0]

@@ -1,0 +1,98 @@
+"""Device-mesh parallel rendering.
+
+The reference is strictly single-GPU (SURVEY 2.8); this module is the
+TPU-native scaling design it lacks: a 1D ``jax.sharding.Mesh`` over the
+pixel axis. The scene pytree is replicated (Sponza-scale scenes are a few
+hundred MB at most), the path-state pytree is sharded, and each chip
+advances its own pixel rows — collectives only at image assembly
+(an all-gather XLA inserts when the host reads the image). Scaling spp
+instead of pixels is the same mesh with a "samples" axis: every chip
+renders the full image with different seeds and the accumulation buffers
+are psum-reduced.
+
+ICI does the heavy lifting; no NCCL/MPI translation (SURVEY 2.8's table).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from glaze_tpu.render import integrator as integ
+
+AXIS = "pixels"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_state(state: integ.PathState, mesh: Mesh) -> integ.PathState:
+    """Places the path state sharded over the pixel axis."""
+    def put(x):
+        spec = P(AXIS) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, state)
+
+
+def unshard_state(state: integ.PathState) -> integ.PathState:
+    """Gathers the state to host (single process)."""
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps"),
+)
+def _render_steps_impl(scene, state, seeds, offsets, cam2world, screen2cam,
+                       px, py, *, width, height, is_persp, direct_only,
+                       steps):
+    size = jnp.asarray([width, height], jnp.float32)
+
+    def body(st, inp):
+        seed, offset = inp
+        st = integ.launch_step(
+            scene, st, seed, offset, cam2world, screen2cam, px, py, size,
+            is_persp=is_persp, direct_only=direct_only,
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
+    return state
+
+
+def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
+                         mesh: Mesh, *, width, height, is_persp,
+                         direct_only, steps):
+    """`steps` launches with the pixel axis sharded over ``mesh``.
+
+    Uses jit-with-shardings (GSPMD): state in/out sharded over pixels,
+    scene replicated. XLA partitions the whole scan; traversal and shading
+    are embarrassingly parallel so no collectives appear in the hot loop.
+    """
+    n = mesh.devices.size
+    p = width * height
+    if p % n:
+        raise ValueError(f"pixel count {p} not divisible by mesh size {n}")
+    px, py = integ.pixel_coords(width, height)
+    state_sh = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+    px = jax.device_put(px, state_sh)
+    py = jax.device_put(py, state_sh)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, state_sh if x.ndim >= 1 else repl), state
+    )
+    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    return _render_steps_impl(
+        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+        width=width, height=height, is_persp=is_persp,
+        direct_only=direct_only, steps=steps,
+    )

@@ -1,0 +1,429 @@
+"""Scene "upload": ParsedScene -> :class:`DeviceScene` pytree of jax.Arrays.
+
+TPU equivalent of ``RayTraceScene::new`` (scene.rs:1414-1556) and its
+11-binding descriptor (scene.rs:2385-2478). Differences from the Vulkan
+design, chosen for XLA:
+
+* Instances are flattened to world-space triangles (one BVH instead of
+  BLAS/TLAS; transforms are applied at upload). Per-instance transforms —
+  the *feature* — are preserved; hit shading needs no object->world math.
+* The bindless texture array becomes a packed flat atlas
+  (:mod:`glaze_tpu.ops.texture`).
+* Per-triangle derivatives (generate_derivatives.comp) are a vectorized
+  NumPy computation at upload.
+* Sky importance tables (scene.rs:2191-2382) are plain 2D arrays sampled
+  with vectorized searchsorted instead of SSBO binary search + CDF images.
+
+Deviations from reference behavior (intentional bug fixes, documented):
+* AREA light sampling uses the true world-space triangle area for the pdf
+  (light_area_sample_visible.rcall:46 evaluates GLSL ``.length()`` on a
+  vec3, which returns the component count 3, making every triangle's
+  "area" 1.5) and points wiW from the surface toward the light
+  (rcall:53 has it reversed).
+* Sky CDF inversion uses exact array indexing (the reference samples its
+  conditional CDF image with unnormalized texture() coords,
+  light_sky_sample_visible.rcall:73-99).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from glaze_tpu.accel import BVH, build_bvh
+from glaze_tpu.core import LightType, MaterialType, Texture
+from glaze_tpu.core.distribution import Distribution2D
+from glaze_tpu.core.spectrum import CIE_Y, INVY_SUM, rgb_to_spectrum_np
+from glaze_tpu.ops.texture import TextureAtlas, build_atlas
+
+
+class DeviceScene(NamedTuple):
+    """Device-resident scene. All fields are jax.Arrays (leaves) so the
+    whole structure can be donated/sharded as one pytree."""
+
+    # geometry + BVH (triangles in BVH order)
+    bvh: BVH
+    tri_normals: jnp.ndarray  # (N, 3, 3) per-vertex world normals
+    tri_uvs: jnp.ndarray  # (N, 3, 2)
+    tri_material: jnp.ndarray  # (N,) int32
+    geom_normal: jnp.ndarray  # (N, 3) world geometric normal
+    dpdu: jnp.ndarray  # (N, 3)
+    dpdv: jnp.ndarray  # (N, 3)
+    # geometry in original (pre-BVH) order, for area-light sampling
+    tri_pos_orig: jnp.ndarray  # (N, 3, 3)
+    # materials SoA (M rows)
+    mat_bsdf: jnp.ndarray  # (M,) int32 family 0..5 (lambert..uber)
+    mat_is_specular: jnp.ndarray  # (M,) bool
+    mat_diffuse_mul: jnp.ndarray  # (M, 3) f32 in [0,1]
+    mat_metal_ior: jnp.ndarray  # (M, 16)
+    mat_metal_fresnel: jnp.ndarray  # (M, 16) eta^2 + k^2
+    mat_ior: jnp.ndarray  # (M,) dielectric ior
+    mat_roughness_mul: jnp.ndarray  # (M,)
+    mat_metalness_mul: jnp.ndarray  # (M,)
+    mat_anisotropy: jnp.ndarray  # (M,)
+    mat_diffuse_tex: jnp.ndarray  # (M,) int32
+    mat_roughness_tex: jnp.ndarray  # (M,) int32
+    mat_metalness_tex: jnp.ndarray  # (M,) int32
+    mat_opacity_tex: jnp.ndarray  # (M,) int32
+    mat_normal_tex: jnp.ndarray  # (M,) int32
+    # lights SoA (L rows; AREA lights expanded per instance; sky last)
+    light_type: jnp.ndarray  # (L,) int32 LightType
+    light_color: jnp.ndarray  # (L, 16) spectrum
+    light_pos: jnp.ndarray  # (L, 3)
+    light_dir: jnp.ndarray  # (L, 3) normalized
+    light_intensity: jnp.ndarray  # (L,)
+    light_tri_first: jnp.ndarray  # (L,) int32 first tri (original order)
+    light_tri_count: jnp.ndarray  # (L,) int32
+    light_material: jnp.ndarray  # (L,) int32 emission material (AREA)
+    lights_no: jnp.ndarray  # () int32
+    # sky (always present; tex_id 0 = disabled, matching the reference)
+    sky_tex: jnp.ndarray  # () int32
+    sky_intensity: jnp.ndarray  # () f32
+    sky_obj2world: jnp.ndarray  # (3, 3)
+    sky_world2obj: jnp.ndarray  # (3, 3)
+    sky_marginal_cdf: jnp.ndarray  # (H+1,)
+    sky_marginal_val: jnp.ndarray  # (H,) func values / marginal_integral
+    sky_marginal_integral: jnp.ndarray  # ()
+    sky_cond_cdf: jnp.ndarray  # (H, W+1)
+    sky_cond_val: jnp.ndarray  # (H, W)
+    sky_cond_integral: jnp.ndarray  # (H,)
+    # textures
+    atlas: TextureAtlas
+    # meta
+    scene_radius: jnp.ndarray  # ()
+    scene_centre: jnp.ndarray  # (3,)
+    exposure: jnp.ndarray  # ()
+
+
+def _normal_matrix(m4: np.ndarray) -> np.ndarray:
+    """Inverse-transpose of the upper 3x3 (normal transform)."""
+    return np.linalg.inv(m4[:3, :3]).T
+
+
+def compute_derivatives(v0, v1, v2, uv0, uv1, uv2):
+    """Per-triangle geometric normal + dpdu/dpdv, vectorized.
+
+    Port of generate_derivatives.comp:24-63 (pbrt partial derivatives with
+    the degenerate-UV fallback).
+    """
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    dp10 = v1 - v0
+    dp20 = v2 - v0
+    n = np.cross(dp10, dp20)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = n / np.maximum(norm, 1e-30)
+
+    # degenerate-UV fallback basis
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    use_x = np.abs(nx) > np.abs(ny)
+    denom_x = np.sqrt(np.maximum(nx * nx + nz * nz, 1e-30))
+    denom_y = np.sqrt(np.maximum(ny * ny + nz * nz, 1e-30))
+    fb_u = np.where(
+        use_x[:, None],
+        np.stack([-nz, np.zeros_like(nx), nx], 1) / denom_x[:, None],
+        np.stack([np.zeros_like(nx), nz, -ny], 1) / denom_y[:, None],
+    )
+    fb_v = np.cross(n, fb_u)
+
+    dp02 = v0 - v2
+    dp12 = v1 - v2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        invdet = np.where(det == 0.0, 0.0, 1.0 / det)[:, None]
+    dpdu = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * invdet
+    dpdv = (-duv12[:, 0:1] * dp02 + duv02[:, 0:1] * dp12) * invdet
+    bad = (det == 0.0)[:, None]
+    dpdu = np.where(bad, fb_u, dpdu)
+    dpdv = np.where(bad, fb_v, dpdv)
+    return n.astype(np.float32), dpdu.astype(np.float32), dpdv.astype(np.float32)
+
+
+def flatten_materials(materials):
+    """Materials -> SoA dict (load_raytrace_materials_to_gpu, scene.rs:1823-1864)."""
+    m = max(len(materials), 1)
+    out = {
+        "mat_bsdf": np.zeros(m, np.int32),
+        "mat_is_specular": np.zeros(m, bool),
+        "mat_diffuse_mul": np.ones((m, 3), np.float32),
+        "mat_metal_ior": np.ones((m, 16), np.float32),
+        "mat_metal_fresnel": np.ones((m, 16), np.float32),
+        "mat_ior": np.full(m, 1.46, np.float32),
+        "mat_roughness_mul": np.ones(m, np.float32),
+        "mat_metalness_mul": np.zeros(m, np.float32),
+        "mat_anisotropy": np.zeros(m, np.float32),
+        "mat_diffuse_tex": np.zeros(m, np.int32),
+        "mat_roughness_tex": np.zeros(m, np.int32),
+        "mat_metalness_tex": np.zeros(m, np.int32),
+        "mat_opacity_tex": np.zeros(m, np.int32),
+        "mat_normal_tex": np.zeros(m, np.int32),
+    }
+    for i, mat in enumerate(materials):
+        ior = mat.metal.index_of_refraction()
+        k = mat.metal.absorption()
+        out["mat_bsdf"][i] = mat.mtype.bsdf_family()
+        out["mat_is_specular"][i] = mat.mtype.is_specular()
+        out["mat_diffuse_mul"][i] = np.asarray(mat.diffuse_mul, np.float32) / 255.0
+        out["mat_metal_ior"][i] = ior
+        out["mat_metal_fresnel"][i] = ior * ior + k * k
+        out["mat_ior"][i] = mat.ior
+        out["mat_roughness_mul"][i] = mat.roughness_mul
+        out["mat_metalness_mul"][i] = mat.metalness_mul
+        out["mat_anisotropy"][i] = mat.anisotropy
+        out["mat_diffuse_tex"][i] = mat.diffuse
+        out["mat_roughness_tex"][i] = mat.roughness
+        out["mat_metalness_tex"][i] = mat.metalness
+        out["mat_opacity_tex"][i] = mat.opacity
+        out["mat_normal_tex"][i] = mat.normal
+    return out
+
+
+def reorder_lights(lights):
+    """Single SKY light moved last (scene.rs:628-635)."""
+    sky = [l for l in lights if l.ltype == LightType.SKY]
+    rest = [l for l in lights if l.ltype != LightType.SKY]
+    return rest + sky[:1]
+
+
+def flatten_lights(lights, instance_mat, instance_first, instance_count):
+    """Lights -> SoA, with AREA lights expanded one-per-instance
+    (load_raytrace_lights_to_gpu, scene.rs:1868-1927).
+
+    ``instance_mat/first/count``: per expanded instance, the material id and
+    the triangle range in original order.
+    """
+    rows = []
+    for l in lights:
+        d = np.asarray(l.direction, np.float32)
+        if not d.any():
+            d = np.array([0.0, -1.0, 0.0], np.float32)
+        d = d / np.linalg.norm(d)
+        base = dict(
+            ltype=int(l.ltype),
+            color=np.asarray(l.color.wavelength, np.float32),
+            pos=np.asarray(l.position, np.float32),
+            dir=d,
+            intensity=np.float32(l.intensity),
+            tri_first=0,
+            tri_count=0,
+            material=0,
+        )
+        if l.ltype == LightType.AREA:
+            mat_id = int(l.resource_id)
+            hit_any = False
+            for inst in range(len(instance_mat)):
+                if instance_mat[inst] == mat_id:
+                    hit_any = True
+                    row = dict(base)
+                    row["tri_first"] = int(instance_first[inst])
+                    row["tri_count"] = int(instance_count[inst])
+                    row["material"] = mat_id
+                    rows.append(row)
+            if not hit_any:
+                # reference defaults to instance 0 (scene.rs:1896-1897)
+                row = dict(base)
+                if len(instance_first):
+                    row["tri_first"] = int(instance_first[0])
+                    row["tri_count"] = int(instance_count[0])
+                row["material"] = mat_id
+                rows.append(row)
+        else:
+            rows.append(base)
+    lights_no = len(rows)
+    if not rows:
+        rows.append(
+            dict(
+                ltype=0,
+                color=np.zeros(16, np.float32),
+                pos=np.zeros(3, np.float32),
+                dir=np.array([0.0, -1.0, 0.0], np.float32),
+                intensity=np.float32(1.0),
+                tri_first=0,
+                tri_count=0,
+                material=0,
+            )
+        )
+    return {
+        "light_type": np.asarray([r["ltype"] for r in rows], np.int32),
+        "light_color": np.stack([r["color"] for r in rows]).astype(np.float32),
+        "light_pos": np.stack([r["pos"] for r in rows]).astype(np.float32),
+        "light_dir": np.stack([r["dir"] for r in rows]).astype(np.float32),
+        "light_intensity": np.asarray([r["intensity"] for r in rows], np.float32),
+        "light_tri_first": np.asarray([r["tri_first"] for r in rows], np.int32),
+        "light_tri_count": np.asarray([r["tri_count"] for r in rows], np.int32),
+        "light_material": np.asarray([r["material"] for r in rows], np.int32),
+        "lights_no": np.int32(lights_no),
+    }
+
+
+def build_sky_tables(lights, textures):
+    """Sky importance tables (scene.rs:2191-2232 + build_sky_raytrace_buffers).
+
+    Returns a dict of arrays; tex_id 0 disables the sky (both for miss
+    radiance and NEE), matching ``SkyUniform.sky.tex_id > 0`` checks.
+    """
+    sky = next((l for l in lights if l.ltype == LightType.SKY), None)
+    if sky is None or int(sky.resource_id) <= 0 or int(sky.resource_id) >= len(textures):
+        return {
+            "sky_tex": np.int32(0),
+            "sky_intensity": np.float32(1.0),
+            "sky_obj2world": np.eye(3, dtype=np.float32),
+            "sky_world2obj": np.eye(3, dtype=np.float32),
+            "sky_marginal_cdf": np.array([0.0, 1.0], np.float32),
+            "sky_marginal_val": np.ones(1, np.float32),
+            "sky_marginal_integral": np.float32(1.0),
+            "sky_cond_cdf": np.array([[0.0, 1.0]], np.float32),
+            "sky_cond_val": np.ones((1, 1), np.float32),
+            "sky_cond_integral": np.ones(1, np.float32),
+        }
+    tex: Texture = textures[int(sky.resource_id)]
+    arr = tex.array(0)
+    h, w = arr.shape[0], arr.shape[1]
+    if arr.ndim == 2:
+        rgb = np.repeat(arr[..., None], 3, axis=-1)
+    else:
+        rgb = arr[..., :3]
+    # luminance of Spectrum::from_rgb(pixel, true) x sin(theta) per row
+    # (calculate_skymap_distributions, scene.rs:2191-2210). Pixels are u8
+    # ColorRGB, which converts via sRGB EOTF (color.rs From<[u8;3]>).
+    c = rgb.astype(np.float32) / 255.0
+    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    spec = rgb_to_spectrum_np(lin, is_light=True)
+    lum = np.clip((spec * CIE_Y).sum(-1) * np.float32(INVY_SUM), 0.0, 1.0)
+    sint = np.sin(np.pi * (np.arange(h, dtype=np.float32) + 0.5) / h)
+    values = lum * sint[:, None]
+    dist = Distribution2D(values.reshape(-1), w)
+    rot = sky.rotation_matrix()[:3, :3].astype(np.float32)
+    return {
+        "sky_tex": np.int32(sky.resource_id),
+        "sky_intensity": np.float32(sky.intensity),
+        "sky_obj2world": rot,
+        "sky_world2obj": np.linalg.inv(rot).astype(np.float32),
+        "sky_marginal_cdf": dist.marginal().cdf().astype(np.float32),
+        "sky_marginal_val": dist.marginal().values().astype(np.float32),
+        "sky_marginal_integral": np.float32(max(dist.marginal().integral(), 1e-20)),
+        "sky_cond_cdf": dist.conditional_cdf().astype(np.float32),
+        "sky_cond_val": dist.conditional_values().astype(np.float32),
+        "sky_cond_integral": np.maximum(dist.conditional_integrals(), 1e-20).astype(
+            np.float32
+        ),
+    }
+
+
+class HostSceneData(NamedTuple):
+    """Host-side scene info kept by the renderer for incremental updates
+    (RealtimeScene's CPU copies, scene.rs:29-68)."""
+
+    materials: list
+    lights: list
+    textures: list
+    cameras: list
+    meta: object
+    inst_material: list  # per expanded instance: material id
+    inst_tri_first: list  # triangle range in original order
+    inst_tri_count: list
+
+
+def flatten_scene(parsed):
+    """Full upload: ParsedScene -> (DeviceScene, Camera, HostSceneData).
+
+    Mirrors the RayTraceScene::new call stack (SURVEY 3.1): expand
+    instances to world space, compute derivatives, build the BVH, flatten
+    materials/lights, pack textures, build sky tables.
+    """
+    vertices = parsed.vertices()
+    meshes = parsed.meshes()
+    transforms = parsed.transforms()
+    instances = parsed.instances()
+    cameras = parsed.cameras()
+    textures = parsed.textures()
+    materials = parsed.materials()
+    lights = reorder_lights(parsed.lights())
+    meta = parsed.meta()
+
+    vpos = np.stack([v.vv for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
+    vnorm = np.stack([v.vn for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
+    vuv = np.stack([v.vt for v in vertices]) if vertices else np.zeros((0, 2), np.float32)
+
+    mesh_by_id = {m.id: m for m in meshes}
+    tri_pos, tri_nrm, tri_uv, tri_mat = [], [], [], []
+    inst_mat, inst_first, inst_count = [], [], []
+    pos = 0
+    for inst in instances:
+        mesh = mesh_by_id.get(inst.mesh_id)
+        if mesh is None:
+            # dangling instance (scene.rs:1806-1810)
+            continue
+        t4 = transforms[inst.transform_id].m if inst.transform_id < len(transforms) else np.eye(4, dtype=np.float32)
+        nmat = _normal_matrix(t4)
+        idx = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
+        p = vpos[idx]  # (T, 3, 3)
+        p = p @ t4[:3, :3].T + t4[:3, 3]
+        n = vnorm[idx] @ nmat.T
+        uv = vuv[idx]
+        t_count = idx.shape[0]
+        tri_pos.append(p.astype(np.float32))
+        tri_nrm.append(n.astype(np.float32))
+        tri_uv.append(uv.astype(np.float32))
+        tri_mat.append(np.full(t_count, mesh.material, np.int32))
+        inst_mat.append(int(mesh.material))
+        inst_first.append(pos)
+        inst_count.append(t_count)
+        pos += t_count
+
+    if tri_pos:
+        tri_pos = np.concatenate(tri_pos)
+        tri_nrm = np.concatenate(tri_nrm)
+        tri_uv = np.concatenate(tri_uv)
+        tri_mat = np.concatenate(tri_mat)
+    else:
+        tri_pos = np.zeros((0, 3, 3), np.float32)
+        tri_nrm = np.zeros((0, 3, 3), np.float32)
+        tri_uv = np.zeros((0, 3, 2), np.float32)
+        tri_mat = np.zeros(0, np.int32)
+
+    geom_n, dpdu, dpdv = compute_derivatives(
+        tri_pos[:, 0], tri_pos[:, 1], tri_pos[:, 2],
+        tri_uv[:, 0], tri_uv[:, 1], tri_uv[:, 2],
+    )
+
+    bvh, order = build_bvh(tri_pos)
+    order = np.asarray(order, np.int64)
+
+    mats = flatten_materials(materials)
+    lts = flatten_lights(lights, inst_mat, inst_first, inst_count)
+    sky = build_sky_tables(lights, textures)
+    atlas = build_atlas(textures)
+
+    camera = cameras[0] if cameras else None
+
+    dev = DeviceScene(
+        bvh=bvh,
+        tri_normals=jnp.asarray(tri_nrm[order]),
+        tri_uvs=jnp.asarray(tri_uv[order]),
+        tri_material=jnp.asarray(tri_mat[order]),
+        geom_normal=jnp.asarray(geom_n[order]),
+        dpdu=jnp.asarray(dpdu[order]),
+        dpdv=jnp.asarray(dpdv[order]),
+        tri_pos_orig=jnp.asarray(tri_pos),
+        **{k: jnp.asarray(v) for k, v in mats.items()},
+        **{k: jnp.asarray(v) for k, v in lts.items()},
+        **{k: jnp.asarray(v) for k, v in sky.items()},
+        atlas=atlas,
+        scene_radius=jnp.asarray(np.float32(meta.scene_radius)),
+        scene_centre=jnp.asarray(np.asarray(meta.scene_centre, np.float32)),
+        exposure=jnp.asarray(np.float32(meta.exposure)),
+    )
+    host = HostSceneData(
+        materials=list(materials),
+        lights=list(lights),
+        textures=list(textures),
+        cameras=list(cameras),
+        meta=meta,
+        inst_material=inst_mat,
+        inst_tri_first=inst_first,
+        inst_tri_count=inst_count,
+    )
+    return dev, camera, host

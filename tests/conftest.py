@@ -1,11 +1,17 @@
 import os
 import sys
 
-# Multi-device CPU mesh for sharding tests; must be set before JAX import.
+# Multi-device CPU mesh for sharding tests; must be set before JAX backend
+# initialization. NOTE: this image force-registers the TPU ("axon") PJRT
+# plugin via sitecustomize and overwrites JAX_PLATFORMS, so the env var
+# alone is not enough — jax.config.update below reclaims the CPU backend.
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
