@@ -27,6 +27,9 @@ def main():
     from glaze_tpu.parser import parse
     from glaze_tpu.render import integrator as integ
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+    from glaze_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     scene_path = "/root/reference/resources/mattest.glaze"
     width = height = 512

@@ -48,6 +48,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+    from glaze_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     t0 = time.time()
     parsed = parse(args.input)

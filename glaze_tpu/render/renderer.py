@@ -39,8 +39,20 @@ class Integrator(enum.Enum):
 
 
 # launches fused per device call in draw(); progress callbacks fire between
-# chunks (the reference's 2-deep fence ring fires per launch)
-_CHUNK = 24
+# chunks (the reference's 2-deep fence ring fires per launch). Chunk sizes
+# are powers of two so at most log2(_CHUNK)+1 scan lengths ever compile.
+_CHUNK = 32
+
+
+def _chunk_sizes(total: int):
+    sizes = []
+    c = _CHUNK
+    while total:
+        while c > total:
+            c >>= 1
+        sizes.append(c)
+        total -= c
+    return sizes
 
 
 class RayTraceRenderer:
@@ -163,8 +175,7 @@ class RayTraceRenderer:
         c2w, s2c = self._frame_params()
         total = spp * self.integrator.steps_per_sample
         done = 0
-        while done < total:
-            n = min(_CHUNK, total - done)
+        for n in _chunk_sizes(total):
             seeds = jnp.asarray(
                 self._rng.integers(0, 2**32, size=n, dtype=np.uint32)
             )

@@ -379,10 +379,12 @@ def flatten_scene(parsed):
         tri_uv = np.concatenate(tri_uv)
         tri_mat = np.concatenate(tri_mat)
     else:
-        tri_pos = np.zeros((0, 3, 3), np.float32)
-        tri_nrm = np.zeros((0, 3, 3), np.float32)
-        tri_uv = np.zeros((0, 3, 2), np.float32)
-        tri_mat = np.zeros(0, np.int32)
+        # one degenerate placeholder triangle keeps every gather in-bounds
+        # (the BVH stores n_tris=0 so it can never be hit)
+        tri_pos = np.zeros((1, 3, 3), np.float32)
+        tri_nrm = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (1, 3, 1))
+        tri_uv = np.zeros((1, 3, 2), np.float32)
+        tri_mat = np.zeros(1, np.int32)
 
     geom_n, dpdu, dpdv = compute_derivatives(
         tri_pos[:, 0], tri_pos[:, 1], tri_pos[:, 2],

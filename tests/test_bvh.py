@@ -1,0 +1,110 @@
+"""BVH build + traversal tests vs brute force, both builders."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glaze_tpu.accel import build_bvh, closest_hit, any_hit
+from glaze_tpu.accel import bvh as bvh_mod
+
+
+def _random_soup(n, seed=42):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-10, 10, (n, 1, 3)).astype(np.float32)
+    return (c + rng.uniform(-0.5, 0.5, (n, 3, 3))).astype(np.float32), rng
+
+
+def _brute_force(tri, o, d, t_min=1e-4):
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    best = np.full(len(o), np.inf)
+    btri = np.full(len(o), -1)
+    for i in range(len(tri)):
+        p = np.cross(d, e2[i])
+        det = (e1[i] * p).sum(1)
+        mask = np.abs(det) >= 1e-12
+        inv = np.where(mask, 1.0 / np.where(det == 0, 1, det), 0)
+        tv = o - v0[i]
+        u = (tv * p).sum(1) * inv
+        q = np.cross(tv, e1[i])
+        v = (d * q).sum(1) * inv
+        t = (e2[i] * q).sum(1) * inv
+        hit = mask & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t < best)
+        best = np.where(hit, t, best)
+        btri = np.where(hit, i, btri)
+    return best, btri
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_closest_hit_matches_brute_force(native):
+    tri, rng = _random_soup(300)
+    o = rng.uniform(-15, 15, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    import glaze_tpu.native as N
+
+    saved = N.lib
+    if not native:
+        N.lib = None
+    try:
+        bvh, order = build_bvh(tri)
+    finally:
+        N.lib = saved
+
+    res = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d))
+    t = np.asarray(res["t"])
+    tri_id = np.asarray(res["tri"])
+    bt, btri = _brute_force(tri, o, d)
+    hit = bt != np.inf
+    assert ((bt == np.inf) == (t == np.inf)).all()
+    np.testing.assert_allclose(t[hit], bt[hit], rtol=1e-4, atol=1e-5)
+    mapped = np.where(tri_id >= 0, order[np.clip(tri_id, 0, len(tri) - 1)], -1)
+    assert (mapped[hit] == btri[hit]).all()
+
+
+def test_any_hit_early_exit_and_range():
+    tri, rng = _random_soup(300, seed=1)
+    o = rng.uniform(-15, 15, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    bvh, _ = build_bvh(tri)
+    bt, _ = _brute_force(tri, o, d, t_min=1e-3)
+    hit_inf = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d),
+                                 jnp.full(256, 1e30, np.float32)))
+    assert (hit_inf == (bt != np.inf)).all()
+    # restricting t_max below the closest hit yields a miss
+    near = np.where(np.isinf(bt), 1.0, bt * 0.5).astype(np.float32)
+    hit_near = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(near)))
+    assert not hit_near.any()
+
+
+def test_any_hit_active_mask():
+    tri, rng = _random_soup(100, seed=2)
+    o = np.zeros((8, 3), np.float32)
+    d = np.tile(np.asarray([[1.0, 0, 0]], np.float32), (8, 1))
+    bvh, _ = build_bvh(tri)
+    active = jnp.asarray([True, False] * 4)
+    res = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d),
+                             jnp.full(8, 1e30, np.float32), active=active))
+    assert not res[1::2].any()
+
+
+def test_empty_scene():
+    bvh, order = build_bvh(np.zeros((0, 3, 3), np.float32))
+    res = closest_hit(bvh, jnp.zeros((4, 3)), jnp.asarray([[0, 0, 1.0]] * 4))
+    assert (np.asarray(res["tri"]) == -1).all()
+
+
+def test_single_triangle():
+    tri = np.asarray([[[0, 0, 5], [1, 0, 5], [0, 1, 5]]], np.float32)
+    bvh, _ = build_bvh(tri)
+    res = closest_hit(
+        bvh,
+        jnp.asarray([[0.2, 0.2, 0.0], [5.0, 5.0, 0.0]]),
+        jnp.asarray([[0.0, 0.0, 1.0]] * 2),
+    )
+    t = np.asarray(res["t"])
+    assert abs(t[0] - 5.0) < 1e-4 and np.isinf(t[1])
