@@ -9,4 +9,32 @@ layout is built natively, and traversal runs as a batched JAX kernel.
 
 from glaze_tpu.accel.bvh import BVH, build_bvh, closest_hit, any_hit
 
-__all__ = ["BVH", "build_bvh", "closest_hit", "any_hit"]
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu", "METAL")
+
+
+def closest_hit_auto(bvh, origin, direction, t_max=None):
+    """Pallas packet kernel on TPU, XLA loop elsewhere (CPU tests)."""
+    if _on_tpu():
+        from glaze_tpu.accel.traverse_pallas import closest_hit_pallas
+
+        return closest_hit_pallas(bvh, origin, direction, t_max)
+    return closest_hit(bvh, origin, direction, t_max)
+
+
+def any_hit_auto(bvh, origin, direction, t_max, t_min=1e-3, active=None):
+    if _on_tpu():
+        from glaze_tpu.accel.traverse_pallas import any_hit_pallas
+
+        return any_hit_pallas(bvh, origin, direction, t_max, t_min=t_min,
+                              active=active)
+    return any_hit(bvh, origin, direction, t_max, t_min=t_min, active=active)
+
+
+__all__ = [
+    "BVH", "build_bvh", "closest_hit", "any_hit",
+    "closest_hit_auto", "any_hit_auto",
+]

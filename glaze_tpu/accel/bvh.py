@@ -31,13 +31,47 @@ T_MIN = 1e-4
 INF = np.float32(np.inf)
 
 
-class BVH(NamedTuple):
-    """Device-resident BVH. ``tri`` holds (v0, e1, e2) rows, 9 floats."""
+@jax.tree_util.register_pytree_node_class
+class BVH:
+    """Device-resident BVH. ``tri`` holds (v0, e1, e2) rows, 9 floats.
 
-    nodes: jnp.ndarray  # (M, 8) float32, packed as documented above
-    tri: jnp.ndarray  # (N, 9) float32 v0/e1/e2, in BVH order
-    n_nodes: int
-    n_tris: int
+    ``nodes16``/``tri8`` are 128-lane-dense repacks of the same data for
+    the Pallas kernels (VMEM tiles waste nothing): 16 nodes per row at
+    8-lane stride, 8 triangles per row at 16-lane stride (9 used).
+    ``n_nodes``/``n_tris`` are STATIC pytree aux data so jitted code can
+    branch on them at trace time.
+    """
+
+    def __init__(self, nodes, tri, nodes16, tri8, n_nodes: int, n_tris: int):
+        self.nodes = nodes  # (M, 8) float32, packed as documented above
+        self.tri = tri  # (N, 9) float32 v0/e1/e2, in BVH order
+        self.nodes16 = nodes16  # (ceil(M/16), 128) float32
+        self.tri8 = tri8  # (ceil(N/8), 128) float32
+        self.n_nodes = int(n_nodes)
+        self.n_tris = int(n_tris)
+
+    def tree_flatten(self):
+        return (
+            (self.nodes, self.tri, self.nodes16, self.tri8),
+            (self.n_nodes, self.n_tris),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _pack_lane_dense(rows: np.ndarray, per_row: int, stride: int) -> np.ndarray:
+    """(K, F) -> (ceil(K/per_row), 128), item k at [k//per_row,
+    (k%per_row)*stride : +F]."""
+    k, f = rows.shape
+    assert per_row * stride == 128 and f <= stride
+    nrows = -(-k // per_row)
+    out = np.zeros((nrows, 128), np.float32)
+    padded = np.zeros((nrows * per_row, stride), np.float32)
+    padded[:k, :f] = rows
+    out[:] = padded.reshape(nrows, 128)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -145,8 +179,16 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
         meta = np.zeros((1, 2), np.int32)
         meta[0] = [0 * 8 + 0, 1]
         nodes[:, 6:8] = meta.view(np.float32)
+        tri0 = np.zeros((1, 9), np.float32)
         return (
-            BVH(jnp.asarray(nodes), jnp.zeros((1, 9), jnp.float32), 1, 0),
+            BVH(
+                jnp.asarray(nodes),
+                jnp.asarray(tri0),
+                jnp.asarray(_pack_lane_dense(nodes, 16, 8)),
+                jnp.asarray(_pack_lane_dense(tri0, 8, 16)),
+                1,
+                0,
+            ),
             np.zeros(0, np.uint32),
         )
     flat = build_host(tri_verts, leaf_size)
@@ -166,7 +208,17 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     skip = np.where(flat["skip"] < 0, m, flat["skip"]).astype(np.int32)
     nodes[:, 6] = meta.view(np.float32)
     nodes[:, 7] = skip.view(np.float32)
-    return BVH(jnp.asarray(nodes), jnp.asarray(tri), int(m), int(n)), order
+    return (
+        BVH(
+            jnp.asarray(nodes),
+            jnp.asarray(tri),
+            jnp.asarray(_pack_lane_dense(nodes, 16, 8)),
+            jnp.asarray(_pack_lane_dense(tri, 8, 16)),
+            int(m),
+            int(n),
+        ),
+        order,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from glaze_tpu.accel import bvh as bvh_mod
+from glaze_tpu import accel
 from glaze_tpu.ops import rng as rng_mod
 from glaze_tpu.ops import shading
 from glaze_tpu.ops import spectra
@@ -172,7 +172,7 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, active):
     value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"], r_bsdf)
 
     usable = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
-    shadow_hit = bvh_mod.any_hit(
+    shadow_hit = accel.any_hit_auto(
         scene.bvh, hit["point"], wiw, dist - 1e-3, active=active & usable
     )
     cos_term = jnp.abs(jnp.sum(wiw * hit["shading_normal"], axis=-1))
@@ -224,7 +224,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     direction = jnp.where(regen[..., None], cam_dir, state.direction)
     importance = jnp.where(regen[..., None], spectra.one((p,)), state.importance)
 
-    hit = bvh_mod.closest_hit(scene.bvh, origin, direction)
+    hit = accel.closest_hit_auto(scene.bvh, origin, direction)
     missed = hit["tri"] < 0
 
     # ---- miss: sky radiance only on camera rays / after specular bounces
