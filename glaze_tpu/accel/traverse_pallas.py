@@ -47,6 +47,20 @@ def _load_fields(table_ref, item, per_row, stride):
     return jnp.take_along_axis(rowb, idx, axis=1)
 
 
+def _load_row(table_ref, item, per_row):
+    """One packed item's 128-lane row, broadcast to (8, 128)."""
+    row = table_ref[pl.ds(item // per_row, 1), :]
+    return jnp.broadcast_to(row, (8, LANES)), (item % per_row)
+
+
+def _field(rowb, base, f):
+    """Broadcasts field ``base*stride + f`` to all lanes as (1, 128) —
+    a full-lane dynamic gather instead of a scalar extract (extracts
+    measured ~25 cycles each; gathers are plain vreg ops)."""
+    idx = jnp.full((8, LANES), base + f, jnp.int32)
+    return jnp.take_along_axis(rowb, idx, axis=1)[0:1, :]
+
+
 def _node_fields(nodes_ref, ptr):
     """(bmin3, bmax3, meta, skip) scalars for node ``ptr``."""
     g = _load_fields(nodes_ref, ptr, 16, 8)
@@ -108,104 +122,173 @@ def _safe_inv(d):
     return jnp.where(tiny, 1e20, 1.0 / jnp.where(tiny, 1.0, d))
 
 
-def _closest_kernel(nodes_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems):
+    """One-time DMA of the BVH tables into persistent VMEM scratch.
+
+    Runs on grid step 0 only; TPU scratch persists across grid steps, so
+    later packets reuse the resident copy. (Streaming the tables through
+    the block pipeline instead measured 90 ms/call inside a fused scan —
+    the pipeline re-fetches full-array blocks per grid step.)
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+        t = pltpu.make_async_copy(tri_hbm, tri_ref, sems.at[1])
+        n.start()
+        t.start()
+        n.wait()
+        t.wait()
+
+
+def _tri_hit_rows(tri_rowb, base, ox, oy, oz, dx, dy, dz):
+    """Moller-Trumbore of the whole packet against one triangle whose
+    fields come as (1, 128) lane broadcasts from a loaded row."""
+    f = lambda k: _field(tri_rowb, base, k)
+    v0x, v0y, v0z = f(0), f(1), f(2)
+    e1x, e1y, e1z = f(3), f(4), f(5)
+    e2x, e2y, e2z = f(6), f(7), f(8)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) >= 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_MIN)
+    return t, u, v, hit
+
+
+def _closest_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                     dx_ref, dy_ref, dz_ref, tmax_ref,
-                    t_ref, tri_out_ref, u_ref, v_ref, *, n_nodes, n_tris,
+                    t_ref, tri_out_ref, u_ref, v_ref,
+                    nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
                     leaf_size):
+    _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
-    init = (
-        jnp.int32(0),
-        tmax_ref[:],
-        jnp.full(ox.shape, -1, jnp.int32),
-        jnp.zeros(ox.shape, jnp.float32),
-        jnp.zeros(ox.shape, jnp.float32),
-    )
+    # best-hit state lives in the OUTPUT refs; the loop carries only the
+    # node pointer (vector loop carries spill to VMEM every iteration —
+    # measured ~200 cycles/iteration of pure overhead)
+    t_ref[:] = tmax_ref[:]
+    tri_out_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_ref[:] = jnp.zeros(ox.shape, jnp.float32)
 
-    def cond(c):
-        return c[0] < n_nodes
+    def cond(ptr):
+        return ptr < n_nodes
 
-    def body(c):
-        ptr, t_best, tri_best, u_best, v_best = c
-        bmin, bmax, meta, skip = _node_fields(nodes_ref, ptr)
-        hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_best)
+    def body(ptr):
+        rowb, slot = _load_row(nodes_ref, ptr, 16)
+        base = slot * 8
+        bmin = (_field(rowb, base, 0), _field(rowb, base, 1),
+                _field(rowb, base, 2))
+        bmax = (_field(rowb, base, 3), _field(rowb, base, 4),
+                _field(rowb, base, 5))
+        meta = pltpu.bitcast(_field(rowb, base, 6), jnp.int32)[0, 0]
+        skip = pltpu.bitcast(_field(rowb, base, 7), jnp.int32)[0, 0]
+        hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_ref[:])
         any_hit = jnp.any(hit)
         is_leaf = meta >= 0
 
-        def leaf_body(c2):
-            t_best, tri_best, u_best, v_best = c2
+        @pl.when(any_hit & is_leaf)
+        def _():
             first = meta >> 3
             count = meta & 7
+            t_best = t_ref[:]
+            tri_best = tri_out_ref[:]
+            u_best = u_ref[:]
+            v_best = v_ref[:]
             for k in range(leaf_size):
                 tid = jnp.minimum(first + k, n_tris - 1)
-                t, u, v, h = _tri_hit(tri_ref, tid, ox, oy, oz, dx, dy, dz)
+                trow, tslot = _load_row(tri_ref, tid, 8)
+                t, u, v, h = _tri_hit_rows(trow, tslot * 16, ox, oy, oz,
+                                           dx, dy, dz)
                 better = h & (t < t_best) & (k < count) & hit
                 t_best = jnp.where(better, t, t_best)
                 tri_best = jnp.where(better, tid, tri_best)
                 u_best = jnp.where(better, u, u_best)
                 v_best = jnp.where(better, v, v_best)
-            return t_best, tri_best, u_best, v_best
+            t_ref[:] = t_best
+            tri_out_ref[:] = tri_best
+            u_ref[:] = u_best
+            v_ref[:] = v_best
 
-        t_best, tri_best, u_best, v_best = jax.lax.cond(
-            any_hit & is_leaf, leaf_body, lambda c2: c2,
-            (t_best, tri_best, u_best, v_best),
-        )
         descend = any_hit & jnp.logical_not(is_leaf)
-        ptr = jnp.where(descend, ptr + 1, skip)
-        return ptr, t_best, tri_best, u_best, v_best
+        return jnp.where(descend, ptr + 1, skip)
 
-    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(cond, body, init)
-    t_ref[:] = jnp.where(tri_best >= 0, t_best, jnp.float32(jnp.inf))
-    tri_out_ref[:] = tri_best
-    u_ref[:] = u_best
-    v_ref[:] = v_best
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+    t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
 
 
-def _anyhit_kernel(nodes_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _anyhit_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, tmax_ref, active_ref,
-                   hit_ref, *, n_nodes, n_tris, leaf_size, t_min):
+                   hit_ref, nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
+                   leaf_size, t_min):
+    _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_max = tmax_ref[:]
     needed0 = active_ref[:]  # int32 0/1
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    # NOTE: the retire mask is carried as int32 — Mosaic miscompiles i1
-    # vectors passed through an identity lax.cond branch (layout mismatch
-    # between packed and unpacked masks).
-    init = (jnp.int32(0), jnp.zeros(ox.shape, jnp.int32))
+    # blocked mask lives in the output ref (int32: Mosaic miscompiles i1
+    # vectors through identity cond branches); the effective t cap for
+    # retired/inactive lanes is -1 so the slab test culls them
+    hit_ref[:] = jnp.where(needed0 > 0, jnp.int32(0), jnp.int32(1))
 
     def cond(c):
-        ptr, blocked = c
-        return (ptr < n_nodes) & jnp.any(needed0 > blocked)
+        ptr, live = c
+        return (ptr < n_nodes) & live
 
     def body(c):
-        ptr, blocked = c
-        bmin, bmax, meta, skip = _node_fields(nodes_ref, ptr)
-        want = needed0 > blocked
-        cap = jnp.where(want, t_max, jnp.float32(-1.0))  # retired lanes cull
+        ptr, live = c
+        rowb, slot = _load_row(nodes_ref, ptr, 16)
+        base = slot * 8
+        bmin = (_field(rowb, base, 0), _field(rowb, base, 1),
+                _field(rowb, base, 2))
+        bmax = (_field(rowb, base, 3), _field(rowb, base, 4),
+                _field(rowb, base, 5))
+        meta = pltpu.bitcast(_field(rowb, base, 6), jnp.int32)[0, 0]
+        skip = pltpu.bitcast(_field(rowb, base, 7), jnp.int32)[0, 0]
+        blocked = hit_ref[:]
+        cap = jnp.where(blocked == 0, t_max, jnp.float32(-1.0))
         hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, cap)
         any_h = jnp.any(hit)
         is_leaf = meta >= 0
 
-        def leaf_body(blocked):
+        @pl.when(any_h & is_leaf)
+        def _():
             first = meta >> 3
             count = meta & 7
+            b = blocked
             for k in range(leaf_size):
                 tid = jnp.minimum(first + k, n_tris - 1)
-                t, _, _, h = _tri_hit(tri_ref, tid, ox, oy, oz, dx, dy, dz)
+                trow, tslot = _load_row(tri_ref, tid, 8)
+                t, _, _, h = _tri_hit_rows(trow, tslot * 16, ox, oy, oz,
+                                           dx, dy, dz)
                 new = h & (t > t_min) & (t < t_max) & (k < count) & hit
-                blocked = jnp.maximum(blocked, new.astype(jnp.int32))
-            return blocked
+                b = jnp.maximum(b, new.astype(jnp.int32))
+            hit_ref[:] = b
 
-        blocked = jax.lax.cond(any_h & is_leaf, leaf_body, lambda b: b, blocked)
+        live = jnp.where(
+            is_leaf & any_h, jnp.any(hit_ref[:] == 0), live
+        )
         descend = any_h & jnp.logical_not(is_leaf)
-        ptr = jnp.where(descend, ptr + 1, skip)
-        return ptr, blocked
+        return jnp.where(descend, ptr + 1, skip), live
 
-    _, blocked = jax.lax.while_loop(cond, body, init)
-    hit_ref[:] = blocked
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.any(needed0 > 0)))
+    # report False for lanes that were never active
+    hit_ref[:] = jnp.where(needed0 > 0, hit_ref[:], jnp.int32(0))
 
 
 def _morton3(q):
@@ -238,9 +321,9 @@ def sort_rays_key(bvh, origin, direction):
     return ((octant * 4 + dom) << 15) | morton
 
 
-def _pack_rays(origin, direction, extra=()):
-    """(R, 3) ray arrays -> per-component (rows, 128) padded layouts."""
-    r = origin.shape[0]
+def _pack_comps(origin3, direction3, extra=()):
+    """SoA (R,) components -> (rows, 128) padded layouts."""
+    r = origin3[0].shape[0]
     rows = -(-r // LANES)
     pad_rows = -(-rows // PACKET_ROWS) * PACKET_ROWS
     total = pad_rows * LANES
@@ -250,11 +333,20 @@ def _pack_rays(origin, direction, extra=()):
             x = jnp.concatenate([x, jnp.full((total - r,), fill, x.dtype)])
         return x.reshape(pad_rows, LANES)
 
-    comps = [comp(origin[:, i], 0.0) for i in range(3)]
+    comps = [comp(origin3[i], 0.0) for i in range(3)]
     # padding rays get zero direction -> inv 1e20 -> slab never hits
-    comps += [comp(direction[:, i], 0.0) for i in range(3)]
+    comps += [comp(direction3[i], 0.0) for i in range(3)]
     comps += [comp(x, fill) for x, fill in extra]
     return comps, pad_rows, total
+
+
+def _pack_rays(origin, direction, extra=()):
+    """(R, 3) ray arrays -> per-component (rows, 128) padded layouts."""
+    return _pack_comps(
+        tuple(origin[:, i] for i in range(3)),
+        tuple(direction[:, i] for i in range(3)),
+        extra,
+    )
 
 
 def _ray_blk():
@@ -262,8 +354,16 @@ def _ray_blk():
                         memory_space=pltpu.VMEM)
 
 
-def _full(a):
-    return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+def _hbm(a):
+    return pl.BlockSpec(memory_space=pltpu.ANY)
+
+
+def _table_scratch(nodes16, tri8):
+    return [
+        pltpu.VMEM(nodes16.shape, jnp.float32),
+        pltpu.VMEM(tri8.shape, jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_tris", "leaf_size",
@@ -277,7 +377,7 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_full(nodes16), _full(tri8)] + [_ray_blk() for _ in range(7)],
+        in_specs=[_hbm(nodes16), _hbm(tri8)] + [_ray_blk() for _ in range(7)],
         out_specs=[_ray_blk() for _ in range(4)],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -285,8 +385,57 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
+        scratch_shapes=_table_scratch(nodes16, tri8),
         interpret=interpret,
     )(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def closest_hit_soa(bvh, origin3, direction3, t_max=None,
+                    interpret: bool = False):
+    """SoA closest hit: origin/direction as (x, y, z) tuples of (R,).
+
+    Returns dict with (R,) ``t``/``tri``/``u``/``v``.
+    """
+    from glaze_tpu.accel.bvh import LEAF_SIZE
+
+    r = origin3[0].shape[0]
+    cap = jnp.full((r,), np.inf if t_max is None else t_max, jnp.float32)
+    comps, rows, total = _pack_comps(origin3, direction3, [(cap, -1.0)])
+    ox, oy, oz, dx, dy, dz, tmax = comps
+    t, tri, u, v = _closest_call(
+        bvh.nodes16, bvh.tri8, ox, oy, oz, dx, dy, dz, tmax,
+        n_nodes=bvh.nodes.shape[0], n_tris=bvh.tri.shape[0],
+        leaf_size=LEAF_SIZE, interpret=interpret,
+    )
+    flat = lambda x: x.reshape(total)[:r]
+    out_t = flat(t)
+    out_tri = flat(tri)
+    if bvh.n_tris == 0:
+        out_t = jnp.full_like(out_t, np.inf)
+        out_tri = jnp.full_like(out_tri, -1)
+    return {"t": out_t, "tri": out_tri, "u": flat(u), "v": flat(v)}
+
+
+def any_hit_soa(bvh, origin3, direction3, t_max, t_min=1e-3, active=None,
+                interpret: bool = False):
+    """SoA any hit; ``t_max`` is (R,); returns (R,) bool."""
+    from glaze_tpu.accel.bvh import LEAF_SIZE
+
+    r = origin3[0].shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    act = jnp.ones((r,), jnp.int32) if active is None else active.astype(jnp.int32)
+    comps, rows, total = _pack_comps(origin3, direction3,
+                                     [(t_max, -1.0), (act, 0)])
+    ox, oy, oz, dx, dy, dz, tmax, actv = comps
+    hit = _anyhit_call(
+        bvh.nodes16, bvh.tri8, ox, oy, oz, dx, dy, dz, tmax, actv,
+        n_nodes=bvh.nodes.shape[0], n_tris=bvh.tri.shape[0],
+        leaf_size=LEAF_SIZE, t_min=float(t_min), interpret=interpret,
+    )
+    result = hit.reshape(total)[:r] != 0
+    if bvh.n_tris == 0:
+        result = jnp.zeros_like(result)
+    return result
 
 
 def closest_hit_pallas(bvh, origin, direction, t_max=None,
@@ -341,9 +490,10 @@ def _anyhit_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active, *,
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_full(nodes16), _full(tri8)] + [_ray_blk() for _ in range(8)],
+        in_specs=[_hbm(nodes16), _hbm(tri8)] + [_ray_blk() for _ in range(8)],
         out_specs=_ray_blk(),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        scratch_shapes=_table_scratch(nodes16, tri8),
         interpret=interpret,
     )(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active)
 

@@ -40,9 +40,33 @@ class _NativeLib:
         self._lib.glaze_bvh_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         self._lib.glaze_bvh_free.restype = None
         self._lib.glaze_bvh_free.argtypes = [ctypes.c_void_p]
+        self._lib.glaze_alias_build.restype = None
+        self._lib.glaze_alias_build.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.glaze_xxh64(data, len(data), seed)
+
+    def alias_build(self, weights: np.ndarray):
+        """Walker/Vose alias tables for (rows, n) weights.
+
+        Returns (prob (rows, n) f32, alias (rows, n) i32).
+        """
+        w = np.ascontiguousarray(weights, np.float32)
+        rows, n = w.shape
+        prob = np.empty((rows, n), np.float32)
+        alias = np.empty((rows, n), np.int32)
+        self._lib.glaze_alias_build(
+            w.ctypes.data_as(ctypes.c_void_p), rows, n,
+            prob.ctypes.data_as(ctypes.c_void_p),
+            alias.ctypes.data_as(ctypes.c_void_p),
+        )
+        return prob, alias
 
     def bvh_build(self, tri_verts: np.ndarray, leaf_size: int = 4):
         """Builds a threaded BVH over triangles (N,3,3) float32.

@@ -284,4 +284,45 @@ void glaze_bvh_export(void* handle, float* bmin, float* bmax, int32_t* first,
 
 void glaze_bvh_free(void* handle) { delete (BvhHandle*)handle; }
 
+// ---------------------------------------------------------------------------
+// Walker/Vose alias tables for O(1) discrete sampling (replaces the GPU
+// binary-search CDF inversion of the sky importance tables).
+// Builds tables for `rows` independent distributions of `n` entries each.
+// prob[i] in [0,1]: accept entry i, else take alias[i].
+// ---------------------------------------------------------------------------
+
+void glaze_alias_build(const float* weights, uint64_t rows, uint64_t n,
+                       float* prob, int32_t* alias) {
+  std::vector<int32_t> small, large;
+  std::vector<double> scaled(n);
+  for (uint64_t r = 0; r < rows; r++) {
+    const float* w = weights + r * n;
+    float* p = prob + r * n;
+    int32_t* a = alias + r * n;
+    double total = 0.0;
+    for (uint64_t i = 0; i < n; i++) total += (w[i] > 0 ? w[i] : 0.0);
+    if (total <= 0.0) {
+      for (uint64_t i = 0; i < n; i++) { p[i] = 1.0f; a[i] = (int32_t)i; }
+      continue;
+    }
+    small.clear(); large.clear();
+    for (uint64_t i = 0; i < n; i++) {
+      scaled[i] = (w[i] > 0 ? w[i] : 0.0) * n / total;
+      if (scaled[i] < 1.0) small.push_back((int32_t)i);
+      else large.push_back((int32_t)i);
+    }
+    while (!small.empty() && !large.empty()) {
+      int32_t s = small.back(); small.pop_back();
+      int32_t l = large.back(); large.pop_back();
+      p[s] = (float)scaled[s];
+      a[s] = l;
+      scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+      if (scaled[l] < 1.0) small.push_back(l);
+      else large.push_back(l);
+    }
+    while (!large.empty()) { int32_t l = large.back(); large.pop_back(); p[l] = 1.0f; a[l] = l; }
+    while (!small.empty()) { int32_t s = small.back(); small.pop_back(); p[s] = 1.0f; a[s] = s; }
+  }
+}
+
 }  // extern "C"

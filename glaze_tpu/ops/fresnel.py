@@ -25,6 +25,18 @@ def fresnel_conductor(cosin, ior, ior2abs2):
     return (rperpsq + rparsq) * 0.5
 
 
+def fresnel_conductor_t(cosin, ior, ior2abs2):
+    """Transposed layout: cosin (R,), ior/ior2abs2 (16, R) -> (16, R)."""
+    cosin2 = cosin * cosin
+    etacosin2 = ior * (cosin * 2.0)
+    etacosin2plus = etacosin2 + cosin2
+    etacosin2plusplus = etacosin2 + 1.0
+    rperpsq = (ior2abs2 - etacosin2plus) / (ior2abs2 + etacosin2plus)
+    tmp = ior2abs2 * cosin2
+    rparsq = (tmp - etacosin2plusplus) / (tmp + etacosin2plusplus)
+    return (rperpsq + rparsq) * 0.5
+
+
 def fresnel_dielectric(costi, etai, etat):
     """Scalar dielectric Fresnel (fresnel.glsl:20-37), batched.
 

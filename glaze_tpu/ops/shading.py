@@ -39,3 +39,35 @@ def to_world_space(v, frame):
 def to_world_space_raw(v, frame):
     """Shading -> world without normalization (frame^T @ v)."""
     return jnp.einsum("...ji,...j->...i", frame, v)
+
+
+# ---------------------------------------------------------------------------
+# SoA layout: a frame is an (s, t, n) tuple of (x, y, z) tuples of (R,).
+# ---------------------------------------------------------------------------
+
+
+def new_shading_space_v(dpdu, normal):
+    from glaze_tpu.ops import vec
+
+    s = vec.normalize(vec.sub(dpdu, vec.scale(normal, vec.dot(normal, dpdu))))
+    t = vec.cross(normal, s)
+    return (s, t, normal)
+
+
+def to_shading_space_v(w, frame):
+    from glaze_tpu.ops import vec
+
+    s, t, n = frame
+    return vec.normalize((vec.dot(w, s), vec.dot(w, t), vec.dot(w, n)))
+
+
+def to_world_space_v(v, frame):
+    from glaze_tpu.ops import vec
+
+    s, t, n = frame
+    out = (
+        s[0] * v[0] + t[0] * v[1] + n[0] * v[2],
+        s[1] * v[0] + t[1] * v[1] + n[1] * v[2],
+        s[2] * v[0] + t[2] * v[1] + n[2] * v[2],
+    )
+    return vec.normalize(out)

@@ -139,3 +139,67 @@ def sample_rgb(atlas: TextureAtlas, tex_id, uv):
 def sample_r(atlas: TextureAtlas, tex_id, uv):
     """.r channel fetch (roughness/metalness/opacity maps)."""
     return sample_rgba(atlas, tex_id, uv)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# SoA layout: uv as (u, v) tuple of (R,); returns per-channel (R,) arrays.
+# ---------------------------------------------------------------------------
+
+
+def sample_rgba_v(atlas: TextureAtlas, tex_id, u, v):
+    """Bilinear RGBA fetch at mip 0, REPEAT wrap; returns (r, g, b, a)."""
+    tex_id = jnp.asarray(tex_id, jnp.int32)
+    off = atlas.offset[tex_id]
+    w = atlas.width[tex_id]
+    h = atlas.height[tex_id]
+    srgb = atlas.srgb[tex_id] > 0.5
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def wrap(i, n):
+        return jnp.remainder(i.astype(jnp.int32), n)
+
+    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
+    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+
+    def fetch(xi, yi):
+        p = atlas.texels[off + yi * w + xi].astype(jnp.uint32)
+        s = jnp.float32(1.0 / 255.0)
+        r = (p & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        a = ((p >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        r = jnp.where(srgb, srgb_to_linear(r), r)
+        g = jnp.where(srgb, srgb_to_linear(g), g)
+        b = jnp.where(srgb, srgb_to_linear(b), b)
+        return r, g, b, a
+
+    c00 = fetch(x0i, y0i)
+    c10 = fetch(x1i, y0i)
+    c01 = fetch(x0i, y1i)
+    c11 = fetch(x1i, y1i)
+
+    def lerp2(k):
+        top = c00[k] * (1.0 - fx) + c10[k] * fx
+        bot = c01[k] * (1.0 - fx) + c11[k] * fx
+        return top * (1.0 - fy) + bot * fy
+
+    return lerp2(0), lerp2(1), lerp2(2), lerp2(3)
+
+
+def sample_rgb_v(atlas: TextureAtlas, tex_id, u, v):
+    r, g, b, _ = sample_rgba_v(atlas, tex_id, u, v)
+    return r, g, b
+
+
+def sample_r_v(atlas: TextureAtlas, tex_id, u, v):
+    return sample_rgba_v(atlas, tex_id, u, v)[0]

@@ -34,11 +34,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def _pixel_spec(x):
+    """The pixel axis is the LAST axis of every state leaf (SoA)."""
+    if x.ndim == 0:
+        return P()
+    return P(*([None] * (x.ndim - 1)), AXIS)
+
+
 def shard_state(state: integ.PathState, mesh: Mesh) -> integ.PathState:
     """Places the path state sharded over the pixel axis."""
     def put(x):
-        spec = P(AXIS) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, _pixel_spec(x)))
 
     return jax.tree.map(put, state)
 
@@ -79,16 +85,16 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     are embarrassingly parallel so no collectives appear in the hot loop.
     """
     n = mesh.devices.size
-    p = width * height
+    p = integ.pixel_count(width, height)
     if p % n:
         raise ValueError(f"pixel count {p} not divisible by mesh size {n}")
     px, py = integ.pixel_coords(width, height)
-    state_sh = NamedSharding(mesh, P(AXIS))
+    pix_sh = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
-    px = jax.device_put(px, state_sh)
-    py = jax.device_put(py, state_sh)
+    px = jax.device_put(px, pix_sh)
+    py = jax.device_put(py, pix_sh)
     state = jax.tree.map(
-        lambda x: jax.device_put(x, state_sh if x.ndim >= 1 else repl), state
+        lambda x: jax.device_put(x, NamedSharding(mesh, _pixel_spec(x))), state
     )
     scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
     return _render_steps_impl(

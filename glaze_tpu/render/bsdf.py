@@ -1,17 +1,13 @@
-"""BSDF evaluation and sampling, all six families, branchless-batched.
+"""BSDF evaluation and sampling, all six families, branchless-batched SoA.
 
 TPU port of the 12 material callable shaders (``mat_*_value.rcall`` /
 ``mat_*_sample_value.rcall``). Where the reference dispatches per-ray
 callables through the SBT, here every family is evaluated masked over the
-whole ray batch and the result selected by material family id — dense
-vector work that XLA fuses into a handful of VPU loops. (A sorted
-wavefront-compaction path can be added when profiling shows the GGX
-branches dominating; families are numbered per
-``MaterialType.bsdf_family``.)
+whole ray batch and the result selected by material family id.
 
-All directions are in shading space (n = +z). Inputs are batched (R, ...).
-``mat`` is a dict of per-ray gathered material fields (see
-``gather_material``).
+Layout: directions are (x, y, z) tuples of (R,) float32 (rays on VPU
+lanes); spectra are (16, R); uv is a (u, v) tuple. All material fields
+come pre-gathered per ray via :func:`gather_material`.
 """
 
 from __future__ import annotations
@@ -22,6 +18,22 @@ from glaze_tpu.ops import fresnel as fr
 from glaze_tpu.ops import microfacet as mf
 from glaze_tpu.ops import spectra
 from glaze_tpu.ops import texture as tx
+from glaze_tpu.ops import vec
+from glaze_tpu.scene.flatten import (
+    MS_ANISOTROPY,
+    MS_DIFFUSE_B,
+    MS_DIFFUSE_G,
+    MS_DIFFUSE_R,
+    MS_IOR,
+    MS_IS_SPECULAR,
+    MS_METALNESS_MUL,
+    MS_ROUGHNESS_MUL,
+    MT_DIFFUSE,
+    MT_METALNESS,
+    MT_NORMAL,
+    MT_OPACITY,
+    MT_ROUGHNESS,
+)
 
 PI = jnp.float32(3.1415926)
 INV_PI = jnp.float32(0.3183099)
@@ -36,228 +48,216 @@ FAMILY_UBER = 5
 
 
 def gather_material(scene, mat_id):
-    """Per-ray material record (the RTMaterial fetch in each callable)."""
+    """Per-ray material record. Row gathers (the only fast TPU gather
+    form), transposed to the (K, R) compute layout afterwards."""
+    scalars = scene.mat_scalars[mat_id].T  # (8, R)
+    tex = scene.mat_tex[mat_id].T  # (5, R)
     return {
         "bsdf": scene.mat_bsdf[mat_id],
-        "is_specular": scene.mat_is_specular[mat_id],
-        "diffuse_mul": scene.mat_diffuse_mul[mat_id],
-        "metal_ior": scene.mat_metal_ior[mat_id],
-        "metal_fresnel": scene.mat_metal_fresnel[mat_id],
-        "ior": scene.mat_ior[mat_id],
-        "roughness_mul": scene.mat_roughness_mul[mat_id],
-        "metalness_mul": scene.mat_metalness_mul[mat_id],
-        "anisotropy": scene.mat_anisotropy[mat_id],
-        "diffuse_tex": scene.mat_diffuse_tex[mat_id],
-        "roughness_tex": scene.mat_roughness_tex[mat_id],
-        "metalness_tex": scene.mat_metalness_tex[mat_id],
-        "opacity_tex": scene.mat_opacity_tex[mat_id],
-        "normal_tex": scene.mat_normal_tex[mat_id],
+        "scalars": scalars,
+        "tex": tex,
+        "metal_ior": scene.mat_metal_ior[mat_id].T,  # (16, R)
+        "metal_fresnel": scene.mat_metal_fresnel[mat_id].T,
     }
 
 
-def _nan_to_zero(x):
+def _nan0(x):
     return jnp.where(jnp.isnan(x), jnp.float32(0.0), x)
 
 
-def _glsl_refract(i, n, eta):
-    """GLSL refract(): returns 0 on total internal reflection."""
-    ndi = jnp.sum(n * i, axis=-1, keepdims=True)
-    k = 1.0 - eta[..., None] * eta[..., None] * (1.0 - ndi * ndi)
-    r = eta[..., None] * i - (eta[..., None] * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
-    return jnp.where(k < 0.0, jnp.zeros_like(r), r)
-
-
-def _glsl_reflect(i, n):
-    """GLSL reflect(): i - 2 dot(n,i) n."""
-    return i - 2.0 * jnp.sum(n * i, axis=-1, keepdims=True) * n
-
-
-def _cosine_hemisphere(rand2, woz):
+def _cosine_hemisphere(r0, r1, woz):
     """lambert_sample_value's mapping (mat_lambert_sample_value.rcall:20-29)."""
-    t = TWO_PI * rand2[..., 0]
-    r = jnp.sqrt(rand2[..., 1])
+    t = TWO_PI * r0
+    r = jnp.sqrt(r1)
     x = r * jnp.cos(t)
     y = r * jnp.sin(t)
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y)) * jnp.sign(woz)
-    return jnp.stack([x, y, z], axis=-1)
+    return (x, y, z)
 
 
 def _dielectric_etas(mat, woz):
-    """(etai, etat) picked by which side wo is on (glass/frosted/uber)."""
     from_outside = woz >= 0.0
-    etai = jnp.where(from_outside, fr.DEFAULT_IOR, mat["ior"])
-    etat = jnp.where(from_outside, mat["ior"], fr.DEFAULT_IOR)
+    ior = mat["scalars"][MS_IOR]
+    etai = jnp.where(from_outside, fr.DEFAULT_IOR, ior)
+    etat = jnp.where(from_outside, ior, fr.DEFAULT_IOR)
     return etai, etat
 
 
+def _diffuse_texel(scene, mat, uv):
+    """diffuse texture * diffuse_mul -> (r, g, b) each (R,)."""
+    r, g, b = tx.sample_rgb_v(scene.atlas, mat["tex"][MT_DIFFUSE], uv[0], uv[1])
+    s = mat["scalars"]
+    return r * s[MS_DIFFUSE_R], g * s[MS_DIFFUSE_G], b * s[MS_DIFFUSE_B]
+
+
+def _roughness(scene, mat, uv):
+    return (
+        tx.sample_r_v(scene.atlas, mat["tex"][MT_ROUGHNESS], uv[0], uv[1])
+        * mat["scalars"][MS_ROUGHNESS_MUL]
+    )
+
+
+def _alpha(mat, rough):
+    """(alpha_x, alpha_y) tuple (microfacets.glsl to_anisotropic)."""
+    aniso = mat["scalars"][MS_ANISOTROPY]
+    return rough * (1.0 + aniso), rough * (1.0 - aniso)
+
+
 def _oren_nayar_term(wo, wi, roughness):
-    """Oren-Nayar diffuse term shared by uber value/sample
-    (mat_uber_value.rcall:57-76)."""
+    """Oren-Nayar diffuse term (mat_uber_value.rcall:57-76)."""
     sigma = roughness * 0.5
     sigma2 = sigma * sigma
     a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
     b = 0.45 * sigma2 / (sigma2 + 0.09)
-    woz, wiz = wo[..., 2], wi[..., 2]
+    woz, wiz = wo[2], wi[2]
     sinto = jnp.sqrt(jnp.maximum(0.0, 1.0 - woz * woz))
     sinti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wiz * wiz))
-    sinpi = wi[..., 1] / sinti
-    cospi = wi[..., 0] / sinti
-    sinpo = wo[..., 1] / sinto
-    cospo = wo[..., 0] / sinto
-    maxcos = jnp.maximum(0.0, cospi * cospo + sinpi * sinpo)
-    maxcos = _nan_to_zero(maxcos)  # sinti/sinto == 0
+    sinpi = wi[1] / sinti
+    cospi = wi[0] / sinti
+    sinpo = wo[1] / sinto
+    cospo = wo[0] / sinto
+    maxcos = _nan0(jnp.maximum(0.0, cospi * cospo + sinpi * sinpo))
     wi_ge_wo = jnp.abs(wiz) >= jnp.abs(woz)
     sinalpha = jnp.where(wi_ge_wo, sinto, sinti)
-    tanbeta = jnp.where(wi_ge_wo, sinti / jnp.abs(wiz), sinto / jnp.abs(woz))
-    tanbeta = _nan_to_zero(tanbeta)
+    tanbeta = _nan0(
+        jnp.where(wi_ge_wo, sinti / jnp.abs(wiz), sinto / jnp.abs(woz))
+    )
     return INV_PI * (a + b * maxcos * sinalpha * tanbeta)
 
 
-def _ggx_reflect_common(mat, wo, wi, wh, alpha):
-    """Shared d/g/pdf/cost terms of the GGX reflection lobes."""
-    costwo = jnp.abs(wo[..., 2])
-    costwi = jnp.abs(wi[..., 2])
-    dotwowh = jnp.sum(wo * wh, axis=-1)
-    d = mf.ggx_d(wh, alpha)
-    g = mf.ggx_g(wo, wi, alpha)
-    pdf = mf.ggx_pdf(d, alpha, wo, wh) / (4.0 * dotwowh)
+def _ggx_reflect_terms(wo, wi, wh, ax, ay):
+    costwo = jnp.abs(wo[2])
+    costwi = jnp.abs(wi[2])
+    dotwowh = vec.dot(wo, wh)
+    d = mf.ggx_d_v(wh, ax, ay)
+    g = mf.ggx_g_v(wo, wi, ax, ay)
+    pdf = mf.ggx_pdf_v(d, ax, ay, wo, wh) / (4.0 * dotwowh)
     term = d * g / (4.0 * costwo * costwi)
-    return d, g, term, pdf
+    return term, pdf
 
 
 # ---------------------------------------------------------------------------
-# value (NEE): given wo and wi, return (spectrum, pdf)
+# value (NEE): given wo and wi in shading space, return ((16,R), pdf (R,))
 # ---------------------------------------------------------------------------
 
 
 def _lambert_value(scene, mat, wo, wi, uv, rand):
-    same_hemi = (wo[..., 2] * wi[..., 2] >= 0.0).astype(jnp.float32)
-    texel = tx.sample_rgb(scene.atlas, mat["diffuse_tex"], uv)
-    value = spectra.from_surface_color(texel * mat["diffuse_mul"] * INV_PI)
-    pdf = same_hemi * jnp.abs(wi[..., 2]) * INV_PI
+    same_hemi = (wo[2] * wi[2] >= 0.0).astype(jnp.float32)
+    r, g, b = _diffuse_texel(scene, mat, uv)
+    value = spectra.from_surface_color_t(r * INV_PI, g * INV_PI, b * INV_PI)
+    pdf = same_hemi * jnp.abs(wi[2]) * INV_PI
     return value, pdf
 
 
 def _metal_value(scene, mat, wo, wi, uv, rand):
-    wh = wo + wi
-    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-20)
-    same = wo[..., 2] * wi[..., 2] > 0.0
-    f = fr.fresnel_conductor(
-        jnp.sum(wi * wh, axis=-1), mat["metal_ior"], mat["metal_fresnel"]
-    )
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    alpha = mf.to_anisotropic(rough, mat["anisotropy"])
-    _, _, term, pdf = _ggx_reflect_common(mat, wo, wi, wh, alpha)
-    value = f * _nan_to_zero(term)[..., None]
-    pdf = _nan_to_zero(pdf)
-    zero = jnp.zeros_like(pdf)
-    return (
-        jnp.where(same[..., None], value, jnp.zeros_like(value)),
-        jnp.where(same, pdf, zero),
-    )
+    wh = vec.normalize(vec.add(wo, wi))
+    same = wo[2] * wi[2] > 0.0
+    f = fr.fresnel_conductor_t(vec.dot(wi, wh), mat["metal_ior"],
+                               mat["metal_fresnel"])
+    rough = _roughness(scene, mat, uv)
+    ax, ay = _alpha(mat, rough)
+    term, pdf = _ggx_reflect_terms(wo, wi, wh, ax, ay)
+    pdf = jnp.where(same, _nan0(pdf), 0.0)
+    value = f * jnp.where(same, _nan0(term), 0.0)
+    return value, pdf
 
 
 def _frosted_value(scene, mat, wo, wi, uv, rand):
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    alpha = mf.to_anisotropic(rough, mat["anisotropy"])
-    woz = wo[..., 2]
-    same = woz * wi[..., 2] > 0.0
+    rough = _roughness(scene, mat, uv)
+    ax, ay = _alpha(mat, rough)
+    woz = wo[2]
+    same = woz * wi[2] > 0.0
     etai, etat = _dielectric_etas(mat, woz)
     eta = etai / etat
+    costwo = jnp.abs(woz)
+    costwi = jnp.abs(wi[2])
 
     # reflected lobe (mat_frosted_value.rcall:36-50)
-    wh_r = wo + wi
-    wh_r = wh_r / jnp.maximum(jnp.linalg.norm(wh_r, axis=-1, keepdims=True), 1e-20)
-    dotwowh_r = jnp.sum(wo * wh_r, axis=-1)
-    dotwiwh_r = jnp.sum(wi * wh_r, axis=-1)
-    costi_r = jnp.sum(wi * jnp.sign(wh_r[..., 2:3]) * wh_r, axis=-1)
+    wh_r = vec.normalize(vec.add(wo, wi))
+    dotwowh_r = vec.dot(wo, wh_r)
+    dotwiwh_r = vec.dot(wi, wh_r)
+    costi_r = vec.dot(wi, vec.scale(wh_r, jnp.sign(wh_r[2])))
     f_r = fr.fresnel_dielectric(costi_r, etai, etat)
-    d_r = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d(wh_r, alpha)
+    d_r = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d_v(wh_r, ax, ay)
     g_r = (
         (dotwowh_r >= 0.0).astype(jnp.float32)
         * (dotwiwh_r >= 0.0).astype(jnp.float32)
-        * mf.ggx_g(wo, wi, alpha)
+        * mf.ggx_g_v(wo, wi, ax, ay)
     )
-    costwo = jnp.abs(woz)
-    costwi = jnp.abs(wi[..., 2])
-    pdf_r = _nan_to_zero(mf.ggx_pdf(d_r, alpha, wo, wh_r) / (4.0 * dotwowh_r))
+    pdf_r = _nan0(mf.ggx_pdf_v(d_r, ax, ay, wo, wh_r) / (4.0 * dotwowh_r))
     term_r = d_r * g_r * f_r / (4.0 * costwo * costwi)
 
-    # transmitted lobe (mat_frosted_value.rcall:51-69)
-    wh_t = wo + eta[..., None] * wi
-    wh_t = wh_t / jnp.maximum(jnp.linalg.norm(wh_t, axis=-1, keepdims=True), 1e-20)
-    wh_t = wh_t * jnp.sign(woz)[..., None]
-    dotwowh_t = jnp.sum(wo * wh_t, axis=-1)
-    dotwiwh_t = jnp.sum(wi * wh_t, axis=-1)
+    # transmitted lobe (:51-69)
+    wh_t = vec.normalize(vec.add(wo, vec.scale(wi, eta)))
+    wh_t = vec.scale(wh_t, jnp.sign(woz))
+    dotwowh_t = vec.dot(wo, wh_t)
+    dotwiwh_t = vec.dot(wi, wh_t)
     f_t = fr.fresnel_dielectric(dotwowh_t, etai, etat)
     denom = dotwowh_t + eta * dotwiwh_t
-    d_t = mf.ggx_d(wh_t, alpha)
-    g_t = mf.ggx_g(wo, wi, alpha)
-    pdf_t = _nan_to_zero(
-        mf.ggx_pdf(d_t, alpha, wo, wh_t)
-        * jnp.abs(eta * eta * dotwiwh_t)
-        / (denom * denom)
+    d_t = mf.ggx_d_v(wh_t, ax, ay)
+    g_t = mf.ggx_g_v(wo, wi, ax, ay)
+    pdf_t = _nan0(
+        mf.ggx_pdf_v(d_t, ax, ay, wo, wh_t)
+        * jnp.abs(eta * eta * dotwiwh_t) / (denom * denom)
     )
     term_t = (
-        d_t
-        * g_t
-        * (1.0 - f_t)
-        * jnp.abs(dotwiwh_t)
-        * jnp.abs(dotwowh_t)
+        d_t * g_t * (1.0 - f_t) * jnp.abs(dotwiwh_t) * jnp.abs(dotwowh_t)
         / (denom * denom * costwo * costwi)
     )
 
     term = jnp.where(same, term_r, term_t)
     pdf = jnp.where(same, pdf_r, pdf_t)
-    return spectra.uniform(_nan_to_zero(term)), _nan_to_zero(pdf)
+    return spectra.uniform_t(_nan0(term)), _nan0(pdf)
 
 
 def _uber_value(scene, mat, wo, wi, uv, rand):
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    same_hemi = (wo[..., 2] * wi[..., 2] >= 0.0).astype(jnp.float32)
+    rough = _roughness(scene, mat, uv)
+    same_hemi = (wo[2] * wi[2] >= 0.0).astype(jnp.float32)
     spec_branch = rand < 0.5
 
     # specular half (mat_uber_value.rcall:28-54); keeps the reference's
     # roughness*roughness_mul^2 quirk in to_anisotropic's argument
-    alpha = mf.to_anisotropic(rough * mat["roughness_mul"], mat["anisotropy"])
-    wh = wo + wi
-    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-20)
+    ax, ay = _alpha(mat, rough * mat["scalars"][MS_ROUGHNESS_MUL])
+    wh = vec.normalize(vec.add(wo, wi))
     metalness = (
-        tx.sample_r(scene.atlas, mat["metalness_tex"], uv) * mat["metalness_mul"]
+        tx.sample_r_v(scene.atlas, mat["tex"][MT_METALNESS], uv[0], uv[1])
+        * mat["scalars"][MS_METALNESS_MUL]
     )
-    woz = wo[..., 2]
+    woz = wo[2]
     etai, etat = _dielectric_etas(mat, woz)
-    dotwowh = jnp.sum(wo * wh, axis=-1)
-    dotwiwh = jnp.sum(wi * wh, axis=-1)
-    costi = jnp.sum(wi * jnp.sign(wh[..., 2:3]) * wh, axis=-1)
-    fd = spectra.uniform(fr.fresnel_dielectric(costi, etai, etat))
-    fc = fr.fresnel_conductor(costi, mat["metal_ior"], mat["metal_fresnel"])
-    f = fd + (fc - fd) * metalness[..., None]
-    d = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d(wh, alpha)
+    dotwowh = vec.dot(wo, wh)
+    dotwiwh = vec.dot(wi, wh)
+    costi = vec.dot(wi, vec.scale(wh, jnp.sign(wh[2])))
+    fd = spectra.uniform_t(fr.fresnel_dielectric(costi, etai, etat))
+    fc = fr.fresnel_conductor_t(costi, mat["metal_ior"], mat["metal_fresnel"])
+    f = fd + (fc - fd) * metalness
+    d = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d_v(wh, ax, ay)
     g = (
         (dotwowh >= 0.0).astype(jnp.float32)
         * (dotwiwh >= 0.0).astype(jnp.float32)
-        * mf.ggx_g(wo, wi, alpha)
+        * mf.ggx_g_v(wo, wi, ax, ay)
     )
-    pdf_spec = _nan_to_zero(
-        same_hemi * 0.5 * mf.ggx_pdf(d, alpha, wo, wh) / (4.0 * dotwowh)
+    pdf_spec = _nan0(
+        same_hemi * 0.5 * mf.ggx_pdf_v(d, ax, ay, wo, wh) / (4.0 * dotwowh)
     )
-    term_spec = d * g / (4.0 * jnp.abs(woz) * jnp.abs(wi[..., 2]))
-    value_spec = f * _nan_to_zero(term_spec)[..., None]
+    term_spec = _nan0(d * g / (4.0 * jnp.abs(woz) * jnp.abs(wi[2])))
+    value_spec = f * term_spec
 
-    # diffuse half: Oren-Nayar (mat_uber_value.rcall:55-77)
-    texel = tx.sample_rgb(scene.atlas, mat["diffuse_tex"], uv)
+    # diffuse half: Oren-Nayar (:55-77)
+    r, g2, b = _diffuse_texel(scene, mat, uv)
     term_on = _oren_nayar_term(wo, wi, rough)
-    value_diff = spectra.from_surface_color(texel * mat["diffuse_mul"] * term_on[..., None])
-    pdf_diff = _nan_to_zero(same_hemi * 0.5 * jnp.abs(wi[..., 2]) * INV_PI)
+    value_diff = spectra.from_surface_color_t(
+        r * term_on, g2 * term_on, b * term_on
+    )
+    pdf_diff = _nan0(same_hemi * 0.5 * jnp.abs(wi[2]) * INV_PI)
 
-    value = jnp.where(spec_branch[..., None], value_spec, value_diff)
+    value = jnp.where(spec_branch, value_spec, value_diff)
     pdf = jnp.where(spec_branch, pdf_spec, pdf_diff)
     return value, pdf
 
 
 def bsdf_value(scene, mat, wo, wi, uv, rand):
-    """NEE-side evaluation: (value (R,16), pdf (R,)).
+    """NEE-side evaluation: (value (16, R), pdf (R,)).
 
     MIRROR and GLASS are delta distributions: pdf 0
     (mat_mirror_value.rcall, mat_glass_value.rcall).
@@ -268,218 +268,203 @@ def bsdf_value(scene, mat, wo, wi, uv, rand):
     ube_v, ube_p = _uber_value(scene, mat, wo, wi, uv, rand)
 
     fam = mat["bsdf"]
-    zero_v = jnp.zeros_like(lam_v)
-    zero_p = jnp.zeros_like(lam_p)
-
-    value = jnp.select(
-        [
-            (fam == FAMILY_LAMBERT)[..., None],
-            (fam == FAMILY_METAL)[..., None],
-            (fam == FAMILY_FROSTED)[..., None],
-            (fam == FAMILY_UBER)[..., None],
-        ],
-        [lam_v, met_v, fro_v, ube_v],
-        zero_v,
+    value = jnp.where(
+        fam == FAMILY_LAMBERT, lam_v,
+        jnp.where(
+            fam == FAMILY_METAL, met_v,
+            jnp.where(
+                fam == FAMILY_FROSTED, fro_v,
+                jnp.where(fam == FAMILY_UBER, ube_v, 0.0),
+            ),
+        ),
     )
-    pdf = jnp.select(
-        [
-            fam == FAMILY_LAMBERT,
-            fam == FAMILY_METAL,
-            fam == FAMILY_FROSTED,
-            fam == FAMILY_UBER,
-        ],
-        [lam_p, met_p, fro_p, ube_p],
-        zero_p,
+    pdf = jnp.where(
+        fam == FAMILY_LAMBERT, lam_p,
+        jnp.where(
+            fam == FAMILY_METAL, met_p,
+            jnp.where(
+                fam == FAMILY_FROSTED, fro_p,
+                jnp.where(fam == FAMILY_UBER, ube_p, 0.0),
+            ),
+        ),
     )
     return value, pdf
 
 
 # ---------------------------------------------------------------------------
-# sample (bounce): given wo, return (wi, spectrum, pdf)
+# sample (bounce): given wo, return (wi tuple, value (16, R), pdf (R,))
 # ---------------------------------------------------------------------------
 
 
-def _lambert_sample(scene, mat, wo, uv, rand3):
-    wi = _cosine_hemisphere(rand3[..., :2], wo[..., 2])
-    pdf = jnp.abs(wi[..., 2]) * INV_PI
-    texel = tx.sample_rgb(scene.atlas, mat["diffuse_tex"], uv)
-    value = spectra.from_surface_color(texel * mat["diffuse_mul"] * INV_PI)
+def _lambert_sample(scene, mat, wo, uv, r3):
+    wi = _cosine_hemisphere(r3[0], r3[1], wo[2])
+    pdf = jnp.abs(wi[2]) * INV_PI
+    r, g, b = _diffuse_texel(scene, mat, uv)
+    value = spectra.from_surface_color_t(r * INV_PI, g * INV_PI, b * INV_PI)
     return wi, value, pdf
 
 
-def _mirror_sample(scene, mat, wo, uv, rand3):
-    wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-    f = fr.fresnel_conductor(wo[..., 2], mat["metal_ior"], mat["metal_fresnel"])
-    value = f / jnp.maximum(jnp.abs(wo[..., 2]), 1e-20)[..., None]
-    pdf = jnp.ones_like(wo[..., 2])
+def _mirror_sample(scene, mat, wo, uv, r3):
+    wi = (-wo[0], -wo[1], wo[2])
+    f = fr.fresnel_conductor_t(wo[2], mat["metal_ior"], mat["metal_fresnel"])
+    value = f / jnp.maximum(jnp.abs(wo[2]), 1e-20)
+    pdf = jnp.ones_like(wo[2])
     return wi, value, pdf
 
 
-def _glass_sample(scene, mat, wo, uv, rand3):
-    woz = wo[..., 2]
+def _glass_sample(scene, mat, wo, uv, r3):
+    woz = wo[2]
     from_outside = woz >= 0.0
-    etai = jnp.where(from_outside, fr.DEFAULT_IOR, mat["ior"])
-    etat = jnp.where(from_outside, mat["ior"], fr.DEFAULT_IOR)
-    costi = jnp.where(from_outside, woz, jnp.abs(woz))
-    # NOTE mix(abs, signed, from_outside): costi = |woz| when inside
+    ior = mat["scalars"][MS_IOR]
+    etai = jnp.where(from_outside, fr.DEFAULT_IOR, ior)
+    etat = jnp.where(from_outside, ior, fr.DEFAULT_IOR)
     costi = jnp.where(from_outside, woz, jnp.abs(woz))
     f = fr.fresnel_dielectric(costi, etai, etat)
 
-    wi_refl = jnp.stack([-wo[..., 0], -wo[..., 1], woz], axis=-1)
-    eval_refl = f / jnp.maximum(jnp.abs(wi_refl[..., 2]), 1e-20)
+    wi_refl = (-wo[0], -wo[1], woz)
+    eval_refl = f / jnp.maximum(jnp.abs(woz), 1e-20)
 
-    n = jnp.concatenate(
-        [jnp.zeros_like(wo[..., :2]), jnp.sign(woz)[..., None]], axis=-1
-    )
-    wi_refr = _glsl_refract(wo, n, etai / etat)
+    zeros = jnp.zeros_like(woz)
+    n = (zeros, zeros, jnp.sign(woz))
+    wi_refr = vec.refract(wo, n, etai / etat)
     eval_refr = (
-        (1.0 - f)
-        * (etai * etai)
-        / jnp.maximum(etat * etat * jnp.abs(wi_refr[..., 2]), 1e-20)
+        (1.0 - f) * (etai * etai)
+        / jnp.maximum(etat * etat * jnp.abs(wi_refr[2]), 1e-20)
     )
 
-    reflect = rand3[..., 2] < f
-    wi = jnp.where(reflect[..., None], wi_refl, wi_refr)
-    value = spectra.uniform(jnp.where(reflect, eval_refl, eval_refr))
+    reflect = r3[2] < f
+    wi = vec.where(reflect, wi_refl, wi_refr)
+    value = spectra.uniform_t(jnp.where(reflect, eval_refl, eval_refr))
     pdf = jnp.where(reflect, f, 1.0 - f)
     return wi, value, pdf
 
 
-def _metal_sample(scene, mat, wo, uv, rand3):
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    alpha = mf.to_anisotropic(rough, mat["anisotropy"])
-    wh = mf.ggx_sample_wh(wo, rand3[..., :2], alpha)
-    wi = -_glsl_reflect(wo, wh)
-    wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-20)
-    same = wo[..., 2] * wi[..., 2] > 0.0
-    f = fr.fresnel_conductor(
-        jnp.sum(wi * wh, axis=-1), mat["metal_ior"], mat["metal_fresnel"]
-    )
-    _, _, term, pdf = _ggx_reflect_common(mat, wo, wi, wh, alpha)
-    value = jnp.where(same[..., None], f * _nan_to_zero(term)[..., None], 0.0)
-    pdf = jnp.where(same, _nan_to_zero(pdf), 0.0)
+def _metal_sample(scene, mat, wo, uv, r3):
+    rough = _roughness(scene, mat, uv)
+    ax, ay = _alpha(mat, rough)
+    wh = mf.ggx_sample_wh_v(wo, r3[0], r3[1], ax, ay)
+    wi = vec.normalize(vec.neg(vec.reflect(wo, wh)))
+    same = wo[2] * wi[2] > 0.0
+    f = fr.fresnel_conductor_t(vec.dot(wi, wh), mat["metal_ior"],
+                               mat["metal_fresnel"])
+    term, pdf = _ggx_reflect_terms(wo, wi, wh, ax, ay)
+    value = f * jnp.where(same, _nan0(term), 0.0)
+    pdf = jnp.where(same, _nan0(pdf), 0.0)
     return wi, value, pdf
 
 
-def _frosted_sample(scene, mat, wo, uv, rand3):
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    alpha = mf.to_anisotropic(rough, mat["anisotropy"])
-    wh = mf.ggx_sample_wh(wo, rand3[..., :2], alpha)
-    woz = wo[..., 2]
+def _frosted_sample(scene, mat, wo, uv, r3):
+    rough = _roughness(scene, mat, uv)
+    ax, ay = _alpha(mat, rough)
+    wh = mf.ggx_sample_wh_v(wo, r3[0], r3[1], ax, ay)
+    woz = wo[2]
     etai, etat = _dielectric_etas(mat, woz)
     eta = etai / etat
     costwo = jnp.abs(woz)
 
     # reflect branch (mat_frosted_sample_value.rcall:31-50)
-    wi_r = -_glsl_reflect(wo, wh)
-    wi_r = wi_r / jnp.maximum(jnp.linalg.norm(wi_r, axis=-1, keepdims=True), 1e-20)
-    dotwowh_r = jnp.sum(wo * wh, axis=-1)
-    dotwiwh_r = jnp.sum(wi_r * wh, axis=-1)
-    costi_r = jnp.sum(wi_r * jnp.sign(wh[..., 2:3]) * wh, axis=-1)
+    wi_r = vec.normalize(vec.neg(vec.reflect(wo, wh)))
+    dotwowh_r = vec.dot(wo, wh)
+    dotwiwh_r = vec.dot(wi_r, wh)
+    costi_r = vec.dot(wi_r, vec.scale(wh, jnp.sign(wh[2])))
     f_r = fr.fresnel_dielectric(costi_r, etai, etat)
-    d_r = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d(wh, alpha)
+    d_r = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d_v(wh, ax, ay)
     g_r = (
         (dotwowh_r >= 0.0).astype(jnp.float32)
         * (dotwiwh_r >= 0.0).astype(jnp.float32)
-        * mf.ggx_g(wo, wi_r, alpha)
+        * mf.ggx_g_v(wo, wi_r, ax, ay)
     )
-    pdf_r = _nan_to_zero(0.5 * mf.ggx_pdf(d_r, alpha, wo, wh) / (4.0 * dotwowh_r))
-    term_r = d_r * g_r * f_r / (4.0 * costwo * jnp.abs(wi_r[..., 2]))
+    pdf_r = _nan0(0.5 * mf.ggx_pdf_v(d_r, ax, ay, wo, wh) / (4.0 * dotwowh_r))
+    term_r = d_r * g_r * f_r / (4.0 * costwo * jnp.abs(wi_r[2]))
 
     # refract branch (:51-70)
-    wi_t = _glsl_refract(wo, wh, eta)
-    wi_t_norm = jnp.maximum(jnp.linalg.norm(wi_t, axis=-1, keepdims=True), 1e-20)
-    wi_t = wi_t / wi_t_norm
-    dotwowh_t = jnp.sum(wo * wh, axis=-1)
-    dotwiwh_t = jnp.sum(wi_t * wh, axis=-1)
+    wi_t = vec.normalize(vec.refract(wo, wh, eta))
+    dotwowh_t = vec.dot(wo, wh)
+    dotwiwh_t = vec.dot(wi_t, wh)
     f_t = fr.fresnel_dielectric(dotwowh_t, etai, etat)
     denom = dotwowh_t + eta * dotwiwh_t
-    d_t = mf.ggx_d(wh, alpha)
-    g_t = mf.ggx_g(wo, wi_t, alpha)
-    pdf_t = _nan_to_zero(
-        0.5
-        * mf.ggx_pdf(d_t, alpha, wo, wh)
-        * jnp.abs(eta * eta * dotwiwh_t)
-        / (denom * denom)
+    d_t = mf.ggx_d_v(wh, ax, ay)
+    g_t = mf.ggx_g_v(wo, wi_t, ax, ay)
+    pdf_t = _nan0(
+        0.5 * mf.ggx_pdf_v(d_t, ax, ay, wo, wh)
+        * jnp.abs(eta * eta * dotwiwh_t) / (denom * denom)
     )
     pdf_t = jnp.where(dotwowh_t * dotwiwh_t < 0.0, pdf_t, 0.0)
     term_t = (
-        d_t
-        * g_t
-        * (1.0 - f_t)
-        * jnp.abs(dotwiwh_t)
-        * jnp.abs(dotwowh_t)
-        / (denom * denom * costwo * jnp.abs(wi_t[..., 2]))
+        d_t * g_t * (1.0 - f_t) * jnp.abs(dotwiwh_t) * jnp.abs(dotwowh_t)
+        / (denom * denom * costwo * jnp.abs(wi_t[2]))
     )
 
-    refl = rand3[..., 2] < 0.5
-    wi = jnp.where(refl[..., None], wi_r, wi_t)
-    value = spectra.uniform(_nan_to_zero(jnp.where(refl, term_r, term_t)))
+    refl = r3[2] < 0.5
+    wi = vec.where(refl, wi_r, wi_t)
+    value = spectra.uniform_t(_nan0(jnp.where(refl, term_r, term_t)))
     pdf = jnp.where(refl, pdf_r, pdf_t)
     return wi, value, pdf
 
 
-def _uber_sample(scene, mat, wo, uv, rand3):
-    rough = tx.sample_r(scene.atlas, mat["roughness_tex"], uv) * mat["roughness_mul"]
-    woz = wo[..., 2]
+def _uber_sample(scene, mat, wo, uv, r3):
+    rough = _roughness(scene, mat, uv)
+    woz = wo[2]
 
     # specular branch (mat_uber_sample_value.rcall:28-56)
-    alpha = mf.to_anisotropic(rough * mat["roughness_mul"], mat["anisotropy"])
-    wh = mf.ggx_sample_wh(wo, rand3[..., :2], alpha)
-    wi_s = -_glsl_reflect(wo, wh)
-    wi_s = wi_s / jnp.maximum(jnp.linalg.norm(wi_s, axis=-1, keepdims=True), 1e-20)
+    ax, ay = _alpha(mat, rough * mat["scalars"][MS_ROUGHNESS_MUL])
+    wh = mf.ggx_sample_wh_v(wo, r3[0], r3[1], ax, ay)
+    wi_s = vec.normalize(vec.neg(vec.reflect(wo, wh)))
     metalness = (
-        tx.sample_r(scene.atlas, mat["metalness_tex"], uv) * mat["metalness_mul"]
+        tx.sample_r_v(scene.atlas, mat["tex"][MT_METALNESS], uv[0], uv[1])
+        * mat["scalars"][MS_METALNESS_MUL]
     )
     etai, etat = _dielectric_etas(mat, woz)
-    dotwowh = jnp.sum(wo * wh, axis=-1)
-    dotwiwh = jnp.sum(wi_s * wh, axis=-1)
-    costi = jnp.sum(wi_s * jnp.sign(wh[..., 2:3]) * wh, axis=-1)
-    fd = spectra.uniform(fr.fresnel_dielectric(costi, etai, etat))
-    fc = fr.fresnel_conductor(costi, mat["metal_ior"], mat["metal_fresnel"])
-    f = fd + (fc - fd) * metalness[..., None]
-    d = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d(wh, alpha)
+    dotwowh = vec.dot(wo, wh)
+    dotwiwh = vec.dot(wi_s, wh)
+    costi = vec.dot(wi_s, vec.scale(wh, jnp.sign(wh[2])))
+    fd = spectra.uniform_t(fr.fresnel_dielectric(costi, etai, etat))
+    fc = fr.fresnel_conductor_t(costi, mat["metal_ior"], mat["metal_fresnel"])
+    f = fd + (fc - fd) * metalness
+    d = (woz >= 0.0).astype(jnp.float32) * mf.ggx_d_v(wh, ax, ay)
     g = (
         (dotwowh >= 0.0).astype(jnp.float32)
         * (dotwiwh >= 0.0).astype(jnp.float32)
-        * mf.ggx_g(wo, wi_s, alpha)
+        * mf.ggx_g_v(wo, wi_s, ax, ay)
     )
-    pdf_s = _nan_to_zero(0.5 * mf.ggx_pdf(d, alpha, wo, wh) / (4.0 * dotwowh))
-    term_s = d * g / (4.0 * jnp.abs(woz) * jnp.abs(wi_s[..., 2]))
-    value_s = f * _nan_to_zero(term_s)[..., None]
+    pdf_s = _nan0(0.5 * mf.ggx_pdf_v(d, ax, ay, wo, wh) / (4.0 * dotwowh))
+    term_s = _nan0(d * g / (4.0 * jnp.abs(woz) * jnp.abs(wi_s[2])))
+    value_s = f * term_s
 
     # diffuse branch (:57-83)
-    wi_d = _cosine_hemisphere(rand3[..., :2], woz)
-    texel = tx.sample_rgb(scene.atlas, mat["diffuse_tex"], uv)
+    wi_d = _cosine_hemisphere(r3[0], r3[1], woz)
+    r, g2, b = _diffuse_texel(scene, mat, uv)
     term_on = _oren_nayar_term(wo, wi_d, rough)
-    value_d = spectra.from_surface_color(texel * mat["diffuse_mul"] * term_on[..., None])
-    pdf_d = 0.5 * jnp.abs(wi_d[..., 2]) * INV_PI
+    value_d = spectra.from_surface_color_t(r * term_on, g2 * term_on,
+                                           b * term_on)
+    pdf_d = 0.5 * jnp.abs(wi_d[2]) * INV_PI
 
-    spec = rand3[..., 2] < 0.5
-    wi = jnp.where(spec[..., None], wi_s, wi_d)
-    value = jnp.where(spec[..., None], value_s, value_d)
+    spec = r3[2] < 0.5
+    wi = vec.where(spec, wi_s, wi_d)
+    value = jnp.where(spec, value_s, value_d)
     pdf = jnp.where(spec, pdf_s, pdf_d)
     return wi, value, pdf
 
 
-def bsdf_sample(scene, mat, wo, uv, rand3):
-    """Bounce sampling: (wi (R,3), value (R,16), pdf (R,))."""
+def bsdf_sample(scene, mat, wo, uv, r3):
+    """Bounce sampling: (wi tuple, value (16, R), pdf (R,)).
+
+    ``r3``: tuple of three (R,) uniforms.
+    """
     results = [
-        _lambert_sample(scene, mat, wo, uv, rand3),
-        _mirror_sample(scene, mat, wo, uv, rand3),
-        _glass_sample(scene, mat, wo, uv, rand3),
-        _metal_sample(scene, mat, wo, uv, rand3),
-        _frosted_sample(scene, mat, wo, uv, rand3),
-        _uber_sample(scene, mat, wo, uv, rand3),
+        _lambert_sample(scene, mat, wo, uv, r3),
+        _mirror_sample(scene, mat, wo, uv, r3),
+        _glass_sample(scene, mat, wo, uv, r3),
+        _metal_sample(scene, mat, wo, uv, r3),
+        _frosted_sample(scene, mat, wo, uv, r3),
+        _uber_sample(scene, mat, wo, uv, r3),
     ]
     fam = mat["bsdf"]
-    wi = results[0][0]
-    value = results[0][1]
-    pdf = results[0][2]
+    wi, value, pdf = results[0]
     for family in range(1, 6):
         w, v, p = results[family]
         sel = fam == family
-        wi = jnp.where(sel[..., None], w, wi)
-        value = jnp.where(sel[..., None], v, value)
+        wi = vec.where(sel, w, wi)
+        value = jnp.where(sel, v, value)
         pdf = jnp.where(sel, p, pdf)
     return wi, value, pdf

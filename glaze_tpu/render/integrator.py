@@ -1,4 +1,4 @@
-"""The wavefront path-tracing integrator.
+"""The wavefront path-tracing integrator (SoA layout).
 
 TPU port of ``path_trace.rgen``: one ``launch_step`` advances EVERY pixel's
 light path by exactly one bounce, carrying the PTLastVertex-equivalent
@@ -13,12 +13,16 @@ every pixel's sample count and adds that launch's NEE/miss radiance
 (update_count/update_result, path_trace.rgen:119-133); the displayed image
 is ``rgb(sum) * exposure / count``.
 
+Data layout is TPU-native structure-of-arrays: VPU lanes run along the
+pixel axis. Positions/directions are (x, y, z) tuples of (R,) arrays,
+spectra are (16, R). (An (R, 3) layout measured ~40x slower on
+elementwise math: 125 of 128 lanes idle.)
+
 The RNG is the reference's PCG hash chain, seeded per
-(frame seed, pixel) — ``srand(vec3(seed, gl_LaunchID.xy))`` — so every
-launch decorrelates. Draw ORDER differs from the GLSL in one way: the
-reference skips some draws in branches not taken (e.g. the BSDF-value draw
-when the light pdf is zero); we draw unconditionally to keep the lane-
-parallel stream aligned. This changes sample positions, not distributions.
+(frame seed, pixel) — ``srand(vec3(seed, gl_LaunchID.xy))``. Draw ORDER
+differs from the GLSL in one way: the reference skips some draws in
+branches not taken; we draw unconditionally to keep the lane-parallel
+stream aligned. This changes sample positions, not distributions.
 """
 
 from __future__ import annotations
@@ -35,8 +39,10 @@ from glaze_tpu.ops import rng as rng_mod
 from glaze_tpu.ops import shading
 from glaze_tpu.ops import spectra
 from glaze_tpu.ops import texture as tx
+from glaze_tpu.ops import vec
 from glaze_tpu.render import bsdf as bsdf_mod
 from glaze_tpu.render import lights as lights_mod
+from glaze_tpu.scene import flatten as fl
 
 PT_STEPS = 6  # raytrace_structures.rs:87
 RUSSIAN_ROULETTE = PT_STEPS // 2  # path_trace.rgen:11
@@ -45,27 +51,29 @@ INV_PI = jnp.float32(0.3183099)
 
 
 class PathState(NamedTuple):
-    """Per-pixel path state + accumulation image (flattened to (P, ...))."""
+    """Per-pixel path state + accumulation image. SoA: every leaf's LAST
+    axis is the pixel axis (so meshes shard it uniformly)."""
 
-    importance: jnp.ndarray  # (P, 16)
-    origin: jnp.ndarray  # (P, 3)
-    direction: jnp.ndarray  # (P, 3)
+    importance: jnp.ndarray  # (16, P)
+    origin: tuple  # 3 x (P,)
+    direction: tuple  # 3 x (P,)
     bounce: jnp.ndarray  # (P,) float32 (hit.w in the reference)
     last_specular: jnp.ndarray  # (P,) float32 (wi.w in the reference)
-    accum: jnp.ndarray  # (P, 3) radiance sum (RGB)
+    accum: tuple  # 3 x (P,) radiance sum (RGB)
     count: jnp.ndarray  # (P,) sample count
 
 
 def init_state(width: int, height: int) -> PathState:
-    p = width * height
+    p = pixel_count(width, height)
+    z = lambda: jnp.zeros((p,), jnp.float32)
     return PathState(
-        importance=jnp.zeros((p, 16), jnp.float32),
-        origin=jnp.zeros((p, 3), jnp.float32),
-        direction=jnp.zeros((p, 3), jnp.float32),
-        bounce=jnp.zeros((p,), jnp.float32),
-        last_specular=jnp.zeros((p,), jnp.float32),
-        accum=jnp.zeros((p, 3), jnp.float32),
-        count=jnp.zeros((p,), jnp.float32),
+        importance=jnp.zeros((16, p), jnp.float32),
+        origin=(z(), z(), z()),
+        direction=(z(), z(), z()),
+        bounce=z(),
+        last_specular=z(),
+        accum=(z(), z(), z()),
+        count=z(),
     )
 
 
@@ -79,80 +87,156 @@ def camera_matrices(camera, width: int, height: int):
     return view_inv, proj_inv
 
 
-def camera_rays(ndc, cam2world, screen2cam, is_persp: bool):
-    """Primary ray origins/directions (path_trace.rgen:47-74)."""
-    zeros = jnp.zeros_like(ndc[..., :1])
-    ones = jnp.ones_like(ndc[..., :1])
+# Ray order is tile-swizzled: each traversal packet (PACKET_ROWS*128 = 2048
+# consecutive rays) covers one TILE_W x TILE_H image tile instead of a
+# W x 4 scanline sliver — packet traversal visits the union of its rays'
+# nodes, so square-ish tiles cut visits substantially. Dimensions that
+# don't divide are padded; the padding rays render garbage that
+# render_image crops.
+TILE_W = 128
+TILE_H = 16
+
+
+def padded_dims(width: int, height: int):
+    pw = -(-width // TILE_W) * TILE_W
+    ph = -(-height // TILE_H) * TILE_H
+    return pw, ph
+
+
+def pixel_count(width: int, height: int) -> int:
+    pw, ph = padded_dims(width, height)
+    return pw * ph
+
+
+def pixel_coords_np(width: int, height: int):
+    """Tile-swizzled (px, py) int32 numpy coords over the padded grid."""
+    pw, ph = padded_dims(width, height)
+    i = np.arange(pw * ph, dtype=np.int64)
+    tiles_x = pw // TILE_W
+    tile = i // (TILE_W * TILE_H)
+    within = i % (TILE_W * TILE_H)
+    px = (tile % tiles_x) * TILE_W + within % TILE_W
+    py = (tile // tiles_x) * TILE_H + within // TILE_W
+    return px.astype(np.int32), py.astype(np.int32)
+
+
+def pixel_coords(width: int, height: int):
+    """Tile-swizzled (px, py) float32 launch coordinates, each (P',)."""
+    px, py = pixel_coords_np(width, height)
+    return jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32)
+
+
+def camera_rays(ndc_x, ndc_y, cam2world, screen2cam, is_persp: bool):
+    """Primary ray origins/directions (path_trace.rgen:47-74), SoA."""
+    c = cam2world
+    s = screen2cam
+    one = jnp.ones_like(ndc_x)
+    zero = jnp.zeros_like(ndc_x)
     if is_persp:
-        origin_ss = jnp.concatenate([zeros, zeros, zeros, ones], axis=-1)
-        target_ss = jnp.concatenate([ndc, ones, ones], axis=-1)
+        # origin = cam2world @ (0,0,0,1); target = screen2cam @ (ndc,1,1)
+        origin = (c[0, 3] * one, c[1, 3] * one, c[2, 3] * one)
+        tgt = (
+            s[0, 0] * ndc_x + s[0, 1] * ndc_y + s[0, 2] + s[0, 3],
+            s[1, 0] * ndc_x + s[1, 1] * ndc_y + s[1, 2] + s[1, 3],
+            s[2, 0] * ndc_x + s[2, 1] * ndc_y + s[2, 2] + s[2, 3],
+        )
     else:
-        origin_ss = jnp.concatenate([ndc, zeros, ones], axis=-1)
-        target_ss = jnp.concatenate([zeros, zeros, ones, ones], axis=-1)
-    origin = (origin_ss @ cam2world.T)[..., :3]
-    target = (target_ss @ screen2cam.T)[..., :3]
-    target = shading.normalize(target)
-    direction4 = jnp.concatenate([target, zeros], axis=-1) @ cam2world.T
-    direction = shading.normalize(direction4[..., :3])
+        # origin = cam2world @ (ndc,0,1); target = screen2cam @ (0,0,1,1)
+        origin = (
+            c[0, 0] * ndc_x + c[0, 1] * ndc_y + c[0, 3],
+            c[1, 0] * ndc_x + c[1, 1] * ndc_y + c[1, 3],
+            c[2, 0] * ndc_x + c[2, 1] * ndc_y + c[2, 3],
+        )
+        tgt = ((s[0, 2] + s[0, 3]) * one, (s[1, 2] + s[1, 3]) * one,
+               (s[2, 2] + s[2, 3]) * one)
+    tgt = vec.normalize(tgt)
+    direction = vec.normalize((
+        c[0, 0] * tgt[0] + c[0, 1] * tgt[1] + c[0, 2] * tgt[2],
+        c[1, 0] * tgt[0] + c[1, 1] * tgt[1] + c[1, 2] * tgt[2],
+        c[2, 0] * tgt[0] + c[2, 1] * tgt[1] + c[2, 2] * tgt[2],
+    ))
     return origin, direction
 
 
 def _sky_radiance(scene, direction):
-    """Environment lookup on miss (path_trace.rgen:76-84)."""
-    w = jnp.einsum("ij,...j->...i", scene.sky_world2obj, direction)
-    w = shading.normalize(w)
-    phi = jnp.arctan2(w[..., 1], w[..., 0])
-    theta = jnp.arccos(jnp.clip(w[..., 2], -1.0, 1.0))
-    uv = jnp.stack([phi * INV_2PI, theta * INV_PI], axis=-1)
+    """Environment lookup on miss (path_trace.rgen:76-84). Returns
+    (r, g, b) of (R,)."""
+    m = scene.sky_world2obj
+    w = vec.normalize((
+        m[0, 0] * direction[0] + m[0, 1] * direction[1] + m[0, 2] * direction[2],
+        m[1, 0] * direction[0] + m[1, 1] * direction[1] + m[1, 2] * direction[2],
+        m[2, 0] * direction[0] + m[2, 1] * direction[1] + m[2, 2] * direction[2],
+    ))
+    phi = jnp.arctan2(w[1], w[0])
+    theta = jnp.arccos(jnp.clip(w[2], -1.0, 1.0))
+    u = phi * INV_2PI
+    v = theta * INV_PI
     tex = jnp.broadcast_to(scene.sky_tex, phi.shape)
-    return tx.sample_rgb(scene.atlas, tex, uv)
+    return tx.sample_rgb_v(scene.atlas, tex, u, v)
 
 
 def _interpolate_hit(scene, hit):
     """The closest-hit shader: barycentric attribute interpolation + normal
-    mapping (raytrace_hit.rchit). Geometry is already world-space."""
+    mapping (raytrace_hit.rchit). One fused gather fetches all attributes;
+    geometry is already world-space."""
     tri = jnp.maximum(hit["tri"], 0)
-    bu = hit["u"][..., None]
-    bv = hit["v"][..., None]
+    bu = hit["u"]
+    bv = hit["v"]
     bw = 1.0 - bu - bv
 
-    trow = scene.bvh.tri[tri]
-    point = trow[..., 0:3] + bu * trow[..., 3:6] + bv * trow[..., 6:9]
+    a = scene.tri_attr[tri]  # (R, 33) row gather
 
-    n = scene.tri_normals[tri]  # (R, 3, 3)
-    shading_n = bw * n[..., 0, :] + bu * n[..., 1, :] + bv * n[..., 2, :]
-    shading_n = shading.normalize(shading_n)
-    uvs = scene.tri_uvs[tri]
-    uv = bw * uvs[..., 0, :] + bu * uvs[..., 1, :] + bv * uvs[..., 2, :]
+    def v3_at(col):
+        return (a[:, col], a[:, col + 1], a[:, col + 2])
 
-    geom_n = scene.geom_normal[tri]
-    dpdu = scene.dpdu[tri]
+    v0 = v3_at(fl.ATTR_V0)
+    e1 = v3_at(fl.ATTR_E1)
+    e2 = v3_at(fl.ATTR_E2)
+    point = vec.add(v0, vec.add(vec.scale(e1, bu), vec.scale(e2, bv)))
+
+    n0 = v3_at(fl.ATTR_N0)
+    n1 = v3_at(fl.ATTR_N1)
+    n2 = v3_at(fl.ATTR_N2)
+    shading_n = vec.normalize(vec.add(
+        vec.scale(n0, bw), vec.add(vec.scale(n1, bu), vec.scale(n2, bv))
+    ))
+    u = (bw * a[:, fl.ATTR_UV0] + bu * a[:, fl.ATTR_UV1]
+         + bv * a[:, fl.ATTR_UV2])
+    v = (bw * a[:, fl.ATTR_UV0 + 1] + bu * a[:, fl.ATTR_UV1 + 1]
+         + bv * a[:, fl.ATTR_UV2 + 1])
+
+    geom_n = v3_at(fl.ATTR_GN)
+    dpdu = v3_at(fl.ATTR_DPDU)
     mat_id = scene.tri_material[tri]
 
     # normal mapping (rchit:55-64)
-    normal_tex = scene.mat_normal_tex[mat_id]
+    normal_tex = scene.mat_tex[mat_id, fl.MT_NORMAL]
     has_nm = normal_tex != 0
-    texel = tx.sample_rgb(scene.atlas, normal_tex, uv)
-    s_old = shading.normalize(dpdu)
-    t_old = shading.normalize(jnp.cross(shading_n, s_old))
-    frame_old = jnp.stack([s_old, t_old, shading_n], axis=-2)
-    mapped = shading.to_world_space(texel * 2.0 - 1.0, frame_old)
-    mapped = mapped * jnp.sign(jnp.sum(geom_n * mapped, axis=-1, keepdims=True))
-    shading_n = jnp.where(has_nm[..., None], mapped, shading_n)
+    tr, tg, tb = tx.sample_rgb_v(scene.atlas, normal_tex, u, v)
+    s_old = vec.normalize(dpdu)
+    t_old = vec.normalize(vec.cross(shading_n, s_old))
+    nx, ny, nz = tr * 2.0 - 1.0, tg * 2.0 - 1.0, tb * 2.0 - 1.0
+    mapped = vec.normalize((
+        s_old[0] * nx + t_old[0] * ny + shading_n[0] * nz,
+        s_old[1] * nx + t_old[1] * ny + shading_n[1] * nz,
+        s_old[2] * nx + t_old[2] * ny + shading_n[2] * nz,
+    ))
+    mapped = vec.scale(mapped, jnp.sign(vec.dot(geom_n, mapped)))
+    shading_n = vec.where(has_nm, mapped, shading_n)
 
     return {
         "point": point,
         "shading_normal": shading_n,
         "geom_normal": geom_n,
         "dpdu": dpdu,
-        "uv": uv,
+        "uv": (u, v),
         "material_id": mat_id,
     }
 
 
-def _direct_light(scene, state_rng, wo_w, frame, hit, active):
+def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active):
     """NEE (path_trace.rgen direct_light, :87-117). Advances the rng by 5
-    draws unconditionally. Returns (rng, radiance spectrum)."""
+    draws unconditionally. Returns (rng, radiance (16, R))."""
     rng = state_rng
     rng, r_pick = rng_mod.next_f32(rng)
     lights_no_f = scene.lights_no.astype(jnp.float32)
@@ -160,37 +244,31 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, active):
         (r_pick * lights_no_f).astype(jnp.int32), scene.lights_no - 1
     )
     light_idx = jnp.maximum(light_idx, 0)
-    rng, r3 = rng_mod.next_f32x3(rng)
+    rng, ra = rng_mod.next_f32(rng)
+    rng, rb = rng_mod.next_f32(rng)
+    rng, rc = rng_mod.next_f32(rng)
     wiw, dist, emission, light_pdf = lights_mod.sample_light(
-        scene, light_idx, hit["point"], r3
+        scene, light_idx, hit["point"], (ra, rb, rc)
     )
     rng, r_bsdf = rng_mod.next_f32(rng)
 
-    mat = bsdf_mod.gather_material(scene, hit["material_id"])
-    wo = shading.to_shading_space(wo_w, frame)
-    wi = shading.to_shading_space(wiw, frame)
+    wo = shading.to_shading_space_v(wo_w, frame)
+    wi = shading.to_shading_space_v(wiw, frame)
     value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"], r_bsdf)
 
     usable = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
-    shadow_hit = accel.any_hit_auto(
+    shadow_hit = accel.any_hit_soa_auto(
         scene.bvh, hit["point"], wiw, dist - 1e-3, active=active & usable
     )
-    cos_term = jnp.abs(jnp.sum(wiw * hit["shading_normal"], axis=-1))
+    cos_term = jnp.abs(vec.dot(wiw, hit["shading_normal"]))
     weight = (
         usable.astype(jnp.float32)
         * (~shadow_hit).astype(jnp.float32)
         * cos_term
         / jnp.maximum(light_pdf, 1e-20)
     )
-    radiance = value * emission * weight[..., None] * lights_no_f
+    radiance = value * emission * (weight * lights_no_f)
     return rng, radiance
-
-
-def pixel_coords(width: int, height: int):
-    """Row-major (px, py) launch-grid coordinates, each (W*H,) float32."""
-    px = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
-    return px, py
 
 
 def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
@@ -211,47 +289,61 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
     rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px, py)
 
-    pixel = jnp.stack([px, py], axis=-1) + pixel_offset
-    uv_screen = pixel / launch_size
-    ndc = -1.0 + 2.0 * uv_screen
-    cam_origin, cam_dir = camera_rays(ndc, cam2world, screen2cam, is_persp)
+    ndc_x = -1.0 + 2.0 * (px + pixel_offset[0]) / launch_size[0]
+    ndc_y = -1.0 + 2.0 * (py + pixel_offset[1]) / launch_size[1]
+    cam_origin, cam_dir = camera_rays(ndc_x, ndc_y, cam2world, screen2cam,
+                                      is_persp)
 
     if direct_only:
         regen = jnp.ones((p,), bool)
     else:
         regen = state.bounce == 0.0
-    origin = jnp.where(regen[..., None], cam_origin, state.origin)
-    direction = jnp.where(regen[..., None], cam_dir, state.direction)
-    importance = jnp.where(regen[..., None], spectra.one((p,)), state.importance)
+    origin = vec.where(regen, cam_origin, state.origin)
+    direction = vec.where(regen, cam_dir, state.direction)
+    importance = jnp.where(regen, spectra.one_t(p), state.importance)
 
-    hit = accel.closest_hit_auto(scene.bvh, origin, direction)
+    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
     missed = hit["tri"] < 0
 
     # ---- miss: sky radiance only on camera rays / after specular bounces
     sky_visible = (state.bounce == 0.0) | (state.last_specular == 1.0)
     add_sky = missed & sky_visible & (scene.sky_tex > 0)
-    sky_rgb = _sky_radiance(scene, direction)
-    sky_radiance = importance * spectra.from_illuminant_color(sky_rgb)
-    miss_contrib = jnp.where(add_sky[..., None], spectra.to_rgb(sky_radiance), 0.0)
+    sr, sg, sb = _sky_radiance(scene, direction)
+    sky_spec = importance * spectra.from_illuminant_color_t(sr, sg, sb)
+    mr, mg, mb = spectra.to_rgb_t(sky_spec)
+    zero = jnp.zeros_like(mr)
+    miss_contrib = (
+        jnp.where(add_sky, mr, zero),
+        jnp.where(add_sky, mg, zero),
+        jnp.where(add_sky, mb, zero),
+    )
 
     # ---- hit shading
     surf = _interpolate_hit(scene, hit)
-    wo_w = -direction
-    frame = shading.new_shading_space(surf["dpdu"], surf["shading_normal"])
-    mat_specular = scene.mat_is_specular[surf["material_id"]]
+    wo_w = vec.neg(direction)
+    frame = shading.new_shading_space_v(surf["dpdu"], surf["shading_normal"])
+    mat = bsdf_mod.gather_material(scene, surf["material_id"])
+    mat_specular = mat["scalars"][fl.MS_IS_SPECULAR] > 0.5
 
     nee_active = ~missed & ~mat_specular
-    rng, nee_radiance = _direct_light(scene, rng, wo_w, frame, surf, nee_active)
+    rng, nee_radiance = _direct_light(scene, rng, wo_w, frame, surf, mat,
+                                      nee_active)
     nee_radiance = nee_radiance * importance
-    add_nee = nee_active
-    nee_contrib = jnp.where(add_nee[..., None], spectra.to_rgb(nee_radiance), 0.0)
+    nr, ng, nb = spectra.to_rgb_t(nee_radiance)
+    nee_contrib = (
+        jnp.where(nee_active, nr, zero),
+        jnp.where(nee_active, ng, zero),
+        jnp.where(nee_active, nb, zero),
+    )
 
     new_specular = jnp.where(
         missed, state.last_specular, mat_specular.astype(jnp.float32)
     )
 
-    accum = state.accum + jnp.where(
-        enabled, miss_contrib + nee_contrib, jnp.zeros_like(miss_contrib)
+    en = enabled.astype(jnp.float32)
+    accum = tuple(
+        state.accum[i] + en * (miss_contrib[i] + nee_contrib[i])
+        for i in range(3)
     )
 
     if direct_only:
@@ -268,39 +360,36 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     # ---- Russian roulette (path_trace.rgen:196-211)
     rng, rr_roll = rng_mod.next_f32(rng)
     rr_active = state.bounce > RUSSIAN_ROULETTE
-    kill_prob = jnp.maximum(0.05, 1.0 - spectra.luminance(importance))
+    kill_prob = jnp.maximum(0.05, 1.0 - spectra.luminance_t(importance))
     rr_kill = rr_active & (rr_roll < kill_prob)
     rr_scale = jnp.where(rr_active, 1.0 / (1.0 - kill_prob), 1.0)
-    importance = importance * rr_scale[..., None]
+    importance = importance * rr_scale
 
     # ---- BSDF sampling (path_trace.rgen:212-228)
-    rng, r3 = rng_mod.next_f32x3(rng)
-    mat = bsdf_mod.gather_material(scene, surf["material_id"])
-    wo = shading.to_shading_space(wo_w, frame)
-    wi, value, pdf = bsdf_mod.bsdf_sample(scene, mat, wo, surf["uv"], r3)
-    wi_w = shading.to_world_space(wi, frame)
+    rng, sa = rng_mod.next_f32(rng)
+    rng, sb_ = rng_mod.next_f32(rng)
+    rng, sc = rng_mod.next_f32(rng)
+    wo = shading.to_shading_space_v(wo_w, frame)
+    wi, value, pdf = bsdf_mod.bsdf_sample(scene, mat, wo, surf["uv"],
+                                          (sa, sb_, sc))
+    wi_w = shading.to_world_space_v(wi, frame)
     sample_dead = pdf <= 0.0
-    weight = jnp.abs(jnp.sum(wi_w * surf["shading_normal"], axis=-1)) / jnp.maximum(
+    weight = jnp.abs(vec.dot(wi_w, surf["shading_normal"])) / jnp.maximum(
         pdf, 1e-20
     )
-    next_importance = importance * value * weight[..., None]
+    next_importance = importance * value * weight
 
     # path termination / continuation bookkeeping
     path_dead = missed | rr_kill | sample_dead
     at_max = state.bounce >= PT_STEPS  # "if bounce < PT_STEPS inc else reset"
     new_bounce = jnp.where(path_dead | at_max, 0.0, state.bounce + 1.0)
 
-    keep = (~path_dead)[..., None]
+    keep = ~path_dead
+    upd = enabled & keep
     return PathState(
-        importance=jnp.where(
-            enabled, jnp.where(keep, next_importance, state.importance),
-            state.importance,
-        ),
-        origin=jnp.where(enabled, jnp.where(keep, surf["point"], state.origin),
-                         state.origin),
-        direction=jnp.where(
-            enabled, jnp.where(keep, wi_w, state.direction), state.direction
-        ),
+        importance=jnp.where(upd, next_importance, state.importance),
+        origin=vec.where(upd, surf["point"], state.origin),
+        direction=vec.where(upd, wi_w, state.direction),
         bounce=jnp.where(enabled, new_bounce, state.bounce),
         last_specular=jnp.where(enabled, new_specular, state.last_specular),
         accum=accum,
@@ -308,13 +397,33 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     )
 
 
+def to_image_np(values, width: int, height: int, fill=0):
+    """Unswizzles one (P',) array into a cropped (H, W) numpy image."""
+    px, py = pixel_coords_np(width, height)
+    pw, ph = padded_dims(width, height)
+    arr = np.asarray(jax.device_get(values))
+    full = np.full((ph, pw), fill, arr.dtype)
+    full[py, px] = arr
+    return full[:height, :width]
+
+
 def render_image(state: PathState, exposure, width: int, height: int):
     """accumulated sum -> display image (update_result + the out8 blit):
-    linear rgb * exposure / count, clamped, sRGB-encoded, (H, W, 3) u8."""
-    rgb = state.accum * (exposure / jnp.maximum(state.count, 1.0))[..., None]
-    srgb = tx.linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
-    img = jnp.round(srgb * 255.0).astype(jnp.uint8)
-    return img.reshape(height, width, 3)
+    linear rgb * exposure / count, clamped, sRGB-encoded, (H, W, 3) u8.
+    Unswizzles the tile order and crops padding."""
+    inv = exposure / jnp.maximum(state.count, 1.0)
+    chans = [
+        jnp.round(
+            tx.linear_to_srgb(jnp.clip(state.accum[i] * inv, 0.0, 1.0)) * 255.0
+        ).astype(jnp.uint8)
+        for i in range(3)
+    ]
+    img = np.asarray(jax.device_get(jnp.stack(chans, axis=-1)))
+    px, py = pixel_coords_np(width, height)
+    pw, ph = padded_dims(width, height)
+    full = np.zeros((ph, pw, 3), np.uint8)
+    full[py, px] = img
+    return full[:height, :width]
 
 
 @functools.partial(

@@ -1,32 +1,38 @@
-"""Next-event-estimation light sampling, all four light types.
+"""Next-event-estimation light sampling, all four light types, SoA.
 
 TPU port of the light callable shaders (``light_*_sample_visible.rcall``).
 Every sampler runs masked over the whole ray batch and the result is
 selected by the picked light's type, replacing the SBT callable dispatch
 (light.rs:100-119).
 
+Layout: positions/directions are (x, y, z) tuples of (R,); emissions are
+(16, R) spectra.
+
 Documented deviations from the reference (bug fixes):
 * AREA: pdf uses the true world-space triangle area (the reference's GLSL
   ``cross(...).length()`` returns the component count 3, i.e. every
-  triangle has "area" 1.5) and wiW points surface->light (the reference
-  has the sign flipped, light_area_sample_visible.rcall:53).
-* SKY: CDF inversion indexes the tables exactly (the reference samples the
-  conditional CDF image with unnormalized texture() coordinates) and
-  re-weights by the value count (pbrt) rather than the CDF count.
+  triangle's "area" is 1.5) and wiW points surface->light
+  (light_area_sample_visible.rcall:53 has it reversed).
+* SKY: CDF inversion indexes the tables exactly (the reference samples its
+  conditional CDF image with unnormalized texture() coords,
+  light_sky_sample_visible.rcall:73-99) and re-weights by the value count
+  (pbrt) rather than the CDF count.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 
 from glaze_tpu.ops import spectra
 from glaze_tpu.ops import texture as tx
+from glaze_tpu.ops import vec
+from glaze_tpu.scene.flatten import MS_DIFFUSE_B, MS_DIFFUSE_G, MS_DIFFUSE_R
 
 PI = jnp.float32(3.1415926)
 TWO_PI = jnp.float32(6.2831853)
-INV_PI = jnp.float32(0.3183099)
-INV_2PI = jnp.float32(0.1591549)
 
 TYPE_OMNI = 0
 TYPE_SUN = 1
@@ -35,111 +41,104 @@ TYPE_SKY = 3
 
 
 def _omni(scene, light_idx, position):
-    pos = scene.light_pos[light_idx]
-    color = scene.light_color[light_idx]
+    p3 = scene.light_pos[light_idx]  # (R, 3) row gather
+    pos = (p3[:, 0], p3[:, 1], p3[:, 2])
+    color = scene.light_color[light_idx].T  # (16, R)
     intensity = scene.light_intensity[light_idx]
-    delta = pos - position
-    d2 = jnp.sum(delta * delta, axis=-1)
+    delta = vec.sub(pos, position)
+    d2 = vec.dot(delta, delta)
     dist = jnp.sqrt(d2)
-    wiw = delta / jnp.maximum(dist, 1e-20)[..., None]
-    emission = color * (intensity / jnp.maximum(d2, 1e-20))[..., None]
+    wiw = vec.scale(delta, 1.0 / jnp.maximum(dist, 1e-20))
+    emission = color * (intensity / jnp.maximum(d2, 1e-20))
     pdf = jnp.ones_like(dist)
     return wiw, dist, emission, pdf
 
 
 def _sun(scene, light_idx, position):
-    color = scene.light_color[light_idx]
+    color = scene.light_color[light_idx].T
     intensity = scene.light_intensity[light_idx]
-    wiw = -scene.light_dir[light_idx]
+    d3 = scene.light_dir[light_idx]
+    wiw = (-d3[:, 0], -d3[:, 1], -d3[:, 2])
     dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0, light_idx.shape)
-    emission = color * intensity[..., None]
+    emission = color * intensity
     pdf = jnp.ones_like(dist)
     return wiw, dist, emission, pdf
 
 
-def _area(scene, light_idx, position, rand3):
+def _area(scene, light_idx, position, r3):
     first = scene.light_tri_first[light_idx]
     count = jnp.maximum(scene.light_tri_count[light_idx], 1)
     intensity = scene.light_intensity[light_idx]
     mat_id = scene.light_material[light_idx]
 
     tri_id = first + jnp.minimum(
-        (rand3[..., 0] * count.astype(jnp.float32)).astype(jnp.int32), count - 1
+        (r3[0] * count.astype(jnp.float32)).astype(jnp.int32), count - 1
     )
     tri_id = jnp.clip(tri_id, 0, scene.tri_pos_orig.shape[0] - 1)
-    tri = scene.tri_pos_orig[tri_id]  # (R, 3, 3) world space
-    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
-    cr = jnp.cross(v1 - v0, v2 - v0)
-    area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+    t9 = scene.tri_pos_orig[tri_id]  # (R, 9) row gather
+    v0 = (t9[:, 0], t9[:, 1], t9[:, 2])
+    v1 = (t9[:, 3], t9[:, 4], t9[:, 5])
+    v2 = (t9[:, 6], t9[:, 7], t9[:, 8])
+    area = 0.5 * vec.length(vec.cross(vec.sub(v1, v0), vec.sub(v2, v0)))
 
-    sqr_u = jnp.sqrt(rand3[..., 1])
+    sqr_u = jnp.sqrt(r3[1])
     bu = 1.0 - sqr_u
-    bv = rand3[..., 2] * sqr_u
-    point = bu[..., None] * v0 + bv[..., None] * v1 + (1.0 - bu - bv)[..., None] * v2
+    bv = r3[2] * sqr_u
+    bw = 1.0 - bu - bv
+    point = vec.add(vec.add(vec.scale(v0, bu), vec.scale(v1, bv)),
+                    vec.scale(v2, bw))
 
-    delta = point - position
-    d2 = jnp.sum(delta * delta, axis=-1)
+    delta = vec.sub(point, position)
+    d2 = vec.dot(delta, delta)
     dist = jnp.sqrt(d2)
-    wiw = delta / jnp.maximum(dist, 1e-20)[..., None]
+    wiw = vec.scale(delta, 1.0 / jnp.maximum(dist, 1e-20))
 
-    diffuse_mul = scene.mat_diffuse_mul[mat_id]
-    emission = spectra.from_surface_color(diffuse_mul) * (
-        intensity / jnp.maximum(d2, 1e-20)
-    )[..., None]
+    dm = scene.mat_scalars[mat_id]  # (R, 8) row gather
+    emission = spectra.from_surface_color_t(
+        dm[:, MS_DIFFUSE_R], dm[:, MS_DIFFUSE_G], dm[:, MS_DIFFUSE_B]
+    ) * (intensity / jnp.maximum(d2, 1e-20))
     pdf = 1.0 / (count.astype(jnp.float32) * jnp.maximum(area, 1e-20))
     return wiw, dist, emission, pdf
 
 
-def _searchsorted_rows(cdf_rows, row_idx, rand):
-    """Per-ray binary search in cdf_rows[row_idx]: largest i with
-    cdf[i] <= rand. One gathered element per step (log2 steps), avoiding a
-    full row gather per ray."""
-    import math
+def _alias_pick(prob, alias, rand, base, n_f):
+    """O(1) alias-method draw from one row of a (flattened) table.
 
-    n = cdf_rows.shape[-1]
-    steps = max(int(math.ceil(math.log2(n + 1))), 1)
-    lo = jnp.zeros_like(rand, dtype=jnp.int32)
-    hi = jnp.full_like(lo, n)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        val = cdf_rows[row_idx, jnp.clip(mid, 0, n - 1)]
-        le = val <= rand
-        lo = jnp.where(le & (mid < hi), jnp.minimum(mid + 1, hi), lo)
-        hi = jnp.where(le, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return jnp.clip(lo - 1, 0, n - 2)
-
-
-def _sample_distribution_1d(cdf, values, integral, rand):
-    """pbrt Distribution1D::SampleContinuous over a shared (n+1,) CDF."""
-    n = values.shape[-1]
-    offset = jnp.clip(jnp.searchsorted(cdf, rand, side="right") - 1, 0, n - 1)
-    cur = cdf[offset]
-    nxt = cdf[offset + 1]
-    du = jnp.where(nxt - cur > 0.0, (rand - cur) / (nxt - cur), rand - cur)
-    pdf = values[offset] / integral
-    return (offset.astype(jnp.float32) + du) / n, offset, pdf
-
-
-def _sky(scene, light_idx, position, rand3):
-    # marginal over rows (v), then conditional over columns (u)
-    v, row, v_pdf = _sample_distribution_1d(
-        scene.sky_marginal_cdf,
-        scene.sky_marginal_val,
-        scene.sky_marginal_integral,
-        rand3[..., 1],
+    ``base``: row offset into the flat arrays; ``n_f``: bin count (float).
+    Returns (bin index within row, continuous position in [0,1)).
+    The fractional part is reused exactly for both the accept test and the
+    intra-bin position (piecewise-constant pdf, so this is unbiased).
+    """
+    rn = rand * n_f
+    j = jnp.clip(rn.astype(jnp.int32), 0, n_f.astype(jnp.int32) - 1)
+    frac = rn - j.astype(jnp.float32)
+    p = prob[base + j]
+    accept = frac < p
+    jf = jnp.where(accept, j, alias[base + j])
+    pos = jnp.where(
+        accept,
+        frac / jnp.maximum(p, 1e-20),
+        (frac - p) / jnp.maximum(1.0 - p, 1e-20),
     )
-    w = scene.sky_cond_val.shape[-1]
-    offset = _searchsorted_rows(scene.sky_cond_cdf, row, rand3[..., 0])
-    cur = scene.sky_cond_cdf[row, offset]
-    nxt = scene.sky_cond_cdf[row, offset + 1]
-    du = jnp.where(nxt - cur > 0.0, (rand3[..., 0] - cur) / (nxt - cur), rand3[..., 0] - cur)
-    u = (offset.astype(jnp.float32) + du) / w
-    u_pdf = scene.sky_cond_val[row, offset] / scene.sky_cond_integral[row]
+    u = (jf.astype(jnp.float32) + jnp.clip(pos, 0.0, 0.999999)) / n_f
+    return jf, u
+
+
+def _sky(scene, light_idx, position, r3):
+    # marginal over rows (v), then conditional over columns (u) — alias
+    # tables instead of the reference's binary-search CDF inversion
+    h = scene.sky_marginal_val.shape[0]
+    h_f = jnp.float32(h)
+    zero = jnp.zeros_like(r3[1], dtype=jnp.int32)
+    row, v = _alias_pick(scene.sky_marg_prob, scene.sky_marg_alias, r3[1],
+                         zero, h_f)
+    v_pdf = scene.sky_marginal_val[row] / scene.sky_marginal_integral
+
+    w_f = scene.sky_cond_n.astype(jnp.float32)
+    base = row * scene.sky_cond_n
+    col, u = _alias_pick(scene.sky_cond_prob, scene.sky_cond_alias, r3[0],
+                         base, w_f)
+    u_pdf = scene.sky_cond_val[base + col] / scene.sky_cond_integral[row]
 
     theta = v * PI
     sint = jnp.sin(theta)
@@ -149,42 +148,39 @@ def _sky(scene, light_idx, position, rand3):
         u_pdf * v_pdf / (2.0 * PI * PI * sint),
         0.0,
     )
-    wi_local = jnp.stack(
-        [sint * jnp.cos(phi), sint * jnp.sin(phi), jnp.cos(theta)], axis=-1
-    )
-    wiw = jnp.einsum("ij,...j->...i", scene.sky_obj2world, wi_local)
-    wiw = wiw / jnp.maximum(jnp.linalg.norm(wiw, axis=-1, keepdims=True), 1e-20)
+    wl = (sint * jnp.cos(phi), sint * jnp.sin(phi), jnp.cos(theta))
+    m = scene.sky_obj2world
+    wiw = vec.normalize((
+        m[0, 0] * wl[0] + m[0, 1] * wl[1] + m[0, 2] * wl[2],
+        m[1, 0] * wl[0] + m[1, 1] * wl[1] + m[1, 2] * wl[2],
+        m[2, 0] * wl[0] + m[2, 1] * wl[1] + m[2, 2] * wl[2],
+    ))
     dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0, pdf.shape)
-    uv = jnp.stack([u, v], axis=-1)
-    texel = tx.sample_rgb(scene.atlas, jnp.broadcast_to(scene.sky_tex, pdf.shape), uv)
-    emission = spectra.from_illuminant_color(texel * scene.sky_intensity)
+    tex = jnp.broadcast_to(scene.sky_tex, pdf.shape)
+    r, g, b = tx.sample_rgb_v(scene.atlas, tex, u, v)
+    s = scene.sky_intensity
+    emission = spectra.from_illuminant_color_t(r * s, g * s, b * s)
     return wiw, dist, emission, pdf
 
 
-def sample_light(scene, light_idx, position, rand3):
-    """Samples the picked light toward ``position``.
+def sample_light(scene, light_idx, position, r3):
+    """Samples the picked light toward ``position`` (a (x,y,z) tuple).
 
-    Returns (wiW (R,3), distance (R,), emission (R,16), pdf (R,)) —
+    Returns (wiW tuple, distance (R,), emission (16, R), pdf (R,)) —
     the SampledLight struct of raytrace_commons.glsl:52-60.
+    ``r3``: tuple of three (R,) uniforms.
     """
     ltype = scene.light_type[light_idx]
     o = _omni(scene, light_idx, position)
     s = _sun(scene, light_idx, position)
-    a = _area(scene, light_idx, position, rand3)
-    k = _sky(scene, light_idx, position, rand3)
+    a = _area(scene, light_idx, position, r3)
+    k = _sky(scene, light_idx, position, r3)
 
-    def sel(extract):
-        res = extract(o)
-        for t, r in ((TYPE_SUN, s), (TYPE_AREA, a), (TYPE_SKY, k)):
-            cond = ltype == t
-            cur = extract(r)
-            if cur.ndim > cond.ndim:
-                cond = cond[..., None]
-            res = jnp.where(cond, cur, res)
-        return res
-
-    wiw = sel(lambda r: r[0])
-    dist = sel(lambda r: r[1])
-    emission = sel(lambda r: r[2])
-    pdf = sel(lambda r: r[3])
+    wiw, dist, emission, pdf = o
+    for t, r in ((TYPE_SUN, s), (TYPE_AREA, a), (TYPE_SKY, k)):
+        sel = ltype == t
+        wiw = vec.where(sel, r[0], wiw)
+        dist = jnp.where(sel, r[1], dist)
+        emission = jnp.where(sel, r[2], emission)
+        pdf = jnp.where(sel, r[3], pdf)
     return wiw, dist, emission, pdf

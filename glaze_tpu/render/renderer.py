@@ -200,8 +200,7 @@ class RayTraceRenderer:
             if self.exposure is not None
             else self.scene.exposure
         )
-        img = integ.render_image(self._state, exposure, self.width, self.height)
-        return np.asarray(jax.device_get(img))
+        return integ.render_image(self._state, exposure, self.width, self.height)
 
     def save(self, path: str):
         from PIL import Image

@@ -39,36 +39,62 @@ from glaze_tpu.core.spectrum import CIE_Y, INVY_SUM, rgb_to_spectrum_np
 from glaze_tpu.ops.texture import TextureAtlas, build_atlas
 
 
+# Row indices of the fused per-triangle attribute table ``tri_attr``
+# (transposed: attributes on sublanes, triangles on lanes — one gather per
+# hit fetches everything).
+ATTR_V0 = 0  # 3 rows: hit-point base
+ATTR_E1 = 3  # 3
+ATTR_E2 = 6  # 3
+ATTR_N0 = 9  # 3 rows per vertex normal
+ATTR_N1 = 12
+ATTR_N2 = 15
+ATTR_UV0 = 18  # 2 rows per vertex uv
+ATTR_UV1 = 20
+ATTR_UV2 = 22
+ATTR_GN = 24  # 3: geometric normal
+ATTR_DPDU = 27  # 3
+ATTR_DPDV = 30  # 3
+ATTR_ROWS = 33
+
+# Rows of the material scalar table ``mat_scalars`` (8, M)
+MS_IOR = 0
+MS_ROUGHNESS_MUL = 1
+MS_METALNESS_MUL = 2
+MS_ANISOTROPY = 3
+MS_IS_SPECULAR = 4
+MS_DIFFUSE_R = 5
+MS_DIFFUSE_G = 6
+MS_DIFFUSE_B = 7
+
+# Rows of the material texture-id table ``mat_tex`` (5, M) int32
+MT_DIFFUSE = 0
+MT_ROUGHNESS = 1
+MT_METALNESS = 2
+MT_OPACITY = 3
+MT_NORMAL = 4
+
+
 class DeviceScene(NamedTuple):
-    """Device-resident scene. All fields are jax.Arrays (leaves) so the
-    whole structure can be donated/sharded as one pytree."""
+    """Device-resident scene. Tables are ROW-major — item id on the first
+    axis — because XLA's TPU row gather is the only fast gather form
+    (lane-axis gathers from small tables lower to serial one-row-per-
+    iteration while loops; measured seconds per launch). Gathered blocks
+    are transposed/column-sliced into the SoA compute layout afterwards.
+    All fields are jax.Arrays so the structure shards as one pytree."""
 
     # geometry + BVH (triangles in BVH order)
     bvh: BVH
-    tri_normals: jnp.ndarray  # (N, 3, 3) per-vertex world normals
-    tri_uvs: jnp.ndarray  # (N, 3, 2)
+    tri_attr: jnp.ndarray  # (N, 33) fused shading attributes, see ATTR_*
     tri_material: jnp.ndarray  # (N,) int32
-    geom_normal: jnp.ndarray  # (N, 3) world geometric normal
-    dpdu: jnp.ndarray  # (N, 3)
-    dpdv: jnp.ndarray  # (N, 3)
     # geometry in original (pre-BVH) order, for area-light sampling
-    tri_pos_orig: jnp.ndarray  # (N, 3, 3)
-    # materials SoA (M rows)
+    tri_pos_orig: jnp.ndarray  # (N, 9) v0/v1/v2 components
+    # materials (M rows)
     mat_bsdf: jnp.ndarray  # (M,) int32 family 0..5 (lambert..uber)
-    mat_is_specular: jnp.ndarray  # (M,) bool
-    mat_diffuse_mul: jnp.ndarray  # (M, 3) f32 in [0,1]
+    mat_scalars: jnp.ndarray  # (M, 8) f32, see MS_*
+    mat_tex: jnp.ndarray  # (M, 5) int32, see MT_*
     mat_metal_ior: jnp.ndarray  # (M, 16)
     mat_metal_fresnel: jnp.ndarray  # (M, 16) eta^2 + k^2
-    mat_ior: jnp.ndarray  # (M,) dielectric ior
-    mat_roughness_mul: jnp.ndarray  # (M,)
-    mat_metalness_mul: jnp.ndarray  # (M,)
-    mat_anisotropy: jnp.ndarray  # (M,)
-    mat_diffuse_tex: jnp.ndarray  # (M,) int32
-    mat_roughness_tex: jnp.ndarray  # (M,) int32
-    mat_metalness_tex: jnp.ndarray  # (M,) int32
-    mat_opacity_tex: jnp.ndarray  # (M,) int32
-    mat_normal_tex: jnp.ndarray  # (M,) int32
-    # lights SoA (L rows; AREA lights expanded per instance; sky last)
+    # lights (L rows; AREA lights expanded per instance; sky last)
     light_type: jnp.ndarray  # (L,) int32 LightType
     light_color: jnp.ndarray  # (L, 16) spectrum
     light_pos: jnp.ndarray  # (L, 3)
@@ -83,12 +109,18 @@ class DeviceScene(NamedTuple):
     sky_intensity: jnp.ndarray  # () f32
     sky_obj2world: jnp.ndarray  # (3, 3)
     sky_world2obj: jnp.ndarray  # (3, 3)
-    sky_marginal_cdf: jnp.ndarray  # (H+1,)
-    sky_marginal_val: jnp.ndarray  # (H,) func values / marginal_integral
+    # sky importance sampling: Walker/Vose alias tables (O(1) per sample;
+    # the reference's binary-search CDF inversion measured ~630 ms/launch
+    # as an XLA while-loop). Conditional tables are flattened row-major.
+    sky_marg_prob: jnp.ndarray  # (H,)
+    sky_marg_alias: jnp.ndarray  # (H,) int32
+    sky_marginal_val: jnp.ndarray  # (H,) function values
     sky_marginal_integral: jnp.ndarray  # ()
-    sky_cond_cdf: jnp.ndarray  # (H, W+1)
-    sky_cond_val: jnp.ndarray  # (H, W)
+    sky_cond_prob: jnp.ndarray  # (H*W,)
+    sky_cond_alias: jnp.ndarray  # (H*W,) int32
+    sky_cond_val: jnp.ndarray  # (H*W,)
     sky_cond_integral: jnp.ndarray  # (H,)
+    sky_cond_n: jnp.ndarray  # () int32: W
     # textures
     atlas: TextureAtlas
     # meta
@@ -142,42 +174,43 @@ def compute_derivatives(v0, v1, v2, uv0, uv1, uv2):
 
 
 def flatten_materials(materials):
-    """Materials -> SoA dict (load_raytrace_materials_to_gpu, scene.rs:1823-1864)."""
+    """Materials -> transposed SoA dict
+    (load_raytrace_materials_to_gpu, scene.rs:1823-1864)."""
     m = max(len(materials), 1)
-    out = {
-        "mat_bsdf": np.zeros(m, np.int32),
-        "mat_is_specular": np.zeros(m, bool),
-        "mat_diffuse_mul": np.ones((m, 3), np.float32),
-        "mat_metal_ior": np.ones((m, 16), np.float32),
-        "mat_metal_fresnel": np.ones((m, 16), np.float32),
-        "mat_ior": np.full(m, 1.46, np.float32),
-        "mat_roughness_mul": np.ones(m, np.float32),
-        "mat_metalness_mul": np.zeros(m, np.float32),
-        "mat_anisotropy": np.zeros(m, np.float32),
-        "mat_diffuse_tex": np.zeros(m, np.int32),
-        "mat_roughness_tex": np.zeros(m, np.int32),
-        "mat_metalness_tex": np.zeros(m, np.int32),
-        "mat_opacity_tex": np.zeros(m, np.int32),
-        "mat_normal_tex": np.zeros(m, np.int32),
-    }
+    bsdf = np.zeros(m, np.int32)
+    scalars = np.zeros((8, m), np.float32)
+    scalars[MS_IOR] = 1.46
+    scalars[MS_ROUGHNESS_MUL] = 1.0
+    scalars[MS_DIFFUSE_R:MS_DIFFUSE_B + 1] = 1.0
+    tex = np.zeros((5, m), np.int32)
+    metal_ior = np.ones((16, m), np.float32)
+    metal_fresnel = np.ones((16, m), np.float32)
     for i, mat in enumerate(materials):
         ior = mat.metal.index_of_refraction()
         k = mat.metal.absorption()
-        out["mat_bsdf"][i] = mat.mtype.bsdf_family()
-        out["mat_is_specular"][i] = mat.mtype.is_specular()
-        out["mat_diffuse_mul"][i] = np.asarray(mat.diffuse_mul, np.float32) / 255.0
-        out["mat_metal_ior"][i] = ior
-        out["mat_metal_fresnel"][i] = ior * ior + k * k
-        out["mat_ior"][i] = mat.ior
-        out["mat_roughness_mul"][i] = mat.roughness_mul
-        out["mat_metalness_mul"][i] = mat.metalness_mul
-        out["mat_anisotropy"][i] = mat.anisotropy
-        out["mat_diffuse_tex"][i] = mat.diffuse
-        out["mat_roughness_tex"][i] = mat.roughness
-        out["mat_metalness_tex"][i] = mat.metalness
-        out["mat_opacity_tex"][i] = mat.opacity
-        out["mat_normal_tex"][i] = mat.normal
-    return out
+        bsdf[i] = mat.mtype.bsdf_family()
+        scalars[MS_IOR, i] = mat.ior
+        scalars[MS_ROUGHNESS_MUL, i] = mat.roughness_mul
+        scalars[MS_METALNESS_MUL, i] = mat.metalness_mul
+        scalars[MS_ANISOTROPY, i] = mat.anisotropy
+        scalars[MS_IS_SPECULAR, i] = float(mat.mtype.is_specular())
+        scalars[MS_DIFFUSE_R:MS_DIFFUSE_B + 1, i] = (
+            np.asarray(mat.diffuse_mul, np.float32) / 255.0
+        )
+        tex[MT_DIFFUSE, i] = mat.diffuse
+        tex[MT_ROUGHNESS, i] = mat.roughness
+        tex[MT_METALNESS, i] = mat.metalness
+        tex[MT_OPACITY, i] = mat.opacity
+        tex[MT_NORMAL, i] = mat.normal
+        metal_ior[:, i] = ior
+        metal_fresnel[:, i] = ior * ior + k * k
+    return {
+        "mat_bsdf": bsdf,
+        "mat_scalars": scalars.T.copy(),
+        "mat_tex": tex.T.copy(),
+        "mat_metal_ior": metal_ior.T.copy(),
+        "mat_metal_fresnel": metal_fresnel.T.copy(),
+    }
 
 
 def reorder_lights(lights):
@@ -258,8 +291,41 @@ def flatten_lights(lights, instance_mat, instance_first, instance_count):
     }
 
 
+def build_alias_tables(weights: np.ndarray):
+    """Walker/Vose alias tables for (rows, n) weights; native with a
+    Python fallback."""
+    weights = np.ascontiguousarray(weights, np.float32)
+    try:
+        from glaze_tpu import native
+
+        if native.lib is not None:
+            return native.lib.alias_build(weights)
+    except Exception:
+        pass
+    rows, n = weights.shape
+    prob = np.ones((rows, n), np.float32)
+    alias = np.tile(np.arange(n, dtype=np.int32), (rows, 1))
+    for r in range(rows):
+        w = np.maximum(weights[r].astype(np.float64), 0.0)
+        total = w.sum()
+        if total <= 0:
+            continue
+        scaled = w * n / total
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            prob[r, s] = scaled[s]
+            alias[r, s] = l
+            scaled[l] = (scaled[l] + scaled[s]) - 1.0
+            (small if scaled[l] < 1.0 else large).append(l)
+    return prob, alias
+
+
 def build_sky_tables(lights, textures):
-    """Sky importance tables (scene.rs:2191-2232 + build_sky_raytrace_buffers).
+    """Sky importance tables (scene.rs:2191-2232 + build_sky_raytrace_buffers)
+    re-expressed as alias tables for O(1) on-device sampling.
 
     Returns a dict of arrays; tex_id 0 disables the sky (both for miss
     radiance and NEE), matching ``SkyUniform.sky.tex_id > 0`` checks.
@@ -271,12 +337,15 @@ def build_sky_tables(lights, textures):
             "sky_intensity": np.float32(1.0),
             "sky_obj2world": np.eye(3, dtype=np.float32),
             "sky_world2obj": np.eye(3, dtype=np.float32),
-            "sky_marginal_cdf": np.array([0.0, 1.0], np.float32),
+            "sky_marg_prob": np.ones(1, np.float32),
+            "sky_marg_alias": np.zeros(1, np.int32),
             "sky_marginal_val": np.ones(1, np.float32),
             "sky_marginal_integral": np.float32(1.0),
-            "sky_cond_cdf": np.array([[0.0, 1.0]], np.float32),
-            "sky_cond_val": np.ones((1, 1), np.float32),
+            "sky_cond_prob": np.ones(1, np.float32),
+            "sky_cond_alias": np.zeros(1, np.int32),
+            "sky_cond_val": np.ones(1, np.float32),
             "sky_cond_integral": np.ones(1, np.float32),
+            "sky_cond_n": np.int32(1),
         }
     tex: Texture = textures[int(sky.resource_id)]
     arr = tex.array(0)
@@ -293,22 +362,26 @@ def build_sky_tables(lights, textures):
     spec = rgb_to_spectrum_np(lin, is_light=True)
     lum = np.clip((spec * CIE_Y).sum(-1) * np.float32(INVY_SUM), 0.0, 1.0)
     sint = np.sin(np.pi * (np.arange(h, dtype=np.float32) + 0.5) / h)
-    values = lum * sint[:, None]
+    values = lum * sint[:, None]  # (H, W)
     dist = Distribution2D(values.reshape(-1), w)
+    cond_integrals = np.maximum(dist.conditional_integrals(), 1e-20)
+    marg_prob, marg_alias = build_alias_tables(cond_integrals[None, :])
+    cond_prob, cond_alias = build_alias_tables(values)
     rot = sky.rotation_matrix()[:3, :3].astype(np.float32)
     return {
         "sky_tex": np.int32(sky.resource_id),
         "sky_intensity": np.float32(sky.intensity),
         "sky_obj2world": rot,
         "sky_world2obj": np.linalg.inv(rot).astype(np.float32),
-        "sky_marginal_cdf": dist.marginal().cdf().astype(np.float32),
+        "sky_marg_prob": marg_prob[0],
+        "sky_marg_alias": marg_alias[0],
         "sky_marginal_val": dist.marginal().values().astype(np.float32),
         "sky_marginal_integral": np.float32(max(dist.marginal().integral(), 1e-20)),
-        "sky_cond_cdf": dist.conditional_cdf().astype(np.float32),
-        "sky_cond_val": dist.conditional_values().astype(np.float32),
-        "sky_cond_integral": np.maximum(dist.conditional_integrals(), 1e-20).astype(
-            np.float32
-        ),
+        "sky_cond_prob": cond_prob.reshape(-1),
+        "sky_cond_alias": cond_alias.reshape(-1),
+        "sky_cond_val": dist.conditional_values().astype(np.float32).reshape(-1),
+        "sky_cond_integral": cond_integrals.astype(np.float32),
+        "sky_cond_n": np.int32(w),
     }
 
 
@@ -401,15 +474,34 @@ def flatten_scene(parsed):
 
     camera = cameras[0] if cameras else None
 
+    # fused transposed attribute table, in BVH order (see ATTR_* rows)
+    n_bvh = max(len(order), 1)
+    attr = np.zeros((ATTR_ROWS, n_bvh), np.float32)
+    p = tri_pos[order] if len(order) else tri_pos[:1]
+    nr = tri_nrm[order] if len(order) else tri_nrm[:1]
+    uv = tri_uv[order] if len(order) else tri_uv[:1]
+    attr[ATTR_V0:ATTR_V0 + 3] = p[:, 0].T
+    attr[ATTR_E1:ATTR_E1 + 3] = (p[:, 1] - p[:, 0]).T
+    attr[ATTR_E2:ATTR_E2 + 3] = (p[:, 2] - p[:, 0]).T
+    attr[ATTR_N0:ATTR_N0 + 3] = nr[:, 0].T
+    attr[ATTR_N1:ATTR_N1 + 3] = nr[:, 1].T
+    attr[ATTR_N2:ATTR_N2 + 3] = nr[:, 2].T
+    attr[ATTR_UV0:ATTR_UV0 + 2] = uv[:, 0].T
+    attr[ATTR_UV1:ATTR_UV1 + 2] = uv[:, 1].T
+    attr[ATTR_UV2:ATTR_UV2 + 2] = uv[:, 2].T
+    go = geom_n[order] if len(order) else geom_n[:1]
+    du = dpdu[order] if len(order) else dpdu[:1]
+    dv = dpdv[order] if len(order) else dpdv[:1]
+    attr[ATTR_GN:ATTR_GN + 3] = go.T
+    attr[ATTR_DPDU:ATTR_DPDU + 3] = du.T
+    attr[ATTR_DPDV:ATTR_DPDV + 3] = dv.T
+    tri_mat_bvh = tri_mat[order] if len(order) else tri_mat[:1]
+
     dev = DeviceScene(
         bvh=bvh,
-        tri_normals=jnp.asarray(tri_nrm[order]),
-        tri_uvs=jnp.asarray(tri_uv[order]),
-        tri_material=jnp.asarray(tri_mat[order]),
-        geom_normal=jnp.asarray(geom_n[order]),
-        dpdu=jnp.asarray(dpdu[order]),
-        dpdv=jnp.asarray(dpdv[order]),
-        tri_pos_orig=jnp.asarray(tri_pos),
+        tri_attr=jnp.asarray(attr.T.copy()),
+        tri_material=jnp.asarray(tri_mat_bvh),
+        tri_pos_orig=jnp.asarray(tri_pos.reshape(tri_pos.shape[0], 9)),
         **{k: jnp.asarray(v) for k, v in mats.items()},
         **{k: jnp.asarray(v) for k, v in lts.items()},
         **{k: jnp.asarray(v) for k, v in sky.items()},

@@ -30,6 +30,11 @@ from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
 from glaze_tpu.scene.flatten import flatten_scene
 
 
+def _accum(state):
+    """SoA accum tuple -> (P, 3) numpy array."""
+    return np.stack([np.asarray(c) for c in state.accum], axis=-1)
+
+
 class SceneBuilder:
     """Minimal duck-typed ParsedScene for tests."""
 
@@ -113,7 +118,9 @@ def test_direct_omni_lambert_analytic():
                          integrator=Integrator.DIRECT, seed=0)
     r.draw(1)
     state = r._state
-    accum = np.asarray(state.accum).reshape(16, 16, 3)
+    accum = np.stack(
+        [integ.to_image_np(state.accum[i], 16, 16) for i in range(3)], -1
+    )
     count = np.asarray(state.count)
     assert (count == 1).all()
 
@@ -161,8 +168,10 @@ def test_sky_furnace_empty_scene():
     r = RayTraceRenderer(sb, width=8, height=8,
                          integrator=Integrator.PATH_TRACE, seed=0)
     r.draw(2)
-    accum = np.asarray(r._state.accum)
-    count = np.asarray(r._state.count)
+    accum = np.stack(
+        [integ.to_image_np(r._state.accum[i], 8, 8) for i in range(3)], -1
+    ).reshape(-1, 3)
+    count = integ.to_image_np(r._state.count, 8, 8).reshape(-1)
     lin = ((200 / 255 + 0.055) / 1.055) ** 2.4
     expected = np.asarray(
         spectra.to_rgb(spectra.from_illuminant_color(jnp.full((3,), lin)))
@@ -178,7 +187,7 @@ def test_no_lights_no_accumulation():
     r = RayTraceRenderer(sb, width=8, height=8, seed=0)
     r.draw(1)
     assert (np.asarray(r._state.count) == 0).all()
-    assert (np.asarray(r._state.accum) == 0).all()
+    assert (_accum(r._state) == 0).all()
 
 
 def test_path_trace_converges_brighter_than_direct():
@@ -193,10 +202,10 @@ def test_path_trace_converges_brighter_than_direct():
     r_pt = RayTraceRenderer(sb, width=8, height=8,
                             integrator=Integrator.PATH_TRACE, seed=1)
     r_pt.draw(8)
-    d_mean = np.asarray(r_direct._state.accum).sum() / np.asarray(
+    d_mean = _accum(r_direct._state).sum() / np.asarray(
         r_direct._state.count
     ).mean()
-    p_mean = np.asarray(r_pt._state.accum).sum() / np.asarray(
+    p_mean = _accum(r_pt._state).sum() / np.asarray(
         r_pt._state.count
     ).mean()
     assert p_mean > 0 and d_mean > 0
@@ -223,7 +232,7 @@ def test_renderer_api_surface(mattest_path):
     # resolution change
     r.change_resolution(4, 4)
     r.draw_frame()
-    assert r._state.count.shape[0] == 16
+    assert r._state.count.shape[0] == integ.pixel_count(4, 4)
     # material/light update keeps shapes and restarts
     mats = list(r.host.materials)
     mats[0] = Material(name=mats[0].name, mtype=MaterialType.LAMBERT)
@@ -231,7 +240,7 @@ def test_renderer_api_surface(mattest_path):
     r.draw_frame()
     img = r.get_image()
     assert img.shape == (4, 4, 3)
-    assert np.isfinite(np.asarray(r._state.accum)).all()
+    assert np.isfinite(_accum(r._state)).all()
 
 
 def test_sharded_matches_unsharded():
@@ -257,7 +266,7 @@ def test_sharded_matches_unsharded():
         direct_only=False, steps=3,
     )
     np.testing.assert_allclose(
-        np.asarray(ref.accum), np.asarray(shr.accum), rtol=1e-5, atol=1e-6
+        _accum(ref), _accum(shr), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(shr.count))
 
@@ -273,6 +282,6 @@ def test_area_light_illuminates():
     r = RayTraceRenderer(sb, width=8, height=8,
                          integrator=Integrator.DIRECT, seed=2)
     r.draw(16)
-    accum = np.asarray(r._state.accum)
+    accum = _accum(r._state)
     assert np.isfinite(accum).all()
     assert accum.sum() > 0
