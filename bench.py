@@ -3,8 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): 200 Mrays/s/chip on Sponza-class scenes.
 Until a Sponza asset is available in-image, the workload is mattest.glaze
-(the reference's shipped scene, 138k world-space triangles) at 512x512,
-the BASELINE config #3 geometry.
+(the reference's shipped scene, 138k world-space triangles) at 512x512 —
+BASELINE config #3 geometry.
+
+Methodology: one warm-up render_steps call (compile), then timed calls of
+a 12-launch fused scan with fresh per-launch seeds (distinct inputs; the
+TPU tunnel dedupes identical executions, so repeat-same-args timing lies).
+A launch = one path-tracing bounce for every pixel (camera ray or bounce
+ray + NEE shadow ray); the Mrays metric counts primary/bounce rays like
+the reference's traceRayEXT launches.
 """
 
 from __future__ import annotations
@@ -17,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MRAYS = 200.0  # BASELINE.json target, Mrays/s/chip
+STEPS = 12
+REPEATS = 3
 
 
 def main():
@@ -26,7 +35,7 @@ def main():
 
     from glaze_tpu.parser import parse
     from glaze_tpu.render import integrator as integ
-    from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+    from glaze_tpu.render.renderer import RayTraceRenderer
     from glaze_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -40,25 +49,32 @@ def main():
         return
 
     parsed = parse(scene_path)
-    r = RayTraceRenderer(parsed, width=width, height=height,
-                         integrator=Integrator.PATH_TRACE, seed=3)
+    r = RayTraceRenderer(parsed, width=width, height=height, seed=3)
+    p = integ.pixel_count(width, height)
+    c2w, s2c = integ.camera_matrices(r.camera, width, height)
+    c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
+    kw = dict(width=width, height=height, is_persp=True, direct_only=False,
+              steps=STEPS)
+    rng = np.random.default_rng(7)
 
-    # warmup: compile + one chunk
-    r.draw(1)
-    jax.block_until_ready(r._state.accum)
+    def run(state):
+        seeds = jnp.asarray(rng.integers(0, 2**32, STEPS, dtype=np.uint32))
+        offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
+        return integ.render_steps(r.scene, state, seeds, offs, c2w, s2c, **kw)
 
-    spp = 8
-    steps = spp * Integrator.PATH_TRACE.steps_per_sample
-    t0 = time.perf_counter()
-    r.draw(spp)
-    jax.block_until_ready(r._state.accum)
-    dt = time.perf_counter() - t0
+    state = integ.init_state(width, height)
+    state = run(state)  # compile + warm
+    jax.block_until_ready(state.count)
 
-    # one launch = one ray per pixel (primary or bounce) + up to one shadow
-    # ray; count primary/bounce rays only (the reference's Mrays metric
-    # counts traceRayEXT launches per pixel the same way)
-    rays = width * height * steps
-    mrays = rays / dt / 1e6
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state = run(state)
+        jax.block_until_ready(state.count)
+        best = min(best, time.perf_counter() - t0)
+
+    rays = p * STEPS
+    mrays = rays / best / 1e6
     print(json.dumps({
         "metric": "mrays_per_sec",
         "value": round(mrays, 3),

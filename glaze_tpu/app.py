@@ -1,0 +1,238 @@
+"""glaze-app: interactive scene viewer/editor (port of app/src/*).
+
+The reference is a winit+imgui window (viewport.rs, ui.rs); this build runs
+on headless TPU hosts, so the same capabilities are exposed through an
+interactive command loop with a live-updating PNG (and optional ANSI
+terminal preview): WASD/QE camera movement and mouse-look equivalents
+(viewport.rs:157-247), materials editor, lights editor, render-scale
+setting, integrator toggle, stats, scene save/save-as (ui.rs:20-1140).
+Progressive accumulation keeps refining between commands, exactly like the
+reference's redraw loop.
+
+Usage: ``python -m glaze_tpu.app scene.glaze [--out /tmp/view.png]
+[--res 512x384] [--scale 1.0] [--terminal]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+
+HELP = """commands:
+  w/a/s/d/q/e [mag]   move camera (advance/strafe/elevate)
+  look <dx> <dy>      rotate view (degrees)
+  frames <n>          advance n progressive launches (default 8)
+  mat                 list materials
+  mat <id> type <t>   set material type (flat|lambert|mirror|glass|metal|frosted|uber)
+  mat <id> ior <v>    set dielectric ior
+  mat <id> metal <m>  set metal (e.g. GOLD, SILVER, COPPER)
+  mat <id> diffuse <r> <g> <b>   set diffuse multiplier (0-255)
+  light               list lights
+  light <id> intensity <v>
+  light <id> color <r> <g> <b>   (0-1 rgb, converted to spectrum)
+  light <id> pos <x> <y> <z>
+  light add omni|sun|area|sky
+  light del <id>
+  raytrace on|off     toggle path tracer vs direct-light preview
+  scale <v>           render scale (renderer.rs:283-315)
+  stats               fps / progressive sample count
+  save                in-place scene update (ParsedScene::update)
+  saveas <path>
+  shot <path>         write current frame as PNG
+  help                this text
+  quit
+"""
+
+
+def _terminal_preview(img, cols=64):
+    """Coarse ANSI block preview of the frame."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = max(1, int(cols * h / w / 2))
+    ys = (np.linspace(0, h - 1, rows)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    out = []
+    for y in ys:
+        line = []
+        for x in xs:
+            r, g, b = img[y, x][:3]
+            line.append(f"\x1b[48;2;{r};{g};{b}m ")
+        out.append("".join(line) + "\x1b[0m")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="glaze-app",
+                                description="Interactive glaze scene viewer")
+    p.add_argument("scene")
+    p.add_argument("--out", default="/tmp/glaze_view.png",
+                   help="live view PNG path")
+    p.add_argument("--res", default="512x384")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--terminal", action="store_true",
+                   help="print an ANSI preview after each command")
+    p.add_argument("--script", default=None,
+                   help="file with commands to run non-interactively")
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    from glaze_tpu.core import Light, LightType, Material, MaterialType, Metal, Spectrum
+    from glaze_tpu.parser import parse
+    from glaze_tpu.render.realtime import RealtimeRenderer
+    from glaze_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = (int(v) for v in args.res.lower().split("x"))
+    parsed = parse(args.scene)
+    rr = RealtimeRenderer(parsed, width=w, height=h, render_scale=args.scale)
+    print(f"loaded {args.scene}: {len(rr.materials())} materials, "
+          f"{len(rr.lights())} lights", file=sys.stderr)
+
+    def present(n=8):
+        img = None
+        for _ in range(max(1, n)):
+            img = rr.draw_frame()
+        Image.fromarray(img).save(args.out)
+        if args.terminal:
+            print(_terminal_preview(img))
+        print(f"[{rr.stats.fps:.1f} fps] view -> {args.out}", file=sys.stderr)
+
+    present(1)
+
+    if args.script:
+        lines = open(args.script).read().splitlines()
+        source = iter(lines)
+        def read():
+            try:
+                line = next(source)
+                print(f"> {line}", file=sys.stderr)
+                return line
+            except StopIteration:
+                return "quit"
+    else:
+        def read():
+            try:
+                return input("glaze> ")
+            except EOFError:
+                return "quit"
+
+    mtypes = {t.display_name.lower(): t for t in MaterialType if t != MaterialType.INTERNAL_FLAT_2SIDED}
+    mtypes.update({"lambert": MaterialType.LAMBERT, "flat": MaterialType.FLAT,
+                   "mirror": MaterialType.MIRROR, "glass": MaterialType.GLASS,
+                   "metal": MaterialType.METAL, "frosted": MaterialType.FROSTED,
+                   "uber": MaterialType.UBER, "generic (ggx)": MaterialType.UBER})
+    ltypes = {"omni": LightType.OMNI, "sun": LightType.SUN,
+              "area": LightType.AREA, "sky": LightType.SKY}
+
+    while True:
+        try:
+            line = read().strip()
+        except KeyboardInterrupt:
+            break
+        if not line:
+            present()
+            continue
+        parts = line.split()
+        cmd = parts[0].lower()
+        try:
+            if cmd in ("quit", "exit"):
+                break
+            elif cmd == "help":
+                print(HELP)
+            elif cmd in ("w", "a", "s", "d", "q", "e"):
+                mag = float(parts[1]) if len(parts) > 1 else 1.0
+                if cmd == "w":
+                    rr.advance(mag)
+                elif cmd == "s":
+                    rr.advance(-mag)
+                elif cmd == "a":
+                    rr.strafe(-mag)
+                elif cmd == "d":
+                    rr.strafe(mag)
+                elif cmd == "q":
+                    rr.elevate(-mag)
+                else:
+                    rr.elevate(mag)
+                present()
+            elif cmd == "look":
+                rr.look_around(math.radians(float(parts[1])),
+                               math.radians(float(parts[2])))
+                present()
+            elif cmd == "frames":
+                present(int(parts[1]) if len(parts) > 1 else 8)
+            elif cmd == "mat" and len(parts) == 1:
+                for i, m in enumerate(rr.materials()):
+                    print(f"  [{i}] {m.name}: {m.mtype.display_name} "
+                          f"ior={m.ior} metal={m.metal.display_name} "
+                          f"diffuse_mul={m.diffuse_mul}")
+            elif cmd == "mat":
+                mid = int(parts[1])
+                mat = rr.materials()[mid]
+                field = parts[2].lower()
+                if field == "type":
+                    mat.mtype = mtypes[parts[3].lower()]
+                elif field == "ior":
+                    mat.ior = float(parts[3])
+                elif field == "metal":
+                    mat.metal = Metal[parts[3].upper()]
+                elif field == "diffuse":
+                    mat.diffuse_mul = tuple(int(v) for v in parts[3:6])
+                rr.change_material(mid, mat)
+                present()
+            elif cmd == "light" and len(parts) == 1:
+                for i, l in enumerate(rr.lights()):
+                    print(f"  [{i}] {l.name or '(unnamed)'}: "
+                          f"{l.ltype.display_name} intensity={l.intensity}")
+            elif cmd == "light" and parts[1] == "add":
+                rr.update_light(len(rr.lights()),
+                                Light(ltype=ltypes[parts[2].lower()]))
+                present()
+            elif cmd == "light" and parts[1] == "del":
+                rr.remove_light(int(parts[2]))
+                present()
+            elif cmd == "light":
+                lid = int(parts[1])
+                light = rr.lights()[lid]
+                field = parts[2].lower()
+                if field == "intensity":
+                    light.intensity = float(parts[3])
+                elif field == "color":
+                    light.color = Spectrum.from_rgb(
+                        [float(v) for v in parts[3:6]], True)
+                elif field == "pos":
+                    import numpy as np
+
+                    light.position = np.asarray(
+                        [float(v) for v in parts[3:6]], np.float32)
+                rr.update_light(lid, light)
+                present()
+            elif cmd == "raytrace":
+                rr.use_raytracer = parts[1].lower() != "off"
+                present()
+            elif cmd == "scale":
+                rr.set_render_scale(float(parts[1]))
+                present()
+            elif cmd == "stats":
+                print(f"  fps={rr.stats.fps:.2f} "
+                      f"draws/s={rr.stats.draw_calls_per_sec:.2f}")
+            elif cmd == "save":
+                rr.save()
+                print("scene updated in place", file=sys.stderr)
+            elif cmd == "saveas":
+                rr.save_as(parts[1])
+                print(f"saved {parts[1]}", file=sys.stderr)
+            elif cmd == "shot":
+                Image.fromarray(rr.get_image()).save(parts[1])
+            else:
+                print(f"unknown command {cmd!r}; try 'help'")
+        except (IndexError, ValueError, KeyError) as err:
+            print(f"bad command: {err}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

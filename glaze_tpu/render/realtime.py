@@ -1,0 +1,196 @@
+"""RealtimeRenderer: interactive progressive rendering.
+
+Port of the reference's ``RealtimeRenderer`` (renderer.rs:90-545) reshaped
+for a headless TPU host: instead of a swapchain present loop it owns a
+RayTraceRenderer, advances it by one launch per ``draw_frame`` call, and
+hands frames to a pluggable presenter (PNG writer, terminal preview, or a
+user callback standing in for the winit window). Live edit methods map to
+the reference's update semantics: material/light changes rebuild the
+derived device buffers and restart accumulation; camera moves restart
+accumulation; ``save``/``save_as`` rewrite the scene file via the
+parser's in-place update (scene.rs:477-511).
+
+The raster preview path of the reference (forward pass + skydome) exists
+to give instant feedback while the path tracer warms up; here the
+progressive first-launch image appears in milliseconds, so the preview IS
+the first accumulation frame (set ``use_raytracer=False`` to show the
+flat-shaded DIRECT integrator pass instead, the closest analogue of the
+raster preview).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from glaze_tpu.core import Camera
+from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+
+
+class FrameStats:
+    """fps / draws-per-second window (renderer.rs:733-775)."""
+
+    def __init__(self):
+        self._window_start = time.perf_counter()
+        self._frames = 0
+        self.fps = 0.0
+        self.draw_calls_per_sec = 0.0
+
+    def tick(self):
+        self._frames += 1
+        now = time.perf_counter()
+        dt = now - self._window_start
+        if dt >= 1.0:
+            self.fps = self._frames / dt
+            self.draw_calls_per_sec = self.fps
+            self._frames = 0
+            self._window_start = now
+
+
+class RealtimeRenderer:
+    """Interactive progressive renderer with live scene edits."""
+
+    def __init__(self, parsed, width: int = 800, height: int = 600,
+                 render_scale: float = 1.0,
+                 presenter: Optional[Callable[[np.ndarray], None]] = None,
+                 seed=None):
+        self._parsed = parsed
+        self.render_scale = float(render_scale)
+        self.width = int(width)
+        self.height = int(height)
+        self.use_raytracer = True
+        self.presenter = presenter
+        self.stats = FrameStats()
+        self._rt = RayTraceRenderer(
+            parsed,
+            width=self._scaled(self.width),
+            height=self._scaled(self.height),
+            integrator=Integrator.PATH_TRACE,
+            seed=seed,
+        )
+        self._preview = RayTraceRenderer(
+            self._rt.scene,
+            camera=self._rt.camera,
+            width=self._scaled(self.width),
+            height=self._scaled(self.height),
+            integrator=Integrator.DIRECT,
+            seed=seed,
+        )
+        self._preview.host = self._rt.host
+
+    def _scaled(self, v: int) -> int:
+        return max(1, int(v * self.render_scale))
+
+    # -- reference API surface (renderer.rs) --------------------------------
+    def camera(self) -> Camera:
+        return self._rt.camera
+
+    def set_camera(self, camera: Camera):
+        self._rt.update_camera(camera)
+        self._preview.update_camera(camera)
+
+    def set_render_scale(self, scale: float):
+        """Resize the internal render targets (renderer.rs:283-315)."""
+        self.render_scale = float(scale)
+        w, h = self._scaled(self.width), self._scaled(self.height)
+        self._rt.change_resolution(w, h)
+        self._preview.change_resolution(w, h)
+
+    def update_render_size(self, width: int, height: int):
+        self.width, self.height = int(width), int(height)
+        self.set_render_scale(self.render_scale)
+
+    def change_material(self, mat_id: int, material):
+        """Live material edit (renderer.rs:368 -> scene.rs:232-321)."""
+        mats = list(self._rt.host.materials)
+        mats[mat_id] = material
+        self._rt.update_materials_and_lights(mats, self._rt.host.lights)
+        self._preview.scene = self._rt.scene
+        self._preview._request_new_frame = True
+
+    def update_light(self, light_id: int, light):
+        """Live light edit (ui.rs lights editor semantics)."""
+        lights = list(self._rt.host.lights)
+        if light_id < len(lights):
+            lights[light_id] = light
+        else:
+            lights.append(light)
+        self._rt.update_materials_and_lights(self._rt.host.materials, lights)
+        self._preview.scene = self._rt.scene
+        self._preview._request_new_frame = True
+
+    def remove_light(self, light_id: int):
+        lights = list(self._rt.host.lights)
+        del lights[light_id]
+        self._rt.update_materials_and_lights(self._rt.host.materials, lights)
+        self._preview.scene = self._rt.scene
+        self._preview._request_new_frame = True
+
+    def materials(self):
+        return self._rt.host.materials
+
+    def lights(self):
+        return self._rt.host.lights
+
+    # interactive camera controls forward to Camera (camera.rs:182-281)
+    def strafe(self, m: float):
+        self._rt.camera.strafe(m)
+        self.set_camera(self._rt.camera)
+
+    def advance(self, m: float):
+        self._rt.camera.advance(m)
+        self.set_camera(self._rt.camera)
+
+    def elevate(self, m: float):
+        self._rt.camera.elevate(m)
+        self.set_camera(self._rt.camera)
+
+    def look_around(self, theta: float, phi: float):
+        self._rt.camera.look_around(theta, phi)
+        self.set_camera(self._rt.camera)
+
+    # -- frame loop ----------------------------------------------------------
+    def draw_frame(self) -> np.ndarray:
+        """One progressive launch + present (renderer.rs:415-545)."""
+        active = self._rt if self.use_raytracer else self._preview
+        active.draw_frame()
+        frame = active.get_image()
+        self.stats.tick()
+        if self.presenter is not None:
+            self.presenter(frame)
+        return frame
+
+    def get_image(self) -> np.ndarray:
+        active = self._rt if self.use_raytracer else self._preview
+        return active.get_image()
+
+    # -- persistence (scene.rs:477-511) --------------------------------------
+    def save(self):
+        """In-place scene update (ParsedScene::update)."""
+        host = self._rt.host
+        self._parsed.update(
+            cameras=[self._rt.camera],
+            materials=host.materials,
+            lights=host.lights,
+            meta=host.meta,
+        )
+
+    def save_as(self, path: str):
+        from glaze_tpu.parser import Serializer
+
+        host = self._rt.host
+        (
+            Serializer(path)
+            .with_vertices(self._parsed.vertices())
+            .with_meshes(self._parsed.meshes())
+            .with_transforms(self._parsed.transforms())
+            .with_instances(self._parsed.instances())
+            .with_cameras([self._rt.camera])
+            .with_textures(host.textures)
+            .with_materials(host.materials)
+            .with_lights(host.lights)
+            .with_metadata(host.meta)
+            .serialize()
+        )
