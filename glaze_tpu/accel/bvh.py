@@ -35,18 +35,23 @@ INF = np.float32(np.inf)
 class BVH:
     """Device-resident BVH. ``tri`` holds (v0, e1, e2) rows, 9 floats.
 
-    ``nodes16``/``tri8`` are 128-lane-dense repacks of the same data for
-    the Pallas kernels (VMEM tiles waste nothing): 16 nodes per row at
-    8-lane stride, 8 triangles per row at 16-lane stride (9 used).
-    ``n_nodes``/``n_tris`` are STATIC pytree aux data so jitted code can
-    branch on them at trace time.
+    The tree is stored in EIGHT depth-first orders, one per ray-direction
+    octant, with children ordered near-first along that octant so the
+    stackless skip-link walk visits front-to-back (closest-hit t pruning
+    fires early). Leaves are padded to exactly LEAF_SIZE aligned triangles
+    (padding rows are degenerate) so a traversal kernel loads one packed
+    row per leaf. ``nodes``/``tri`` keep octant 0 in plain row layout for
+    the XLA fallback path; ``nodes16`` stacks all 8 octants 128-lane-dense
+    ((8*ceil(M/16), 128)); ``tri8`` packs 8 triangles per row at 16-lane
+    stride. ``n_nodes``/``n_tris`` are STATIC pytree aux data so jitted
+    code can branch on them at trace time.
     """
 
     def __init__(self, nodes, tri, nodes16, tri8, n_nodes: int, n_tris: int):
-        self.nodes = nodes  # (M, 8) float32, packed as documented above
-        self.tri = tri  # (N, 9) float32 v0/e1/e2, in BVH order
-        self.nodes16 = nodes16  # (ceil(M/16), 128) float32
-        self.tri8 = tri8  # (ceil(N/8), 128) float32
+        self.nodes = nodes  # (M, 8) float32, octant-0 layout
+        self.tri = tri  # (N_pad, 9) float32 v0/e1/e2, leaf-aligned order
+        self.nodes16 = nodes16  # (8*ceil(M/16), 128) float32, all octants
+        self.tri8 = tri8  # (ceil(N_pad/8), 128) float32
         self.n_nodes = int(n_nodes)
         self.n_tris = int(n_tris)
 
@@ -165,12 +170,128 @@ def build_host(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE) -> dict:
         return _numpy_median_build(tri_verts, leaf_size)
 
 
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _octants_from_flat(flat: dict, leaf_size: int) -> dict:
+    """NumPy re-emission of the 8 octant-ordered layouts (fallback mirror
+    of glaze_bvh_octants in the native lib)."""
+    m = flat["bmin"].shape[0]
+    first_in = flat["first"]
+    count_in = flat["count"]
+    skip_in = flat["skip"]
+    order_in = flat["tri_order"]
+    bmin_in = flat["bmin"]
+    bmax_in = flat["bmax"]
+
+    # padded, leaf-aligned triangle order
+    new_first = np.full(m, -1, np.int64)
+    order = []
+    pos = 0
+    for i in range(m):
+        if first_in[i] >= 0:
+            new_first[i] = pos
+            order.extend(order_in[first_in[i]:first_in[i] + count_in[i]])
+            order.extend([SENTINEL] * (leaf_size - count_in[i]))
+            pos += leaf_size
+    order = np.asarray(order, np.uint32) if order else np.zeros(0, np.uint32)
+
+    subtree = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if first_in[i] < 0:
+            left = i + 1
+            right = skip_in[left]
+            subtree[i] = 1 + subtree[left] + subtree[right]
+
+    centroid = (bmin_in + bmax_in) * 0.5
+    out = {
+        "bmin": np.empty((8, m, 3), np.float32),
+        "bmax": np.empty((8, m, 3), np.float32),
+        "first": np.empty((8, m), np.int32),
+        "count": np.empty((8, m), np.int32),
+        "skip": np.empty((8, m), np.int32),
+        "tri_order": order,
+    }
+    for oct_ in range(8):
+        d = np.asarray([
+            1.0 if oct_ & 1 else -1.0,
+            1.0 if oct_ & 2 else -1.0,
+            1.0 if oct_ & 4 else -1.0,
+        ], np.float32)
+        proj = centroid @ d
+        stack = [(0, m)]
+        slot = 0
+        while stack:
+            i, skip_slot = stack.pop()
+            my = slot
+            slot += 1
+            out["bmin"][oct_, my] = bmin_in[i]
+            out["bmax"][oct_, my] = bmax_in[i]
+            out["skip"][oct_, my] = skip_slot
+            if first_in[i] >= 0:
+                out["first"][oct_, my] = new_first[i]
+                out["count"][oct_, my] = count_in[i]
+            else:
+                out["first"][oct_, my] = -1
+                out["count"][oct_, my] = 0
+                left = i + 1
+                right = skip_in[left]
+                near, far = (left, right) if proj[left] <= proj[right] else (right, left)
+                far_slot = my + 1 + subtree[near]
+                stack.append((far, skip_slot))
+                stack.append((near, int(far_slot)))
+    return out
+
+
+def build_host_octants(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE) -> dict:
+    """8-octant layouts + padded leaf-aligned tri order; native or NumPy."""
+    tri_verts = np.ascontiguousarray(tri_verts, np.float32)
+    try:
+        from glaze_tpu import native
+
+        if native.lib is not None:
+            return native.lib.bvh_build_octants(tri_verts, leaf_size)
+    except Exception:
+        pass
+    return _octants_from_flat(build_host(tri_verts, leaf_size), leaf_size)
+
+
+def _pack_octant_nodes(oct_tables: dict, m: int) -> np.ndarray:
+    """All 8 octant node layouts, each lane-dense packed and padded to a
+    multiple of 8 rows (DMA slab starts must sit on (8, 128) tile
+    boundaries), stacked to (8*M16pad, 128)."""
+    packed = []
+    for o in range(8):
+        nodes = np.zeros((m, 8), np.float32)
+        nodes[:, 0:3] = oct_tables["bmin"][o]
+        nodes[:, 3:6] = oct_tables["bmax"][o]
+        is_leaf = oct_tables["first"][o] >= 0
+        meta = np.where(
+            is_leaf, oct_tables["first"][o] * 8 + oct_tables["count"][o], -1
+        ).astype(np.int32)
+        skip = np.where(
+            oct_tables["skip"][o] < 0, m, oct_tables["skip"][o]
+        ).astype(np.int32)
+        nodes[:, 6] = meta.view(np.float32)
+        nodes[:, 7] = skip.view(np.float32)
+        p = _pack_lane_dense(nodes, 16, 8)
+        rows8 = -(-p.shape[0] // 8) * 8
+        if rows8 != p.shape[0]:
+            p = np.concatenate(
+                [p, np.zeros((rows8 - p.shape[0], 128), np.float32)]
+            )
+        packed.append(p)
+        if o == 0:
+            nodes0 = nodes
+    return np.concatenate(packed, axis=0), nodes0
+
+
 def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     """Builds a device BVH over (N, 3, 3) world-space triangles.
 
-    Returns ``(bvh, tri_order)``: ``tri_order`` is the permutation applied to
-    triangles (callers must reorder per-triangle shading attributes with it
-    so hit indices line up).
+    Returns ``(bvh, tri_order)``: ``tri_order`` is the PADDED leaf-aligned
+    permutation (uint32; SENTINEL entries are leaf padding — callers must
+    zero those attribute rows).
     """
     tri_verts = np.ascontiguousarray(tri_verts, np.float32)
     n = tri_verts.shape[0]
@@ -179,40 +300,40 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
         meta = np.zeros((1, 2), np.int32)
         meta[0] = [0 * 8 + 0, 1]
         nodes[:, 6:8] = meta.view(np.float32)
-        tri0 = np.zeros((1, 9), np.float32)
+        tri0 = np.zeros((leaf_size, 9), np.float32)
+        n16 = _pack_lane_dense(nodes, 16, 8)
+        n16 = np.concatenate(
+            [n16, np.zeros((8 - n16.shape[0] % 8, 128), np.float32)]
+        ) if n16.shape[0] % 8 else n16
         return (
             BVH(
                 jnp.asarray(nodes),
                 jnp.asarray(tri0),
-                jnp.asarray(_pack_lane_dense(nodes, 16, 8)),
+                jnp.asarray(np.tile(n16, (8, 1))),
                 jnp.asarray(_pack_lane_dense(tri0, 8, 16)),
                 1,
                 0,
             ),
             np.zeros(0, np.uint32),
         )
-    flat = build_host(tri_verts, leaf_size)
-    m = flat["bmin"].shape[0]
-    order = flat["tri_order"]
-    tri_sorted = tri_verts[order]
+    oct_tables = build_host_octants(tri_verts, leaf_size)
+    m = oct_tables["bmin"].shape[1]
+    order = oct_tables["tri_order"]
+    sent = order == SENTINEL
+    safe = np.where(sent, 0, order).astype(np.int64)
+    tri_sorted = tri_verts[safe]
+    tri_sorted[sent] = 0.0  # degenerate padding rows never hit
     v0 = tri_sorted[:, 0]
     e1 = tri_sorted[:, 1] - v0
     e2 = tri_sorted[:, 2] - v0
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
 
-    nodes = np.zeros((m, 8), np.float32)
-    nodes[:, 0:3] = flat["bmin"]
-    nodes[:, 3:6] = flat["bmax"]
-    is_leaf = flat["first"] >= 0
-    meta = np.where(is_leaf, flat["first"] * 8 + flat["count"], -1).astype(np.int32)
-    skip = np.where(flat["skip"] < 0, m, flat["skip"]).astype(np.int32)
-    nodes[:, 6] = meta.view(np.float32)
-    nodes[:, 7] = skip.view(np.float32)
+    nodes16_oct, nodes0 = _pack_octant_nodes(oct_tables, m)
     return (
         BVH(
-            jnp.asarray(nodes),
+            jnp.asarray(nodes0),
             jnp.asarray(tri),
-            jnp.asarray(_pack_lane_dense(nodes, 16, 8)),
+            jnp.asarray(nodes16_oct),
             jnp.asarray(_pack_lane_dense(tri, 8, 16)),
             int(m),
             int(n),
@@ -297,7 +418,7 @@ def closest_hit(bvh: BVH, origin, direction, t_max=None):
 
         def leaf_step(k, carry):
             bt, btri, bu, bv = carry
-            tri_idx = jnp.minimum(first + k, bvh.n_tris - 1)
+            tri_idx = jnp.minimum(first + k, bvh.tri.shape[0] - 1)
             valid = box_hit & is_leaf & (k < count)
             trow = bvh.tri[tri_idx]
             t, u, v, hit = _tri_intersect(trow, origin, direction)
@@ -365,7 +486,7 @@ def any_hit(bvh: BVH, origin, direction, t_max, t_min=1e-3, active=None):
         count = meta & 7
 
         def leaf_step(k, acc):
-            tri_idx = jnp.minimum(first + k, bvh.n_tris - 1)
+            tri_idx = jnp.minimum(first + k, bvh.tri.shape[0] - 1)
             valid = box_hit & is_leaf & (k < count)
             t, _, _, hit = _tri_intersect(bvh.tri[tri_idx], origin, direction)
             return acc | (valid & hit & (t > t_min) & (t < t_max))

@@ -122,23 +122,30 @@ def _safe_inv(d):
     return jnp.where(tiny, 1e20, 1.0 / jnp.where(tiny, 1.0, d))
 
 
-def _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems):
-    """One-time DMA of the BVH tables into persistent VMEM scratch.
+def _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems):
+    """DMA of the BVH tables into persistent VMEM scratch.
 
-    Runs on grid step 0 only; TPU scratch persists across grid steps, so
-    later packets reuse the resident copy. (Streaming the tables through
-    the block pipeline instead measured 90 ms/call inside a fused scan —
-    the pipeline re-fetches full-array blocks per grid step.)
+    ``nodes_hbm`` stacks 8 octant-ordered layouts ((8*M16, 128)); each
+    packet copies the slab for ITS direction octant (~3 MB, a few us) so
+    the skip-link walk runs front-to-back. Triangles are octant-invariant
+    and copied once on grid step 0 (TPU scratch persists across steps).
+    Streaming tables through the block pipeline instead measured
+    90 ms/call inside a fused scan.
     """
+    m16 = nodes_hbm.shape[0] // 8
+    oct_ = oct_ref[pl.program_id(0)]
+    n = pltpu.make_async_copy(
+        nodes_hbm.at[pl.ds(oct_ * m16, m16), :], nodes_ref, sems.at[0]
+    )
+    n.start()
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
         t = pltpu.make_async_copy(tri_hbm, tri_ref, sems.at[1])
-        n.start()
         t.start()
-        n.wait()
         t.wait()
+
+    n.wait()
 
 
 def _tri_hit_rows(tri_rowb, base, ox, oy, oz, dx, dy, dz):
@@ -167,12 +174,12 @@ def _tri_hit_rows(tri_rowb, base, ox, oy, oz, dx, dy, dz):
     return t, u, v, hit
 
 
-def _closest_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                     dx_ref, dy_ref, dz_ref, tmax_ref,
                     t_ref, tri_out_ref, u_ref, v_ref,
                     nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
                     leaf_size):
-    _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems)
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -203,20 +210,19 @@ def _closest_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
         @pl.when(any_hit & is_leaf)
         def _():
-            first = meta >> 3
-            count = meta & 7
+            first = meta >> 3  # leaf_size-aligned; padding rows degenerate
             t_best = t_ref[:]
             tri_best = tri_out_ref[:]
             u_best = u_ref[:]
             v_best = v_ref[:]
+            trow, tslot = _load_row(tri_ref, first, 8)
+            base0 = tslot * 16
             for k in range(leaf_size):
-                tid = jnp.minimum(first + k, n_tris - 1)
-                trow, tslot = _load_row(tri_ref, tid, 8)
-                t, u, v, h = _tri_hit_rows(trow, tslot * 16, ox, oy, oz,
+                t, u, v, h = _tri_hit_rows(trow, base0 + k * 16, ox, oy, oz,
                                            dx, dy, dz)
-                better = h & (t < t_best) & (k < count) & hit
+                better = h & (t < t_best) & hit
                 t_best = jnp.where(better, t, t_best)
-                tri_best = jnp.where(better, tid, tri_best)
+                tri_best = jnp.where(better, first + k, tri_best)
                 u_best = jnp.where(better, u, u_best)
                 v_best = jnp.where(better, v, v_best)
             t_ref[:] = t_best
@@ -231,11 +237,11 @@ def _closest_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
 
 
-def _anyhit_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+def _anyhit_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, tmax_ref, active_ref,
                    hit_ref, nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
                    leaf_size, t_min):
-    _load_tables(nodes_hbm, tri_hbm, nodes_ref, tri_ref, sems)
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_max = tmax_ref[:]
@@ -268,15 +274,14 @@ def _anyhit_kernel(nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
         @pl.when(any_h & is_leaf)
         def _():
-            first = meta >> 3
-            count = meta & 7
+            first = meta >> 3  # leaf_size-aligned; padding rows degenerate
             b = blocked
+            trow, tslot = _load_row(tri_ref, first, 8)
+            base0 = tslot * 16
             for k in range(leaf_size):
-                tid = jnp.minimum(first + k, n_tris - 1)
-                trow, tslot = _load_row(tri_ref, tid, 8)
-                t, _, _, h = _tri_hit_rows(trow, tslot * 16, ox, oy, oz,
+                t, _, _, h = _tri_hit_rows(trow, base0 + k * 16, ox, oy, oz,
                                            dx, dy, dz)
-                new = h & (t > t_min) & (t < t_max) & (k < count) & hit
+                new = h & (t > t_min) & (t < t_max) & hit
                 b = jnp.maximum(b, new.astype(jnp.int32))
             hit_ref[:] = b
 
@@ -350,7 +355,8 @@ def _pack_rays(origin, direction, extra=()):
 
 
 def _ray_blk():
-    return pl.BlockSpec((PACKET_ROWS, LANES), lambda i: (i, 0),
+    # index_map takes (grid_idx, *scalar_prefetch_refs)
+    return pl.BlockSpec((PACKET_ROWS, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -360,10 +366,25 @@ def _hbm(a):
 
 def _table_scratch(nodes16, tri8):
     return [
-        pltpu.VMEM(nodes16.shape, jnp.float32),
+        pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),
         pltpu.VMEM(tri8.shape, jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+
+
+def _packet_octants(dx, dy, dz):
+    """Majority direction octant per packet, (grid, 1) int32."""
+    grid = dx.shape[0] // PACKET_ROWS
+
+    def mean(c):
+        return c.reshape(grid, PACKET_ROWS * LANES).sum(axis=1)
+
+    o = (
+        (mean(dx) >= 0).astype(jnp.int32)
+        + 2 * (mean(dy) >= 0).astype(jnp.int32)
+        + 4 * (mean(dz) >= 0).astype(jnp.int32)
+    )
+    return o  # (grid,) scalar-prefetch operand
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_tris", "leaf_size",
@@ -372,22 +393,27 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
                   n_tris, leaf_size, interpret):
     rows = ox.shape[0]
     grid = rows // PACKET_ROWS
+    octs = _packet_octants(dx, dy, dz)
     kernel = functools.partial(_closest_kernel, n_nodes=n_nodes,
                                n_tris=n_tris, leaf_size=leaf_size)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[_hbm(nodes16), _hbm(tri8)] + [_ray_blk() for _ in range(7)],
         out_specs=[_ray_blk() for _ in range(4)],
+        scratch_shapes=_table_scratch(nodes16, tri8),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
-        scratch_shapes=_table_scratch(nodes16, tri8),
         interpret=interpret,
-    )(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax)
+    )(octs, nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax)
 
 
 def closest_hit_soa(bvh, origin3, direction3, t_max=None,
@@ -485,17 +511,22 @@ def _anyhit_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active, *,
                  n_nodes, n_tris, leaf_size, t_min, interpret):
     rows = ox.shape[0]
     grid = rows // PACKET_ROWS
+    octs = _packet_octants(dx, dy, dz)
     kernel = functools.partial(_anyhit_kernel, n_nodes=n_nodes, n_tris=n_tris,
                                leaf_size=leaf_size, t_min=t_min)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[_hbm(nodes16), _hbm(tri8)] + [_ray_blk() for _ in range(8)],
         out_specs=_ray_blk(),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         scratch_shapes=_table_scratch(nodes16, tri8),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         interpret=interpret,
-    )(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active)
+    )(octs, nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active)
 
 
 def any_hit_pallas(bvh, origin, direction, t_max, t_min=1e-3,

@@ -48,6 +48,16 @@ class _NativeLib:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        self._lib.glaze_bvh_octants.restype = ctypes.c_void_p
+        self._lib.glaze_bvh_octants.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        self._lib.glaze_oct8_node_count.restype = ctypes.c_int32
+        self._lib.glaze_oct8_node_count.argtypes = [ctypes.c_void_p]
+        self._lib.glaze_oct8_padded_tris.restype = ctypes.c_uint64
+        self._lib.glaze_oct8_padded_tris.argtypes = [ctypes.c_void_p]
+        self._lib.glaze_oct8_export.restype = None
+        self._lib.glaze_oct8_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        self._lib.glaze_oct8_free.restype = None
+        self._lib.glaze_oct8_free.argtypes = [ctypes.c_void_p]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.glaze_xxh64(data, len(data), seed)
@@ -96,6 +106,51 @@ class _NativeLib:
                 skip.ctypes.data_as(ctypes.c_void_p),
                 order.ctypes.data_as(ctypes.c_void_p),
             )
+        finally:
+            self._lib.glaze_bvh_free(handle)
+        return {
+            "bmin": bmin,
+            "bmax": bmax,
+            "first": first,
+            "count": count,
+            "skip": skip,
+            "tri_order": order,
+        }
+
+    def bvh_build_octants(self, tri_verts: np.ndarray, leaf_size: int = 4):
+        """Builds the BVH and re-emits it in 8 octant-ordered DFS layouts
+        with leaf-aligned padded triangle order (sentinel 0xFFFFFFFF).
+
+        Returns dict: bmin/bmax (8, M, 3), first/count/skip (8, M),
+        tri_order (N_pad,) uint32.
+        """
+        tri = np.ascontiguousarray(tri_verts, dtype=np.float32)
+        n = tri.shape[0]
+        handle = self._lib.glaze_bvh_build(
+            tri.ctypes.data_as(ctypes.c_void_p), n, leaf_size
+        )
+        try:
+            oct8 = self._lib.glaze_bvh_octants(handle, leaf_size)
+            try:
+                m = self._lib.glaze_oct8_node_count(oct8)
+                n_pad = self._lib.glaze_oct8_padded_tris(oct8)
+                bmin = np.empty((8, m, 3), np.float32)
+                bmax = np.empty((8, m, 3), np.float32)
+                first = np.empty((8, m), np.int32)
+                count = np.empty((8, m), np.int32)
+                skip = np.empty((8, m), np.int32)
+                order = np.empty(n_pad, np.uint32)
+                self._lib.glaze_oct8_export(
+                    oct8,
+                    bmin.ctypes.data_as(ctypes.c_void_p),
+                    bmax.ctypes.data_as(ctypes.c_void_p),
+                    first.ctypes.data_as(ctypes.c_void_p),
+                    count.ctypes.data_as(ctypes.c_void_p),
+                    skip.ctypes.data_as(ctypes.c_void_p),
+                    order.ctypes.data_as(ctypes.c_void_p),
+                )
+            finally:
+                self._lib.glaze_oct8_free(oct8)
         finally:
             self._lib.glaze_bvh_free(handle)
         return {

@@ -285,6 +285,139 @@ void glaze_bvh_export(void* handle, float* bmin, float* bmax, int32_t* first,
 void glaze_bvh_free(void* handle) { delete (BvhHandle*)handle; }
 
 // ---------------------------------------------------------------------------
+// Octant-ordered flat layouts.
+//
+// Re-emits the SAME tree in 8 depth-first orders, one per ray-direction
+// octant, with children ordered near-first along that direction (box
+// centroid dot octant sign vector). Skip-link traversal then visits front-
+// to-back, so closest-hit t pruning fires early without a stack. Leaves
+// are padded to exactly `leaf_size` triangles at aligned offsets so the
+// traversal kernel loads one packed row per leaf; padding slots are
+// 0xFFFFFFFF in tri_order (callers emit degenerate triangles for them).
+// ---------------------------------------------------------------------------
+
+struct Oct8Handle {
+  // per octant: (M,3) bmin/bmax, (M,) first/count/skip
+  std::vector<float> bmin, bmax;       // 8*M*3
+  std::vector<int32_t> first, count, skip;  // 8*M
+  std::vector<uint32_t> tri_order;     // padded to n_leaves*leaf_size
+  int32_t node_count = 0;
+  uint64_t padded_tris = 0;
+};
+
+// Build the 8-octant layouts from an existing BVH handle.
+void* glaze_bvh_octants(void* handle, uint32_t leaf_size) {
+  auto* src = (BvhHandle*)handle;
+  auto* out = new Oct8Handle();
+  int32_t m = src->node_count;
+  out->node_count = m;
+  if (m == 0) return out;
+  const auto& f = src->flat;
+
+  // reconstruct children: internal node i has left = i+1, right = skip[i+1]
+  // (left child's skip link always points at its right sibling)
+  // assign padded leaf ranges in DFS order of the ORIGINAL layout
+  std::vector<int32_t> new_first(m, -1);
+  uint64_t pos = 0;
+  for (int32_t i = 0; i < m; i++) {
+    if (f.first[i] >= 0) {
+      new_first[i] = (int32_t)pos;
+      for (int32_t k = 0; k < f.count[i]; k++)
+        out->tri_order.push_back(src->tri_order[f.first[i] + k]);
+      for (int32_t k = f.count[i]; k < (int32_t)leaf_size; k++)
+        out->tri_order.push_back(0xFFFFFFFFu);
+      pos += leaf_size;
+    }
+  }
+  out->padded_tris = pos;
+
+  out->bmin.resize((size_t)8 * m * 3);
+  out->bmax.resize((size_t)8 * m * 3);
+  out->first.resize((size_t)8 * m);
+  out->count.resize((size_t)8 * m);
+  out->skip.resize((size_t)8 * m);
+
+  std::vector<int32_t> order(m);   // DFS emit order per octant
+  std::vector<int32_t> subtree(m); // subtree sizes (same for all octants)
+  // subtree sizes via reverse pass over original DFS order
+  for (int32_t i = m - 1; i >= 0; i--) {
+    if (f.first[i] >= 0) subtree[i] = 1;
+    else {
+      int32_t left = i + 1;
+      int32_t right = f.skip[left];
+      subtree[i] = 1 + subtree[left] + subtree[right];
+    }
+  }
+
+  for (int oct = 0; oct < 8; oct++) {
+    float dx = (oct & 1) ? 1.f : -1.f;
+    float dy = (oct & 2) ? 1.f : -1.f;
+    float dz = (oct & 4) ? 1.f : -1.f;
+    float* ob_min = out->bmin.data() + (size_t)oct * m * 3;
+    float* ob_max = out->bmax.data() + (size_t)oct * m * 3;
+    int32_t* o_first = out->first.data() + (size_t)oct * m;
+    int32_t* o_count = out->count.data() + (size_t)oct * m;
+    int32_t* o_skip = out->skip.data() + (size_t)oct * m;
+    // iterative DFS emitting (node, skip_slot) pairs
+    struct Item { int32_t node; int32_t skip_slot; };
+    std::vector<Item> stack;
+    stack.push_back({0, m});
+    int32_t slot = 0;
+    while (!stack.empty()) {
+      Item it = stack.back(); stack.pop_back();
+      int32_t i = it.node;
+      int32_t my = slot++;
+      for (int k = 0; k < 3; k++) {
+        ob_min[(size_t)my * 3 + k] = f.bmin[(size_t)i * 3 + k];
+        ob_max[(size_t)my * 3 + k] = f.bmax[(size_t)i * 3 + k];
+      }
+      o_skip[my] = it.skip_slot;
+      if (f.first[i] >= 0) {
+        o_first[my] = new_first[i];
+        o_count[my] = f.count[i];
+      } else {
+        o_first[my] = -1;
+        o_count[my] = 0;
+        int32_t left = i + 1;
+        int32_t right = f.skip[left];
+        // near child first: smaller centroid projection along (dx,dy,dz)
+        auto proj = [&](int32_t n) {
+          float cx = 0.5f * (f.bmin[(size_t)n * 3] + f.bmax[(size_t)n * 3]);
+          float cy = 0.5f * (f.bmin[(size_t)n * 3 + 1] + f.bmax[(size_t)n * 3 + 1]);
+          float cz = 0.5f * (f.bmin[(size_t)n * 3 + 2] + f.bmax[(size_t)n * 3 + 2]);
+          return cx * dx + cy * dy + cz * dz;
+        };
+        int32_t near_c = left, far_c = right;
+        if (proj(right) < proj(left)) { near_c = right; far_c = left; }
+        // DFS: near child at my+1 (skip -> far child's slot), far child
+        // after near's subtree (skip -> our skip)
+        int32_t far_slot = my + 1 + subtree[near_c];
+        stack.push_back({far_c, it.skip_slot});
+        stack.push_back({near_c, far_slot});
+      }
+    }
+  }
+  return out;
+}
+
+int32_t glaze_oct8_node_count(void* h) { return ((Oct8Handle*)h)->node_count; }
+uint64_t glaze_oct8_padded_tris(void* h) { return ((Oct8Handle*)h)->padded_tris; }
+
+void glaze_oct8_export(void* h, float* bmin, float* bmax, int32_t* first,
+                       int32_t* count, int32_t* skip, uint32_t* tri_order) {
+  auto* o = (Oct8Handle*)h;
+  size_t m = o->node_count;
+  memcpy(bmin, o->bmin.data(), 8 * m * 3 * sizeof(float));
+  memcpy(bmax, o->bmax.data(), 8 * m * 3 * sizeof(float));
+  memcpy(first, o->first.data(), 8 * m * sizeof(int32_t));
+  memcpy(count, o->count.data(), 8 * m * sizeof(int32_t));
+  memcpy(skip, o->skip.data(), 8 * m * sizeof(int32_t));
+  memcpy(tri_order, o->tri_order.data(), o->tri_order.size() * sizeof(uint32_t));
+}
+
+void glaze_oct8_free(void* h) { delete (Oct8Handle*)h; }
+
+// ---------------------------------------------------------------------------
 // Walker/Vose alias tables for O(1) discrete sampling (replaces the GPU
 // binary-search CDF inversion of the sky importance tables).
 // Builds tables for `rows` independent distributions of `n` entries each.

@@ -465,7 +465,13 @@ def flatten_scene(parsed):
     )
 
     bvh, order = build_bvh(tri_pos)
-    order = np.asarray(order, np.int64)
+    # the order is leaf-aligned and padded; sentinel entries are padding
+    # whose attribute rows must be zeroed (their triangles are degenerate)
+    from glaze_tpu.accel.bvh import SENTINEL
+
+    order = np.asarray(order)
+    sentinel_rows = order == SENTINEL
+    order = np.where(sentinel_rows, 0, order).astype(np.int64)
 
     mats = flatten_materials(materials)
     lts = flatten_lights(lights, inst_mat, inst_first, inst_count)
@@ -480,6 +486,10 @@ def flatten_scene(parsed):
     p = tri_pos[order] if len(order) else tri_pos[:1]
     nr = tri_nrm[order] if len(order) else tri_nrm[:1]
     uv = tri_uv[order] if len(order) else tri_uv[:1]
+    if len(order):
+        p = np.where(sentinel_rows[:, None, None], 0.0, p)
+        nr = np.where(sentinel_rows[:, None, None], 0.0, nr)
+        uv = np.where(sentinel_rows[:, None, None], 0.0, uv)
     attr[ATTR_V0:ATTR_V0 + 3] = p[:, 0].T
     attr[ATTR_E1:ATTR_E1 + 3] = (p[:, 1] - p[:, 0]).T
     attr[ATTR_E2:ATTR_E2 + 3] = (p[:, 2] - p[:, 0]).T
@@ -492,10 +502,16 @@ def flatten_scene(parsed):
     go = geom_n[order] if len(order) else geom_n[:1]
     du = dpdu[order] if len(order) else dpdu[:1]
     dv = dpdv[order] if len(order) else dpdv[:1]
+    if len(order):
+        go = np.where(sentinel_rows[:, None], 0.0, go)
+        du = np.where(sentinel_rows[:, None], 0.0, du)
+        dv = np.where(sentinel_rows[:, None], 0.0, dv)
     attr[ATTR_GN:ATTR_GN + 3] = go.T
     attr[ATTR_DPDU:ATTR_DPDU + 3] = du.T
     attr[ATTR_DPDV:ATTR_DPDV + 3] = dv.T
     tri_mat_bvh = tri_mat[order] if len(order) else tri_mat[:1]
+    if len(order):
+        tri_mat_bvh = np.where(sentinel_rows, 0, tri_mat_bvh)
 
     dev = DeviceScene(
         bvh=bvh,
