@@ -32,6 +32,7 @@ from glaze_tpu.core import (
     Transform,
     Vertex,
 )
+from glaze_tpu.instance import DeviceInfo, PresentInstance, RayTraceInstance
 from glaze_tpu.parser import Meta, NoScene, ParserVersion, Serializer, converted_file, parse
 
 __version__ = "0.1.0"
@@ -43,6 +44,7 @@ __all__ = [
     "TextureFormat", "TextureInfo", "Transform", "Vertex",
     "Meta", "NoScene", "ParserVersion", "Serializer", "converted_file", "parse",
     "RayTraceRenderer", "RealtimeRenderer", "Integrator",
+    "DeviceInfo", "PresentInstance", "RayTraceInstance",
 ]
 
 

@@ -361,7 +361,7 @@ def _ray_blk():
 
 
 def _hbm(a):
-    return pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.BlockSpec(memory_space=pl.ANY)
 
 
 def _table_scratch(nodes16, tri8):

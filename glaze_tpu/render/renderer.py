@@ -206,3 +206,53 @@ class RayTraceRenderer:
         from PIL import Image
 
         Image.fromarray(self.get_image()).save(path)
+
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference has no render checkpointing (SURVEY §5) — a restart
+    # loses accumulation. Here the progressive state IS the checkpoint:
+    # persist (accum, count, path state, host RNG) and resume exactly.
+    def save_checkpoint(self, path: str):
+        """Serializes the progressive accumulation state to ``path``."""
+        leaves, treedef = jax.tree.flatten(self._state)
+        np.savez_compressed(
+            path,
+            n_leaves=len(leaves),
+            width=self.width,
+            height=self.height,
+            integrator=self.integrator.value,
+            # PCG64 state words are 128-bit ints; store as decimal strings
+            rng_state=str(self._rng.bit_generator.state["state"]["state"]),
+            rng_inc=str(self._rng.bit_generator.state["state"]["inc"]),
+            scheduler_current=(
+                np.asarray(self._scheduler.current, np.float32)
+                if self._scheduler.current else np.zeros((0, 2, 2), np.float32)
+            ),
+            scheduler_next=(
+                np.asarray(self._scheduler.next, np.float32)
+                if self._scheduler.next else np.zeros((0, 2, 2), np.float32)
+            ),
+            **{f"leaf_{i}": np.asarray(jax.device_get(l))
+               for i, l in enumerate(leaves)},
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restores a checkpoint written by :meth:`save_checkpoint`."""
+        from glaze_tpu.render.scheduler import WorkScheduler
+
+        data = np.load(path, allow_pickle=False)
+        if int(data["width"]) != self.width or int(data["height"]) != self.height:
+            self.change_resolution(int(data["width"]), int(data["height"]))
+        self.integrator = Integrator(str(data["integrator"]))
+        leaves = [jnp.asarray(data[f"leaf_{i}"])
+                  for i in range(int(data["n_leaves"]))]
+        _, treedef = jax.tree.flatten(self._state)
+        self._state = jax.tree.unflatten(treedef, leaves)
+        state = self._rng.bit_generator.state
+        state["state"]["state"] = int(str(data["rng_state"]))
+        state["state"]["inc"] = int(str(data["rng_inc"]))
+        self._rng.bit_generator.state = state
+        sched = WorkScheduler()
+        sched.current = [tuple(map(tuple, a)) for a in data["scheduler_current"]]
+        sched.next = [tuple(map(tuple, a)) for a in data["scheduler_next"]]
+        self._scheduler = sched
+        self._request_new_frame = False

@@ -1,0 +1,143 @@
+"""Checkpoint/resume, instances, scheduler, sky alias distribution, and
+Pallas interpret-mode kernel tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from glaze_tpu.instance import PresentInstance, RayTraceInstance
+from glaze_tpu.render.scheduler import WorkScheduler
+
+
+def test_instances():
+    inst = RayTraceInstance.new()
+    assert inst is not None
+    assert inst.supports_raytrace()
+    assert "cpu" in inst.info.platform.lower() or inst.is_accelerated
+    assert PresentInstance.new() is not None
+
+
+def test_work_scheduler_quadtree():
+    """First samples match the reference's subdivision order
+    (raytracer.rs:1161-1206): centre first, then quadrant midpoints."""
+    ws = WorkScheduler()
+    first = next(ws)
+    assert first == (0.5, 0.5)
+    batch = [next(ws) for _ in range(4)]
+    assert set(batch) == {(0.75, 0.75), (0.25, 0.25), (0.75, 0.25), (0.25, 0.75)}
+    # endless + rewind
+    ws.take(100)
+    ws.rewind()
+    assert next(ws) == (0.5, 0.5)
+
+
+def test_checkpoint_resume(tmp_path):
+    import __graft_entry__ as graft
+    from glaze_tpu.render.renderer import RayTraceRenderer
+
+    scene, camera = graft._tiny_scene(16, 16)
+    r1 = RayTraceRenderer(scene, camera=camera, width=16, height=16, seed=9)
+    r1.draw(2)
+    ckpt = str(tmp_path / "state.npz")
+    r1.save_checkpoint(ckpt)
+    r1.draw(1)
+    img_expected = r1.get_image()
+
+    r2 = RayTraceRenderer(scene, camera=camera, width=16, height=16, seed=9)
+    r2.load_checkpoint(ckpt)
+    r2.draw(1)
+    np.testing.assert_array_equal(r2.get_image(), img_expected)
+
+
+def test_sky_alias_matches_distribution():
+    """Alias-table sky sampling reproduces the luminance*sin distribution."""
+    from glaze_tpu.scene.flatten import build_alias_tables
+
+    rng = np.random.default_rng(0)
+    weights = rng.random((4, 64)).astype(np.float32) ** 3
+    prob, alias = build_alias_tables(weights)
+    # sample a lot and compare histogram to normalized weights
+    n = 200000
+    r = rng.random(n).astype(np.float32)
+    row = 2
+    j = np.minimum((r * 64).astype(np.int32), 63)
+    frac = r * 64 - j
+    accept = frac < prob[row, j]
+    jf = np.where(accept, j, alias[row, j])
+    hist = np.bincount(jf, minlength=64) / n
+    expect = weights[row] / weights[row].sum()
+    assert np.abs(hist - expect).max() < 0.01
+
+
+def test_pallas_kernels_interpret_mode():
+    """The traversal kernels run under the Pallas interpreter on CPU and
+    agree with the XLA reference path."""
+    from glaze_tpu.accel import build_bvh, closest_hit, any_hit
+    from glaze_tpu.accel.traverse_pallas import any_hit_soa, closest_hit_soa
+
+    rng = np.random.default_rng(3)
+    ntri = 60
+    c = rng.uniform(-4, 4, (ntri, 1, 3)).astype(np.float32)
+    tri = (c + rng.uniform(-0.5, 0.5, (ntri, 3, 3))).astype(np.float32)
+    bvh, order = build_bvh(tri)
+    R = 2048
+    o = rng.uniform(-5, 5, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+
+    res_p = closest_hit_soa(bvh, o3, d3, interpret=True)
+    res_x = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d))
+    tp_ = np.asarray(res_p["t"])
+    tx = np.asarray(res_x["t"])
+    m = ~np.isinf(tx)
+    assert (np.isinf(tp_) == np.isinf(tx)).all()
+    np.testing.assert_allclose(tp_[m], tx[m], rtol=1e-4)
+    assert (np.asarray(res_p["tri"])[m] == np.asarray(res_x["tri"])[m]).all()
+
+    tmax = jnp.full((R,), 4.0, jnp.float32)
+    ah_p = np.asarray(any_hit_soa(bvh, o3, d3, tmax, interpret=True))
+    ah_x = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d), tmax))
+    assert (ah_p == ah_x).all()
+
+
+def test_octant_layouts_consistent():
+    """All 8 octant node orders describe the same tree: traversing with a
+    deliberately WRONG octant still returns identical hits (order affects
+    speed, not results)."""
+    from glaze_tpu.accel import build_bvh
+    from glaze_tpu.accel import traverse_pallas as tp
+
+    rng = np.random.default_rng(4)
+    ntri = 40
+    c = rng.uniform(-4, 4, (ntri, 1, 3)).astype(np.float32)
+    tri = (c + rng.uniform(-0.5, 0.5, (ntri, 3, 3))).astype(np.float32)
+    bvh, _ = build_bvh(tri)
+    R = 2048
+    o = rng.uniform(-5, 5, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+
+    ref = None
+    orig = tp._packet_octants
+    try:
+        for forced in (0, 3, 7):
+            tp._packet_octants = (
+                lambda dx, dy, dz, f=forced: jnp.full(
+                    (dx.shape[0] // tp.PACKET_ROWS,), f, jnp.int32
+                )
+            )
+            res = tp.closest_hit_soa(bvh, o3, d3, interpret=True)
+            t = np.asarray(res["t"])
+            if ref is None:
+                ref = t
+            else:
+                np.testing.assert_allclose(
+                    np.where(np.isinf(t), 1e30, t),
+                    np.where(np.isinf(ref), 1e30, ref), rtol=1e-5)
+    finally:
+        tp._packet_octants = orig
