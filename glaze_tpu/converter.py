@@ -304,16 +304,24 @@ def default_camera(radius):
 
 def convert(input_path, output_path, gen_mipmaps=False):
     ext = os.path.splitext(input_path)[1].lower()
-    if ext != ".obj":
+    if ext == ".obj":
+        vertices, meshes, materials, textures, lights = import_obj(input_path)
+        transforms = [Transform.identity()]
+        instances = [MeshInstance(m.id, 0) for m in meshes]
+        cameras = []
+    elif ext in (".gltf", ".glb"):
+        from glaze_tpu.gltf import import_gltf
+
+        (vertices, meshes, materials, textures, lights, cameras,
+         transforms, instances) = import_gltf(input_path)
+    else:
         raise SystemExit(
-            f"Unsupported input format {ext!r}: this build imports OBJ natively"
-            " (assimp is not available in the TPU image)."
+            f"Unsupported input format {ext!r}: this build imports OBJ and "
+            "glTF/GLB natively (assimp is not available in the TPU image)."
         )
-    vertices, meshes, materials, textures, lights = import_obj(input_path)
-    transforms = [Transform.identity()]
-    instances = [MeshInstance(m.id, 0) for m in meshes]
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
-    cameras = [default_camera(radius)]
+    if not cameras:
+        cameras = [default_camera(radius)]
     if gen_mipmaps:
         for t in textures:
             # only power-of-two textures can mip (texture.rs)

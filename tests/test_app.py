@@ -137,3 +137,88 @@ def test_app_scripted(tmp_path):
     p = parse(str(edited))
     assert p.materials()[1].mtype == MaterialType.MIRROR
     assert any(l.ltype == LightType.OMNI for l in p.lights())
+
+
+def test_gltf_converter(tmp_path):
+    """Minimal glTF with node transforms, PBR material, punctual light."""
+    import base64
+    import json
+    import struct
+
+    # one quad: 4 vertices, 2 triangles
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1))
+    idx = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    buf = pos.tobytes() + nrm.tobytes() + idx.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1, 2]}],
+        "nodes": [
+            {"mesh": 0},
+            {"mesh": 0, "translation": [3, 0, 0], "scale": [2, 2, 2]},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}},
+             "translation": [0, 5, 0]},
+        ],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "point", "intensity": 7.0, "color": [1, 0.5, 0.25]}
+        ]}},
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "materials": [{
+            "name": "quadmat",
+            "pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.2, 0.1, 1.0]},
+            "emissiveFactor": [0.0, 1.0, 0.0],
+        }],
+        "buffers": [{
+            "byteLength": len(buf),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(buf).decode(),
+        }],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+    }
+    src = tmp_path / "scene.gltf"
+    src.write_text(json.dumps(gltf))
+    out = tmp_path / "scene.glaze"
+    from glaze_tpu.converter import convert
+
+    nv, nm = convert(str(src), str(out))
+    assert nv == 4 and nm == 1
+    p = parse(str(out))
+    assert len(p.instances()) == 2  # two nodes reference the mesh
+    tfs = p.transforms()
+    used = {i.transform_id for i in p.instances()}
+    assert len(used) == 2  # identity + translated/scaled
+    scaled = [tfs[t].m for t in used if tfs[t].m[0, 3] == 3.0]
+    assert len(scaled) == 1 and scaled[0][0, 0] == 2.0
+    mats = p.materials()
+    assert mats[1].name == "quadmat"
+    assert mats[1].diffuse_mul == (int(0.8 * 255), int(0.2 * 255), int(0.1 * 255))
+    assert mats[1].emissive_col is not None
+    ls = p.lights()
+    kinds = sorted(l.ltype for l in ls)
+    assert LightType.OMNI in kinds and LightType.AREA in kinds
+    omni = next(l for l in ls if l.ltype == LightType.OMNI)
+    assert abs(omni.intensity - 7.0) < 1e-6
+    assert np.allclose(omni.position, [0, 5, 0])
+
+    # renders end-to-end
+    from glaze_tpu.render.renderer import RayTraceRenderer
+
+    r = RayTraceRenderer(p, width=16, height=16, seed=0)
+    r.draw(1)
+    assert np.isfinite(np.asarray(r._state.count)).all()
