@@ -398,7 +398,10 @@ def closest_hit(bvh: BVH, origin, direction, t_max=None):
         jnp.float32(1e20) * jnp.sign(direction) + jnp.float32(1e20) * (direction == 0.0),
         1.0 / direction,
     )
-    t0 = jnp.full((r,), INF if t_max is None else t_max, jnp.float32)
+    if t_max is None:
+        t0 = jnp.full((r,), INF, jnp.float32)
+    else:
+        t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
 
     def cond(state):
         ptr = state[0]

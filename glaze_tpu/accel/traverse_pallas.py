@@ -425,7 +425,10 @@ def closest_hit_soa(bvh, origin3, direction3, t_max=None,
     from glaze_tpu.accel.bvh import LEAF_SIZE
 
     r = origin3[0].shape[0]
-    cap = jnp.full((r,), np.inf if t_max is None else t_max, jnp.float32)
+    if t_max is None:
+        cap = jnp.full((r,), np.inf, jnp.float32)
+    else:
+        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     comps, rows, total = _pack_comps(origin3, direction3, [(cap, -1.0)])
     ox, oy, oz, dx, dy, dz, tmax = comps
     t, tri, u, v = _closest_call(

@@ -234,7 +234,69 @@ def _interpolate_hit(scene, hit):
     }
 
 
-def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active):
+def _hit_alpha(scene, hit):
+    """Opacity-map alpha at a hit (raytrace_hit.rahit semantics): 1.0 when
+    the material has no opacity texture (slot 0 is the white default)."""
+    tri = jnp.maximum(hit["tri"], 0)
+    a = scene.tri_attr[tri]
+    bu = hit["u"]
+    bv = hit["v"]
+    bw = 1.0 - bu - bv
+    u = (bw * a[:, fl.ATTR_UV0] + bu * a[:, fl.ATTR_UV1]
+         + bv * a[:, fl.ATTR_UV2])
+    v = (bw * a[:, fl.ATTR_UV0 + 1] + bu * a[:, fl.ATTR_UV1 + 1]
+         + bv * a[:, fl.ATTR_UV2 + 1])
+    mat_id = scene.tri_material[tri]
+    opacity_tex = scene.mat_tex[mat_id, fl.MT_OPACITY]
+    alpha = tx.sample_r(scene.atlas, opacity_tex, jnp.stack([u, v], -1))
+    return jnp.where(opacity_tex != 0, alpha, 1.0)
+
+
+def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
+    """Closest hit with alpha-tested transparency (the reference's any-hit
+    shader, raytrace_hit.rahit): hits whose opacity sample is < 0.5 are
+    skipped by re-tracing from just past them, up to ``alpha_rounds``
+    times. ``alpha_rounds=0`` (scenes without opacity maps) is a plain
+    closest-hit trace.
+    """
+    r = origin[0].shape[0]
+    cap = jnp.full((r,), np.inf if t_max is None else 0.0, jnp.float32)
+    if t_max is not None:
+        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
+    if alpha_rounds <= 0:
+        return hit
+    o = origin
+    offset = jnp.zeros((r,), jnp.float32)  # accumulated skip distance
+    for _ in range(alpha_rounds):
+        alpha = _hit_alpha(scene, hit)
+        transparent = (hit["tri"] >= 0) & (alpha < 0.5)
+        # advance past the transparent hit and re-trace only those lanes
+        step = jnp.where(transparent, hit["t"] + 1e-3, 0.0)
+        o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
+        offset = offset + jnp.where(transparent, step, 0.0)
+        # inactive lanes: cap -1 culls the packet walk immediately
+        re_cap = jnp.where(transparent, jnp.float32(np.inf), -1.0)
+        rehit = accel.closest_hit_soa_auto(scene.bvh, o, direction, re_cap)
+        hit = {
+            "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),
+            "tri": jnp.where(transparent, rehit["tri"], hit["tri"]),
+            "u": jnp.where(transparent, rehit["u"], hit["u"]),
+            "v": jnp.where(transparent, rehit["v"], hit["v"]),
+        }
+    if t_max is not None:
+        beyond = hit["t"] > cap
+        hit = {
+            "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+            "tri": jnp.where(beyond, -1, hit["tri"]),
+            "u": hit["u"],
+            "v": hit["v"],
+        }
+    return hit
+
+
+def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
+                  alpha_rounds=0):
     """NEE (path_trace.rgen direct_light, :87-117). Advances the rng by 5
     draws unconditionally. Returns (rng, radiance (16, R))."""
     rng = state_rng
@@ -257,9 +319,17 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active):
     value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"], r_bsdf)
 
     usable = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
-    shadow_hit = accel.any_hit_soa_auto(
-        scene.bvh, hit["point"], wiw, dist - 1e-3, active=active & usable
-    )
+    if alpha_rounds > 0:
+        # alpha-tested occlusion: transparent surfaces don't shadow
+        # (occlusion_tester + rahit semantics)
+        sh = trace_alpha(scene, hit["point"], wiw,
+                         t_max=jnp.where(active & usable, dist - 1e-3, -1.0),
+                         alpha_rounds=alpha_rounds)
+        shadow_hit = sh["tri"] >= 0
+    else:
+        shadow_hit = accel.any_hit_soa_auto(
+            scene.bvh, hit["point"], wiw, dist - 1e-3, active=active & usable
+        )
     cos_term = jnp.abs(vec.dot(wiw, hit["shading_normal"]))
     weight = (
         usable.astype(jnp.float32)
@@ -273,7 +343,8 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active):
 
 def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
                 screen2cam, px, py, launch_size, *, is_persp: bool,
-                direct_only: bool = False) -> PathState:
+                direct_only: bool = False,
+                alpha_rounds: int = 0) -> PathState:
     """One bounce for all pixels (path_trace.rgen main, :135-239).
 
     ``seed``: uint32 frame seed; ``pixel_offset``: (2,) sub-pixel jitter
@@ -302,7 +373,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     direction = vec.where(regen, cam_dir, state.direction)
     importance = jnp.where(regen, spectra.one_t(p), state.importance)
 
-    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
+    hit = trace_alpha(scene, origin, direction, alpha_rounds=alpha_rounds)
     missed = hit["tri"] < 0
 
     # ---- miss: sky radiance only on camera rays / after specular bounces
@@ -327,7 +398,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
 
     nee_active = ~missed & ~mat_specular
     rng, nee_radiance = _direct_light(scene, rng, wo_w, frame, surf, mat,
-                                      nee_active)
+                                      nee_active, alpha_rounds=alpha_rounds)
     nee_radiance = nee_radiance * importance
     nr, ng, nb = spectra.to_rgb_t(nee_radiance)
     nee_contrib = (
@@ -428,10 +499,12 @@ def render_image(state: PathState, exposure, width: int, height: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps"),
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds"),
 )
 def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
-                 width, height, is_persp, direct_only, steps):
+                 width, height, is_persp, direct_only, steps,
+                 alpha_rounds=0):
     """`steps` launches fused in one jit via lax.scan — the whole
     spp*PT_STEPS hot loop runs on device with zero host round-trips
     (replaces the fence ring of raytracer.rs:615-654)."""
@@ -443,6 +516,7 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
         st = launch_step(
             scene, st, seed, offset, cam2world, screen2cam, px, py, size,
             is_persp=is_persp, direct_only=direct_only,
+            alpha_rounds=alpha_rounds,
         )
         return st, None
 

@@ -78,6 +78,23 @@ class RayTraceRenderer:
         self._scheduler = WorkScheduler()
         self._state = integ.init_state(self.width, self.height)
         self._request_new_frame = True
+        self._refresh_alpha_rounds()
+
+    # alpha-tested transparency costs extra trace rounds; only enabled when
+    # some material actually has an opacity map (rahit/OPAQUE-flag parity,
+    # acceleration.rs:137-141)
+    _ALPHA_ROUNDS = 4
+
+    def _refresh_alpha_rounds(self):
+        if self.host is not None:
+            has = any(m.opacity != 0 for m in self.host.materials)
+        else:
+            has = bool(
+                np.asarray(
+                    jax.device_get(self.scene.mat_tex[:, 3])  # MT_OPACITY
+                ).any()
+            )
+        self._alpha_rounds = self._ALPHA_ROUNDS if has else 0
 
     # -- configuration ------------------------------------------------------
     def set_integrator(self, integrator: Integrator):
@@ -119,6 +136,7 @@ class RayTraceRenderer:
         updates = {k: jnp.asarray(v) for k, v in {**mats, **lts, **sky}.items()}
         self.scene = self.scene._replace(**updates)
         self.host = self.host._replace(materials=list(materials), lights=lights_r)
+        self._refresh_alpha_rounds()
         self._request_new_frame = True
 
     def change_resolution(self, width: int, height: int):
@@ -135,6 +153,7 @@ class RayTraceRenderer:
             self.camera = camera
         elif parsed_cam is not None:
             self.camera = parsed_cam
+        self._refresh_alpha_rounds()
         self._request_new_frame = True
 
     # -- rendering ------------------------------------------------------------
@@ -162,7 +181,7 @@ class RayTraceRenderer:
             width=self.width, height=self.height,
             is_persp=self.camera.is_perspective,
             direct_only=self.integrator is Integrator.DIRECT,
-            steps=1,
+            steps=1, alpha_rounds=self._alpha_rounds,
         )
 
     def draw(self, spp: int, callback: Optional[Callable[[int], None]] = None):
@@ -185,7 +204,7 @@ class RayTraceRenderer:
                 width=self.width, height=self.height,
                 is_persp=self.camera.is_perspective,
                 direct_only=self.integrator is Integrator.DIRECT,
-                steps=n,
+                steps=n, alpha_rounds=self._alpha_rounds,
             )
             done += n
             if callback is not None:

@@ -285,3 +285,52 @@ def test_area_light_illuminates():
     accum = _accum(r._state)
     assert np.isfinite(accum).all()
     assert accum.sum() > 0
+
+
+def test_alpha_tested_transparency():
+    """Opacity maps: alpha < 0.5 hits are skipped (raytrace_hit.rahit) for
+    both camera rays and NEE shadow rays."""
+    sb = SceneBuilder()
+    # gray opacity texture id 1: left half transparent (0), right half
+    # opaque (255)
+    op = np.zeros((2, 2), np.uint8)
+    op[:, 1] = 255
+    sb._textures.append(
+        Texture(TextureInfo("op", 2, 2, TextureFormat.Gray), [op])
+    )
+    sb._materials = [
+        Material(name="screen", mtype=MaterialType.LAMBERT, opacity=1),
+        Material(name="wall", mtype=MaterialType.LAMBERT),
+    ]
+    # front "screen" quad at z=1 (uv x maps to world x)
+    sb.add_quad([-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1], [0, 0, 1], 0)
+    # back wall at z=-1
+    sb.add_quad([-5, -5, -1], [5, -5, -1], [5, 5, -1], [-5, 5, -1],
+                [0, 0, 1], 1)
+    sb._lights = [Light(ltype=LightType.OMNI, position=[0, 0, 3],
+                        intensity=5.0)]
+    from glaze_tpu.scene.flatten import flatten_scene
+    from glaze_tpu.render import integrator as integ
+
+    scene, cam, host = flatten_scene(sb)
+    # ray through the transparent (left, u<0.5) half: passes the screen,
+    # hits the wall at z=-1
+    o = (jnp.asarray([-0.5, -0.5]), jnp.asarray([0.1, 0.1]),
+         jnp.asarray([5.0, 5.0]))
+    d = (jnp.asarray([0.0, 0.0]), jnp.asarray([0.0, 0.0]),
+         jnp.asarray([-1.0, -1.0]))
+    # lane 0 goes through transparent half; lane 1 through opaque half
+    o = (jnp.asarray([-0.5, 0.5]), jnp.asarray([0.1, 0.1]),
+         jnp.asarray([5.0, 5.0]))
+    hit = integ.trace_alpha(scene, o, d, alpha_rounds=4)
+    t = np.asarray(hit["t"])
+    assert abs(t[0] - 6.0) < 1e-3  # through the screen to the wall
+    assert abs(t[1] - 4.0) < 1e-3  # stopped by the opaque half
+
+    # renderer auto-enables alpha rounds when an opacity map exists
+    from glaze_tpu.render.renderer import RayTraceRenderer
+
+    r = RayTraceRenderer(sb, width=8, height=8, seed=1)
+    assert r._alpha_rounds > 0
+    r.draw(1)
+    assert np.isfinite(_accum(r._state)).all()
