@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 
 # Matches the reference's ray t bounds (path_trace.rgen:169, raytracer.rs)
 T_MIN = 1e-4
@@ -266,8 +266,11 @@ def _pack_octant_nodes(oct_tables: dict, m: int) -> np.ndarray:
         nodes[:, 0:3] = oct_tables["bmin"][o]
         nodes[:, 3:6] = oct_tables["bmax"][o]
         is_leaf = oct_tables["first"][o] >= 0
+        # count-1 in the low 3 bits (count can be LEAF_SIZE=8)
         meta = np.where(
-            is_leaf, oct_tables["first"][o] * 8 + oct_tables["count"][o], -1
+            is_leaf,
+            oct_tables["first"][o] * 8 + (oct_tables["count"][o] - 1),
+            -1,
         ).astype(np.int32)
         skip = np.where(
             oct_tables["skip"][o] < 0, m, oct_tables["skip"][o]
@@ -298,7 +301,7 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     if n == 0:
         nodes = np.zeros((1, 8), np.float32)
         meta = np.zeros((1, 2), np.int32)
-        meta[0] = [0 * 8 + 0, 1]
+        meta[0] = [0 * 8 + 0, 1]  # empty leaf encodes count-1 = 0
         nodes[:, 6:8] = meta.view(np.float32)
         tri0 = np.zeros((leaf_size, 9), np.float32)
         n16 = _pack_lane_dense(nodes, 16, 8)
@@ -417,7 +420,7 @@ def closest_hit(bvh: BVH, origin, direction, t_max=None):
         box_hit = _slab_test(row, origin, inv_dir, best_t) & active
         is_leaf = meta >= 0
         first = meta >> 3
-        count = meta & 7
+        count = (meta & 7) + 1
 
         def leaf_step(k, carry):
             bt, btri, bu, bv = carry
@@ -486,7 +489,7 @@ def any_hit(bvh: BVH, origin, direction, t_max, t_min=1e-3, active=None):
         box_hit = _slab_test(row, origin, inv_dir, t_max) & lane_on
         is_leaf = meta >= 0
         first = meta >> 3
-        count = meta & 7
+        count = (meta & 7) + 1
 
         def leaf_step(k, acc):
             tri_idx = jnp.minimum(first + k, bvh.tri.shape[0] - 1)

@@ -61,18 +61,6 @@ def _field(rowb, base, f):
     return jnp.take_along_axis(rowb, idx, axis=1)[0:1, :]
 
 
-def _node_fields(nodes_ref, ptr):
-    """(bmin3, bmax3, meta, skip) scalars for node ``ptr``."""
-    g = _load_fields(nodes_ref, ptr, 16, 8)
-    gi = pltpu.bitcast(g, jnp.int32)
-    return (
-        (g[0, 0], g[0, 1], g[0, 2]),
-        (g[0, 3], g[0, 4], g[0, 5]),
-        gi[0, 6],
-        gi[0, 7],
-    )
-
-
 def _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_cap):
     """Packet ray/AABB test against one node (scalar box, vector rays)."""
     t0x = (bmin[0] - ox) * ix
@@ -90,31 +78,6 @@ def _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_cap):
         jnp.maximum(t0z, t1z),
     )
     return (tn <= tf) & (tf >= T_MIN) & (tn <= t_cap)
-
-
-def _tri_hit(tri_ref, tri_idx, ox, oy, oz, dx, dy, dz):
-    """Moller-Trumbore of the whole packet against one triangle."""
-    g = _load_fields(tri_ref, tri_idx, 8, 16)
-    v0x, v0y, v0z = g[0, 0], g[0, 1], g[0, 2]
-    e1x, e1y, e1z = g[0, 3], g[0, 4], g[0, 5]
-    e2x, e2y, e2z = g[0, 6], g[0, 7], g[0, 8]
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    ok = jnp.abs(det) >= 1e-12
-    inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    tvx = ox - v0x
-    tvy = oy - v0y
-    tvz = oz - v0z
-    u = (tvx * px + tvy * py + tvz * pz) * inv
-    qx = tvy * e1z - tvz * e1y
-    qy = tvz * e1x - tvx * e1z
-    qz = tvx * e1y - tvy * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_MIN)
-    return t, u, v, hit
 
 
 def _safe_inv(d):
