@@ -36,6 +36,12 @@ from glaze_tpu.accel.bvh import T_MIN
 PACKET_ROWS = 16  # rays per packet = PACKET_ROWS * 128
 LANES = 128
 
+# VMEM budgets for the resident BVH tables. Tables that exceed them stay
+# in HBM and rows are DMA'd on demand (graceful degradation for scenes
+# beyond ~150k triangles instead of a compile failure).
+NODES_VMEM_BUDGET = 6 * 1024 * 1024
+TRI_VMEM_BUDGET = 8 * 1024 * 1024
+
 def _load_fields(table_ref, item, per_row, stride):
     """Loads one packed item; returns an (8, 128) value whose lane f holds
     field f%stride in every sublane (an in-tile lane gather — the only
@@ -85,7 +91,8 @@ def _safe_inv(d):
     return jnp.where(tiny, 1e20, 1.0 / jnp.where(tiny, 1.0, d))
 
 
-def _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems):
+def _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 nodes_resident, tri_resident):
     """DMA of the BVH tables into persistent VMEM scratch.
 
     ``nodes_hbm`` stacks 8 octant-ordered layouts ((8*M16, 128)); each
@@ -94,21 +101,36 @@ def _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems):
     and copied once on grid step 0 (TPU scratch persists across steps).
     Streaming tables through the block pipeline instead measured
     90 ms/call inside a fused scan.
+
+    Tables beyond the VMEM budgets are NOT copied (``*_resident=False``);
+    the walk then DMAs individual rows from HBM on demand — slower but any
+    scene size runs.
     """
-    m16 = nodes_hbm.shape[0] // 8
-    oct_ = oct_ref[pl.program_id(0)]
-    n = pltpu.make_async_copy(
-        nodes_hbm.at[pl.ds(oct_ * m16, m16), :], nodes_ref, sems.at[0]
+    if nodes_resident:
+        m16 = nodes_hbm.shape[0] // 8
+        oct_ = oct_ref[pl.program_id(0)]
+        n = pltpu.make_async_copy(
+            nodes_hbm.at[pl.ds(oct_ * m16, m16), :], nodes_ref, sems.at[0]
+        )
+        n.start()
+    if tri_resident:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            t = pltpu.make_async_copy(tri_hbm, tri_ref, sems.at[1])
+            t.start()
+            t.wait()
+    if nodes_resident:
+        n.wait()
+
+
+def _load_row_streamed(hbm_ref, row_idx, scratch, sem):
+    """DMA one 128-lane row from an HBM table and broadcast it."""
+    cp = pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(row_idx, 1), :], scratch.at[pl.ds(0, 1), :], sem
     )
-    n.start()
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        t = pltpu.make_async_copy(tri_hbm, tri_ref, sems.at[1])
-        t.start()
-        t.wait()
-
-    n.wait()
+    cp.start()
+    cp.wait()
+    return jnp.broadcast_to(scratch[pl.ds(0, 1), :], (8, LANES))
 
 
 def _tri_hit_rows(tri_rowb, base, ox, oy, oz, dx, dy, dz):
@@ -141,11 +163,31 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                     dx_ref, dy_ref, dz_ref, tmax_ref,
                     t_ref, tri_out_ref, u_ref, v_ref,
                     nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
-                    leaf_size):
-    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems)
+                    leaf_size, nodes_resident=True, tri_resident=True):
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 nodes_resident, tri_resident)
+    m16 = nodes_hbm.shape[0] // 8
+    oct_base = oct_ref[pl.program_id(0)] * m16
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+
+    def node_row(ptr):
+        if nodes_resident:
+            return _load_row(nodes_ref, ptr, 16)
+        return (
+            _load_row_streamed(nodes_hbm, oct_base + ptr // 16, nodes_ref,
+                               sems.at[0]),
+            ptr % 16,
+        )
+
+    def tri_row(first):
+        if tri_resident:
+            return _load_row(tri_ref, first, 8)
+        return (
+            _load_row_streamed(tri_hbm, first // 8, tri_ref, sems.at[1]),
+            first % 8,
+        )
 
     # best-hit state lives in the OUTPUT refs; the loop carries only the
     # node pointer (vector loop carries spill to VMEM every iteration —
@@ -159,7 +201,7 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         return ptr < n_nodes
 
     def body(ptr):
-        rowb, slot = _load_row(nodes_ref, ptr, 16)
+        rowb, slot = node_row(ptr)
         base = slot * 8
         bmin = (_field(rowb, base, 0), _field(rowb, base, 1),
                 _field(rowb, base, 2))
@@ -178,7 +220,7 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
             tri_best = tri_out_ref[:]
             u_best = u_ref[:]
             v_best = v_ref[:]
-            trow, tslot = _load_row(tri_ref, first, 8)
+            trow, tslot = tri_row(first)
             base0 = tslot * 16
             for k in range(leaf_size):
                 t, u, v, h = _tri_hit_rows(trow, base0 + k * 16, ox, oy, oz,
@@ -203,8 +245,29 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 def _anyhit_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, tmax_ref, active_ref,
                    hit_ref, nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
-                   leaf_size, t_min):
-    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems)
+                   leaf_size, t_min, nodes_resident=True, tri_resident=True):
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 nodes_resident, tri_resident)
+    m16 = nodes_hbm.shape[0] // 8
+    oct_base = oct_ref[pl.program_id(0)] * m16
+
+    def node_row(ptr):
+        if nodes_resident:
+            return _load_row(nodes_ref, ptr, 16)
+        return (
+            _load_row_streamed(nodes_hbm, oct_base + ptr // 16, nodes_ref,
+                               sems.at[0]),
+            ptr % 16,
+        )
+
+    def tri_row(first):
+        if tri_resident:
+            return _load_row(tri_ref, first, 8)
+        return (
+            _load_row_streamed(tri_hbm, first // 8, tri_ref, sems.at[1]),
+            first % 8,
+        )
+
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_max = tmax_ref[:]
@@ -221,7 +284,7 @@ def _anyhit_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
     def body(c):
         ptr, live = c
-        rowb, slot = _load_row(nodes_ref, ptr, 16)
+        rowb, slot = node_row(ptr)
         base = slot * 8
         bmin = (_field(rowb, base, 0), _field(rowb, base, 1),
                 _field(rowb, base, 2))
@@ -239,7 +302,7 @@ def _anyhit_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         def _():
             first = meta >> 3  # leaf_size-aligned; padding rows degenerate
             b = blocked
-            trow, tslot = _load_row(tri_ref, first, 8)
+            trow, tslot = tri_row(first)
             base0 = tslot * 16
             for k in range(leaf_size):
                 t, _, _, h = _tri_hit_rows(trow, base0 + k * 16, ox, oy, oz,
@@ -327,10 +390,21 @@ def _hbm(a):
     return pl.BlockSpec(memory_space=pl.ANY)
 
 
+def _residency(nodes16, tri8):
+    """(nodes_resident, tri_resident) by VMEM budget."""
+    nodes_bytes = (nodes16.shape[0] // 8) * 128 * 4
+    tri_bytes = tri8.shape[0] * 128 * 4
+    return nodes_bytes <= NODES_VMEM_BUDGET, tri_bytes <= TRI_VMEM_BUDGET
+
+
 def _table_scratch(nodes16, tri8):
+    """Resident tables get full scratch copies; streamed tables get a
+    single-row staging buffer."""
+    nodes_res, tri_res = _residency(nodes16, tri8)
     return [
-        pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),
-        pltpu.VMEM(tri8.shape, jnp.float32),
+        pltpu.VMEM((nodes16.shape[0] // 8 if nodes_res else 8, 128),
+                   jnp.float32),
+        pltpu.VMEM(tri8.shape if tri_res else (8, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
@@ -357,8 +431,11 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
     rows = ox.shape[0]
     grid = rows // PACKET_ROWS
     octs = _packet_octants(dx, dy, dz)
+    nodes_res, tri_res = _residency(nodes16, tri8)
     kernel = functools.partial(_closest_kernel, n_nodes=n_nodes,
-                               n_tris=n_tris, leaf_size=leaf_size)
+                               n_tris=n_tris, leaf_size=leaf_size,
+                               nodes_resident=nodes_res,
+                               tri_resident=tri_res)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -478,8 +555,11 @@ def _anyhit_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active, *,
     rows = ox.shape[0]
     grid = rows // PACKET_ROWS
     octs = _packet_octants(dx, dy, dz)
+    nodes_res, tri_res = _residency(nodes16, tri8)
     kernel = functools.partial(_anyhit_kernel, n_nodes=n_nodes, n_tris=n_tris,
-                               leaf_size=leaf_size, t_min=t_min)
+                               leaf_size=leaf_size, t_min=t_min,
+                               nodes_resident=nodes_res,
+                               tri_resident=tri_res)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),

@@ -141,3 +141,42 @@ def test_octant_layouts_consistent():
                     np.where(np.isinf(ref), 1e30, ref), rtol=1e-5)
     finally:
         tp._packet_octants = orig
+
+
+def test_streamed_tables_mode():
+    """Tables over the VMEM budget stream rows from HBM; results identical."""
+    from glaze_tpu.accel import build_bvh, closest_hit
+    from glaze_tpu.accel import traverse_pallas as tp
+
+    rng = np.random.default_rng(5)
+    ntri = 80
+    c = rng.uniform(-4, 4, (ntri, 1, 3)).astype(np.float32)
+    tri = (c + rng.uniform(-0.5, 0.5, (ntri, 3, 3))).astype(np.float32)
+    bvh, _ = build_bvh(tri)
+    R = 2048
+    o = rng.uniform(-5, 5, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+    ref = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d))
+
+    saved = (tp.NODES_VMEM_BUDGET, tp.TRI_VMEM_BUDGET)
+    try:
+        tp.NODES_VMEM_BUDGET = 0  # force streaming for both tables
+        tp.TRI_VMEM_BUDGET = 0
+        res = tp.closest_hit_soa(bvh, o3, d3, interpret=True)
+        ah = tp.any_hit_soa(bvh, o3, d3, jnp.full((R,), 4.0, jnp.float32),
+                            interpret=True)
+    finally:
+        tp.NODES_VMEM_BUDGET, tp.TRI_VMEM_BUDGET = saved
+    t = np.asarray(res["t"])
+    tx = np.asarray(ref["t"])
+    m = ~np.isinf(tx)
+    assert (np.isinf(t) == np.isinf(tx)).all()
+    np.testing.assert_allclose(t[m], tx[m], rtol=1e-4)
+    from glaze_tpu.accel import any_hit
+
+    ax = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d),
+                            jnp.full((R,), 4.0, jnp.float32)))
+    assert (np.asarray(ah) == ax).all()
