@@ -37,6 +37,7 @@ HELP = """commands:
   light del <id>
   raytrace on|off     toggle path tracer vs direct-light preview
   scale <v>           render scale (renderer.rs:283-315)
+  exposure <v>        output exposure multiplier
   stats               fps / progressive sample count
   save                in-place scene update (ParsedScene::update)
   saveas <path>
@@ -215,6 +216,10 @@ def main(argv=None):
                 present()
             elif cmd == "scale":
                 rr.set_render_scale(float(parts[1]))
+                present()
+            elif cmd == "exposure":
+                rr._rt.set_exposure(float(parts[1]))
+                rr._preview.set_exposure(float(parts[1]))
                 present()
             elif cmd == "stats":
                 print(f"  fps={rr.stats.fps:.2f} "

@@ -222,3 +222,22 @@ def test_gltf_converter(tmp_path):
     r = RayTraceRenderer(p, width=16, height=16, seed=0)
     r.draw(1)
     assert np.isfinite(np.asarray(r._state.count)).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    """glaze-cli flags and both integrators on a tiny scene."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    path = _lit_cube_scene(tmp_path)
+    from glaze_tpu.cli import main, parse_resolution
+
+    assert parse_resolution("640x480") == (640, 480)
+    for integ_name in ("pt", "direct"):
+        out = tmp_path / f"cli_{integ_name}.png"
+        rc = main([path, str(out), "--res", "16x16", "--spp", "1",
+                   "--integrator", integ_name, "--seed", "1"])
+        assert rc == 0 and out.exists()
+        from PIL import Image
+
+        img = np.asarray(Image.open(out))
+        assert img.shape == (16, 16, 3)
