@@ -170,15 +170,20 @@ def import_gltf(path):
     textures = [Texture.default()]
     tex_cache = {}
 
-    def load_texture(tex_idx, fmt):
-        key = (tex_idx, fmt)
+    def load_texture(tex_idx, fmt, channel=None):
+        """``channel``: extract one RGBA channel as a Gray texture (for the
+        packed metallicRoughness map: roughness=G, metalness=B per spec)."""
+        key = (tex_idx, fmt, channel)
         if key in tex_cache:
             return tex_cache[key]
         tex = doc["textures"][tex_idx]
         img_idx = tex.get("source")
         if img_idx is None:
             return 0
-        arr = g.image_array(img_idx, gray=(fmt == TextureFormat.Gray))
+        if channel is not None:
+            arr = g.image_array(img_idx, gray=False)[:, :, channel].copy()
+        else:
+            arr = g.image_array(img_idx, gray=(fmt == TextureFormat.Gray))
         h, w = arr.shape[0], arr.shape[1]
         info = TextureInfo(f"tex{tex_idx}", w, h, fmt)
         tid = len(textures)
@@ -197,8 +202,10 @@ def import_gltf(path):
             mat.diffuse = load_texture(pbr["baseColorTexture"]["index"],
                                        TextureFormat.RgbaSrgb)
         if "metallicRoughnessTexture" in pbr:
-            mat.roughness = load_texture(
-                pbr["metallicRoughnessTexture"]["index"], TextureFormat.Gray)
+            # glTF packs roughness in G and metalness in B of one texture
+            idx = pbr["metallicRoughnessTexture"]["index"]
+            mat.roughness = load_texture(idx, TextureFormat.Gray, channel=1)
+            mat.metalness = load_texture(idx, TextureFormat.Gray, channel=2)
         if "normalTexture" in m:
             mat.normal = load_texture(m["normalTexture"]["index"],
                                       TextureFormat.RgbaNorm)

@@ -161,12 +161,15 @@ static void build_recursive(std::vector<BuildPrim>& prims, uint32_t begin, uint3
     float ext[3] = {cmax[0] - cmin[0], cmax[1] - cmin[1], cmax[2] - cmin[2]};
     if (ext[1] > ext[axis]) axis = 1;
     if (ext[2] > ext[axis]) axis = 2;
-    if (ext[axis] <= 0.0f) { node.first = begin; node.count = count; return; }
     mid = begin + count / 2;
-    std::nth_element(prims.begin() + begin, prims.begin() + mid, prims.begin() + end,
-                     [axis](const BuildPrim& a, const BuildPrim& b) {
-                       return a.centroid[axis] < b.centroid[axis];
-                     });
+    // identical centroids (ext == 0): split by index so leaves never
+    // exceed leaf_size (an oversized leaf overflows the 3-bit count
+    // field and misaligns every later padded leaf range)
+    if (ext[axis] > 0.0f)
+      std::nth_element(prims.begin() + begin, prims.begin() + mid, prims.begin() + end,
+                       [axis](const BuildPrim& a, const BuildPrim& b) {
+                         return a.centroid[axis] < b.centroid[axis];
+                       });
   } else {
     float extent = cmax[best_axis] - cmin[best_axis];
     float scale = NUM_BINS / extent;
@@ -322,9 +325,12 @@ void* glaze_bvh_octants(void* handle, uint32_t leaf_size) {
   for (int32_t i = 0; i < m; i++) {
     if (f.first[i] >= 0) {
       new_first[i] = (int32_t)pos;
-      for (int32_t k = 0; k < f.count[i]; k++)
+      // count can never exceed leaf_size (builder invariant); clamp anyway
+      // so a violation cannot misalign leaves or overflow the export buffer
+      int32_t cnt = f.count[i] > (int32_t)leaf_size ? (int32_t)leaf_size : f.count[i];
+      for (int32_t k = 0; k < cnt; k++)
         out->tri_order.push_back(src->tri_order[f.first[i] + k]);
-      for (int32_t k = f.count[i]; k < (int32_t)leaf_size; k++)
+      for (int32_t k = cnt; k < (int32_t)leaf_size; k++)
         out->tri_order.push_back(0xFFFFFFFFu);
       pos += leaf_size;
     }
@@ -374,7 +380,8 @@ void* glaze_bvh_octants(void* handle, uint32_t leaf_size) {
       o_skip[my] = it.skip_slot;
       if (f.first[i] >= 0) {
         o_first[my] = new_first[i];
-        o_count[my] = f.count[i];
+        o_count[my] = f.count[i] > (int32_t)leaf_size ? (int32_t)leaf_size
+                                                      : f.count[i];
       } else {
         o_first[my] = -1;
         o_count[my] = 0;

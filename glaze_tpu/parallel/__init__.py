@@ -1,10 +1,21 @@
 """Multi-chip execution over a jax.sharding.Mesh."""
 
 from glaze_tpu.parallel.mesh import (
+    init_state_spp,
     make_mesh,
+    reduce_spp,
     render_steps_sharded,
+    render_steps_spp_sharded,
     shard_state,
     unshard_state,
 )
 
-__all__ = ["make_mesh", "render_steps_sharded", "shard_state", "unshard_state"]
+__all__ = [
+    "init_state_spp",
+    "make_mesh",
+    "reduce_spp",
+    "render_steps_sharded",
+    "render_steps_spp_sharded",
+    "shard_state",
+    "unshard_state",
+]

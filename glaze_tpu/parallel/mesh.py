@@ -56,11 +56,12 @@ def unshard_state(state: integ.PathState) -> integ.PathState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps"),
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds"),
 )
 def _render_steps_impl(scene, state, seeds, offsets, cam2world, screen2cam,
                        px, py, *, width, height, is_persp, direct_only,
-                       steps):
+                       steps, alpha_rounds=0):
     size = jnp.asarray([width, height], jnp.float32)
 
     def body(st, inp):
@@ -68,6 +69,7 @@ def _render_steps_impl(scene, state, seeds, offsets, cam2world, screen2cam,
         st = integ.launch_step(
             scene, st, seed, offset, cam2world, screen2cam, px, py, size,
             is_persp=is_persp, direct_only=direct_only,
+            alpha_rounds=alpha_rounds,
         )
         return st, None
 
@@ -77,7 +79,7 @@ def _render_steps_impl(scene, state, seeds, offsets, cam2world, screen2cam,
 
 def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
                          mesh: Mesh, *, width, height, is_persp,
-                         direct_only, steps):
+                         direct_only, steps, alpha_rounds=0):
     """`steps` launches with the pixel axis sharded over ``mesh``.
 
     Uses jit-with-shardings (GSPMD): state in/out sharded over pixels,
@@ -100,5 +102,90 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     return _render_steps_impl(
         scene, state, seeds, offsets, cam2world, screen2cam, px, py,
         width=width, height=height, is_persp=is_persp,
-        direct_only=direct_only, steps=steps,
+        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-axis sharding: every chip renders the FULL image with its own seed
+# stream; the accumulation buffers are summed across the mesh (the psum mode
+# of SURVEY 2.8's table). Scales spp instead of resolution — better for
+# small images where per-chip pixel tiles would underfill the VPU.
+# ---------------------------------------------------------------------------
+
+
+def init_state_spp(width: int, height: int, n: int) -> integ.PathState:
+    """Path state with a leading device axis: one full-image path state per
+    mesh slot."""
+    base = integ.init_state(width, height)
+    return jax.tree.map(
+        lambda x: jnp.zeros((n,) + x.shape, x.dtype), base
+    )
+
+
+def _spp_spec(x):
+    """Sample-sharded leaves: the DEVICE axis is the leading axis."""
+    if x.ndim == 0:
+        return P()
+    return P(AXIS, *([None] * (x.ndim - 1)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds"),
+)
+def _render_steps_spp_impl(scene, state, seeds, offsets, cam2world,
+                           screen2cam, px, py, *, width, height, is_persp,
+                           direct_only, steps, alpha_rounds=0):
+    size = jnp.asarray([width, height], jnp.float32)
+
+    def body(st, inp):
+        seed, offset = inp  # seed: (n,) per-device; offset: (2,) shared
+
+        def one(state_i, seed_i):
+            return integ.launch_step(
+                scene, state_i, seed_i, offset, cam2world, screen2cam,
+                px, py, size, is_persp=is_persp, direct_only=direct_only,
+                alpha_rounds=alpha_rounds,
+            )
+
+        return jax.vmap(one, in_axes=(0, 0))(st, seed), None
+
+    state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
+    return state
+
+
+def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
+                             screen2cam, mesh: Mesh, *, width, height,
+                             is_persp, direct_only, steps, alpha_rounds=0):
+    """``steps`` launches where each mesh slot advances its OWN full-image
+    path state with its own seed (``seeds``: (steps, n) uint32). Combine
+    with :func:`reduce_spp` for display."""
+    n = mesh.devices.size
+    if seeds.shape != (steps, n):
+        raise ValueError(f"seeds must be (steps, n)={steps, n}, "
+                         f"got {seeds.shape}")
+    px, py = integ.pixel_coords(width, height)
+    repl = NamedSharding(mesh, P())
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, _spp_spec(x))), state
+    )
+    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    return _render_steps_spp_impl(
+        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+        width=width, height=height, is_persp=is_persp,
+        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+    )
+
+
+@jax.jit
+def reduce_spp(state: integ.PathState) -> integ.PathState:
+    """Sums the per-device accumulation (an all-reduce over the mesh axis —
+    XLA lowers it to a psum when the input is sample-sharded) and keeps
+    slot 0's path-carry fields so the result quacks like a PathState."""
+    first = jax.tree.map(lambda x: x[0], state)
+    return first._replace(
+        accum=tuple(a.sum(axis=0) for a in state.accum),
+        count=state.count.sum(axis=0),
     )

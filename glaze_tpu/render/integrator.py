@@ -260,10 +260,13 @@ def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     closest-hit trace.
     """
     r = origin[0].shape[0]
-    cap = jnp.full((r,), np.inf if t_max is None else 0.0, jnp.float32)
+    cap = jnp.full((r,), np.inf, jnp.float32)
     if t_max is not None:
         cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
+    # the t_max cap applies to the INITIAL trace too (traceRayEXT tMax,
+    # path_trace.rgen:108-110) — not only to the alpha re-traces
+    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction,
+                                     None if t_max is None else cap)
     if alpha_rounds <= 0:
         return hit
     o = origin
@@ -271,12 +274,15 @@ def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     for _ in range(alpha_rounds):
         alpha = _hit_alpha(scene, hit)
         transparent = (hit["tri"] >= 0) & (alpha < 0.5)
-        # advance past the transparent hit and re-trace only those lanes
-        step = jnp.where(transparent, hit["t"] + 1e-3, 0.0)
+        # advance past the transparent hit and re-trace only those lanes;
+        # hit["t"] is a distance from the ORIGINAL origin while ``o`` is
+        # already ``offset`` along the ray, so step by the remainder only
+        step = jnp.where(transparent, hit["t"] - offset + 1e-3, 0.0)
         o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
         offset = offset + jnp.where(transparent, step, 0.0)
-        # inactive lanes: cap -1 culls the packet walk immediately
-        re_cap = jnp.where(transparent, jnp.float32(np.inf), -1.0)
+        # inactive lanes: cap -1 culls the packet walk immediately;
+        # active lanes keep honoring the remaining t_max budget
+        re_cap = jnp.where(transparent, cap - offset, -1.0)
         rehit = accel.closest_hit_soa_auto(scene.bvh, o, direction, re_cap)
         hit = {
             "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),

@@ -108,3 +108,39 @@ def test_single_triangle():
     )
     t = np.asarray(res["t"])
     assert abs(t[0] - 5.0) < 1e-4 and np.isinf(t[1])
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_identical_centroids_never_oversize_leaves(native):
+    """Duplicated geometry (> leaf_size tris with one centroid) must split
+    by index, not emit an oversized leaf: an oversized leaf overflows the
+    3-bit count field and misaligns every later padded leaf range."""
+    one = np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    tri = np.concatenate([np.repeat(one, 20, axis=0),
+                          _random_soup(50)[0]], axis=0)
+
+    import glaze_tpu.native as N
+
+    saved = N.lib
+    if not native:
+        N.lib = None
+    try:
+        flat = bvh_mod.build_host(tri)
+        assert flat["count"].max() <= bvh_mod.LEAF_SIZE
+        oct_tables = bvh_mod.build_host_octants(tri)
+        assert oct_tables["count"].max() <= bvh_mod.LEAF_SIZE
+        # padded order is exactly n_leaves * leaf_size long
+        n_leaves = int((oct_tables["first"][0] >= 0).sum())
+        assert oct_tables["tri_order"].shape[0] == n_leaves * bvh_mod.LEAF_SIZE
+        bvh, order = build_bvh(tri)
+    finally:
+        N.lib = saved
+
+    o = np.asarray([[0.25, 0.25, 5.0], [5, 5, 5]], np.float32)
+    d = np.asarray([[0, 0, -1.0], [1, 0, 0]], np.float32)
+    res = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d))
+    bt, _ = _brute_force(tri, o, d)
+    t = np.asarray(res["t"])
+    hit = bt != np.inf
+    assert ((bt == np.inf) == (t == np.inf)).all()
+    np.testing.assert_allclose(t[hit], bt[hit], rtol=1e-4, atol=1e-5)

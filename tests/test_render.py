@@ -334,3 +334,83 @@ def test_alpha_tested_transparency():
     assert r._alpha_rounds > 0
     r.draw(1)
     assert np.isfinite(_accum(r._state)).all()
+
+
+def test_alpha_stacked_transparent_quads():
+    """Regression: a ray through TWO stacked alpha-transparent quads must
+    still hit an opaque wall behind them (the accumulated skip offset was
+    double-counted on re-trace rounds >= 2, overshooting past geometry)."""
+    sb = SceneBuilder()
+    op = np.zeros((2, 2), np.uint8)  # fully transparent opacity texture
+    sb._textures.append(
+        Texture(TextureInfo("op", 2, 2, TextureFormat.Gray), [op])
+    )
+    sb._materials = [
+        Material(name="screen", mtype=MaterialType.LAMBERT, opacity=1),
+        Material(name="wall", mtype=MaterialType.LAMBERT),
+    ]
+    sb.add_quad([-1, -1, 4], [1, -1, 4], [1, 1, 4], [-1, 1, 4], [0, 0, 1], 0)
+    sb.add_quad([-1, -1, 3], [1, -1, 3], [1, 1, 3], [-1, 1, 3], [0, 0, 1], 0)
+    sb.add_quad([-5, -5, 2.5], [5, -5, 2.5], [5, 5, 2.5], [-5, 5, 2.5],
+                [0, 0, 1], 1)
+    scene, cam, host = flatten_scene(sb)
+
+    o = (jnp.asarray([0.1, 0.1]), jnp.asarray([0.1, 0.1]),
+         jnp.asarray([6.0, 6.0]))
+    d = (jnp.asarray([0.0, 0.0]), jnp.asarray([0.0, 0.0]),
+         jnp.asarray([-1.0, -1.0]))
+    hit = integ.trace_alpha(scene, o, d, alpha_rounds=4)
+    t = np.asarray(hit["t"])
+    np.testing.assert_allclose(t, 3.5, atol=1e-3)  # the wall at z=2.5
+
+    # t_max semantics: the cap applies to the INITIAL trace and the final
+    # result, with or without alpha rounds
+    for rounds in (0, 4):
+        capped = integ.trace_alpha(scene, o, d, t_max=1.0,
+                                   alpha_rounds=rounds)
+        assert np.isinf(np.asarray(capped["t"])).all()
+        assert (np.asarray(capped["tri"]) == -1).all()
+    # cap between the screens and the wall: alpha re-traces honor it too
+    mid = integ.trace_alpha(scene, o, d, t_max=3.2, alpha_rounds=4)
+    assert np.isinf(np.asarray(mid["t"])).all()
+
+
+def test_spp_sharded_matches_sequential():
+    """Sample-axis sharding: n chips with their own seed streams sum to the
+    same accumulation as running those seed streams sequentially on one."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from glaze_tpu.parallel import (
+        init_state_spp,
+        make_mesh,
+        reduce_spp,
+        render_steps_spp_sharded,
+    )
+
+    n, steps = 8, 2
+    scene, camera = graft._tiny_scene(16, 16)
+    c2w, s2c = integ.camera_matrices(camera, 16, 16)
+    seeds = np.arange(steps * n, dtype=np.uint32).reshape(steps, n)
+    offsets = jnp.asarray(np.full((steps, 2), 0.5, np.float32))
+
+    # sequential reference: device i's stream is seeds[:, i]
+    ref_accum = np.zeros((integ.pixel_count(16, 16), 3), np.float32)
+    ref_count = np.zeros((integ.pixel_count(16, 16),), np.float32)
+    for i in range(n):
+        st = integ.render_steps(
+            scene, integ.init_state(16, 16), jnp.asarray(seeds[:, i]),
+            offsets, jnp.asarray(c2w), jnp.asarray(s2c), width=16, height=16,
+            is_persp=True, direct_only=False, steps=steps,
+        )
+        ref_accum += _accum(st)
+        ref_count += np.asarray(st.count)
+
+    mesh = make_mesh(jax.devices()[:n])
+    out = render_steps_spp_sharded(
+        scene, init_state_spp(16, 16, n), jnp.asarray(seeds), offsets,
+        jnp.asarray(c2w), jnp.asarray(s2c), mesh, width=16, height=16,
+        is_persp=True, direct_only=False, steps=steps,
+    )
+    red = reduce_spp(out)
+    np.testing.assert_allclose(_accum(red), ref_accum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(red.count), ref_count)
