@@ -62,9 +62,21 @@ def _load_row(table_ref, item, per_row):
 def _field(rowb, base, f):
     """Broadcasts field ``base*stride + f`` to all lanes as (1, 128) —
     a full-lane dynamic gather instead of a scalar extract (extracts
-    measured ~25 cycles each; gathers are plain vreg ops)."""
-    idx = jnp.full((8, LANES), base + f, jnp.int32)
+    measured ~25 cycles each; gathers are plain vreg ops). A Python-int
+    index (8-aligned leaves) becomes a static slice + lane broadcast."""
+    idx = base + f
+    if isinstance(idx, int):
+        return jnp.broadcast_to(rowb[0:1, idx:idx + 1], (1, LANES))
+    idx = jnp.full((8, LANES), idx, jnp.int32)
     return jnp.take_along_axis(rowb, idx, axis=1)[0:1, :]
+
+
+def _node_fields(rowb, slot):
+    """All 8 node fields in ONE dynamic gather: returns (8, 128) where
+    sublane f holds field f broadcast across the 128 lanes. Replaces 8
+    separate per-field gathers (each ~a full gather's latency)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    return jnp.take_along_axis(rowb, slot * 8 + sub, axis=1)
 
 
 def _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_cap):
@@ -182,11 +194,16 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         )
 
     def tri_row(first):
+        # leaves are LEAF_SIZE(8)-aligned, so the in-row slot is always 0:
+        # returning the constant (not first % 8) makes every leaf field
+        # gather a compile-time-constant lane index, which Mosaic lowers
+        # to cheap broadcasts instead of dynamic gathers
         if tri_resident:
-            return _load_row(tri_ref, first, 8)
+            row = tri_ref[pl.ds(first // 8, 1), :]
+            return jnp.broadcast_to(row, (8, LANES)), 0
         return (
             _load_row_streamed(tri_hbm, first // 8, tri_ref, sems.at[1]),
-            first % 8,
+            0,
         )
 
     # best-hit state lives in the OUTPUT refs; the loop carries only the
@@ -202,13 +219,11 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
     def body(ptr):
         rowb, slot = node_row(ptr)
-        base = slot * 8
-        bmin = (_field(rowb, base, 0), _field(rowb, base, 1),
-                _field(rowb, base, 2))
-        bmax = (_field(rowb, base, 3), _field(rowb, base, 4),
-                _field(rowb, base, 5))
-        meta = pltpu.bitcast(_field(rowb, base, 6), jnp.int32)[0, 0]
-        skip = pltpu.bitcast(_field(rowb, base, 7), jnp.int32)[0, 0]
+        f8 = _node_fields(rowb, slot)
+        bmin = (f8[0:1], f8[1:2], f8[2:3])
+        bmax = (f8[3:4], f8[4:5], f8[5:6])
+        meta = pltpu.bitcast(f8[6:7], jnp.int32)[0, 0]
+        skip = pltpu.bitcast(f8[7:8], jnp.int32)[0, 0]
         hit = _slab(bmin, bmax, ox, oy, oz, ix, iy, iz, t_ref[:])
         any_hit = jnp.any(hit)
         is_leaf = meta >= 0
@@ -261,11 +276,13 @@ def _anyhit_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         )
 
     def tri_row(first):
+        # leaves are 8-aligned: constant slot 0 (see _closest_kernel)
         if tri_resident:
-            return _load_row(tri_ref, first, 8)
+            row = tri_ref[pl.ds(first // 8, 1), :]
+            return jnp.broadcast_to(row, (8, LANES)), 0
         return (
             _load_row_streamed(tri_hbm, first // 8, tri_ref, sems.at[1]),
-            first % 8,
+            0,
         )
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]

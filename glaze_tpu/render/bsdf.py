@@ -256,38 +256,41 @@ def _uber_value(scene, mat, wo, wi, uv, rand):
     return value, pdf
 
 
+_VALUE_FNS = {
+    FAMILY_LAMBERT: _lambert_value,
+    FAMILY_METAL: _metal_value,
+    FAMILY_FROSTED: _frosted_value,
+    FAMILY_UBER: _uber_value,
+}
+
+
 def bsdf_value(scene, mat, wo, wi, uv, rand):
     """NEE-side evaluation: (value (16, R), pdf (R,)).
 
     MIRROR and GLASS are delta distributions: pdf 0
-    (mat_mirror_value.rcall, mat_glass_value.rcall).
-    """
-    lam_v, lam_p = _lambert_value(scene, mat, wo, wi, uv, rand)
-    met_v, met_p = _metal_value(scene, mat, wo, wi, uv, rand)
-    fro_v, fro_p = _frosted_value(scene, mat, wo, wi, uv, rand)
-    ube_v, ube_p = _uber_value(scene, mat, wo, wi, uv, rand)
-
+    (mat_mirror_value.rcall, mat_glass_value.rcall). Only the families in
+    ``scene.mat_families`` (static) are evaluated — the wavefront analogue
+    of the SBT dispatching exactly one BSDF callable per ray."""
+    present = [f for f in scene.mat_families if f in _VALUE_FNS]
+    if not present:
+        r = wo[2].shape[0]
+        return jnp.zeros((16, r), jnp.float32), jnp.zeros((r,), jnp.float32)
     fam = mat["bsdf"]
-    value = jnp.where(
-        fam == FAMILY_LAMBERT, lam_v,
-        jnp.where(
-            fam == FAMILY_METAL, met_v,
-            jnp.where(
-                fam == FAMILY_FROSTED, fro_v,
-                jnp.where(fam == FAMILY_UBER, ube_v, 0.0),
-            ),
-        ),
-    )
-    pdf = jnp.where(
-        fam == FAMILY_LAMBERT, lam_p,
-        jnp.where(
-            fam == FAMILY_METAL, met_p,
-            jnp.where(
-                fam == FAMILY_FROSTED, fro_p,
-                jnp.where(fam == FAMILY_UBER, ube_p, 0.0),
-            ),
-        ),
-    )
+    value = pdf = None
+    for f in present:
+        v, p = _VALUE_FNS[f](scene, mat, wo, wi, uv, rand)
+        if value is None:
+            # single-family scenes skip the select entirely, but delta
+            # families (absent from _VALUE_FNS) must still zero out
+            if len(present) == len(scene.mat_families) == 1:
+                return v, p
+            sel = fam == f
+            value = jnp.where(sel, v, 0.0)
+            pdf = jnp.where(sel, p, 0.0)
+        else:
+            sel = fam == f
+            value = jnp.where(sel, v, value)
+            pdf = jnp.where(sel, p, pdf)
     return value, pdf
 
 
@@ -446,23 +449,26 @@ def _uber_sample(scene, mat, wo, uv, r3):
     return wi, value, pdf
 
 
+_SAMPLE_FNS = {
+    FAMILY_LAMBERT: _lambert_sample,
+    FAMILY_MIRROR: _mirror_sample,
+    FAMILY_GLASS: _glass_sample,
+    FAMILY_METAL: _metal_sample,
+    FAMILY_FROSTED: _frosted_sample,
+    FAMILY_UBER: _uber_sample,
+}
+
+
 def bsdf_sample(scene, mat, wo, uv, r3):
     """Bounce sampling: (wi tuple, value (16, R), pdf (R,)).
 
-    ``r3``: tuple of three (R,) uniforms.
-    """
-    results = [
-        _lambert_sample(scene, mat, wo, uv, r3),
-        _mirror_sample(scene, mat, wo, uv, r3),
-        _glass_sample(scene, mat, wo, uv, r3),
-        _metal_sample(scene, mat, wo, uv, r3),
-        _frosted_sample(scene, mat, wo, uv, r3),
-        _uber_sample(scene, mat, wo, uv, r3),
-    ]
+    ``r3``: tuple of three (R,) uniforms. Only the families in
+    ``scene.mat_families`` (static) are evaluated."""
+    present = list(scene.mat_families) or [FAMILY_LAMBERT]
     fam = mat["bsdf"]
-    wi, value, pdf = results[0]
-    for family in range(1, 6):
-        w, v, p = results[family]
+    wi, value, pdf = _SAMPLE_FNS[present[0]](scene, mat, wo, uv, r3)
+    for family in present[1:]:
+        w, v, p = _SAMPLE_FNS[family](scene, mat, wo, uv, r3)
         sel = fam == family
         wi = vec.where(sel, w, wi)
         value = jnp.where(sel, v, value)

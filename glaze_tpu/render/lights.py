@@ -168,16 +168,20 @@ def sample_light(scene, light_idx, position, r3):
 
     Returns (wiW tuple, distance (R,), emission (16, R), pdf (R,)) —
     the SampledLight struct of raytrace_commons.glsl:52-60.
-    ``r3``: tuple of three (R,) uniforms.
-    """
+    ``r3``: tuple of three (R,) uniforms. Only the light types in
+    ``scene.light_kinds`` (static) are evaluated — the wavefront analogue
+    of the SBT running exactly one light callable per ray."""
+    fns = {
+        TYPE_OMNI: lambda: _omni(scene, light_idx, position),
+        TYPE_SUN: lambda: _sun(scene, light_idx, position),
+        TYPE_AREA: lambda: _area(scene, light_idx, position, r3),
+        TYPE_SKY: lambda: _sky(scene, light_idx, position, r3),
+    }
+    present = list(scene.light_kinds) or [TYPE_OMNI]
     ltype = scene.light_type[light_idx]
-    o = _omni(scene, light_idx, position)
-    s = _sun(scene, light_idx, position)
-    a = _area(scene, light_idx, position, r3)
-    k = _sky(scene, light_idx, position, r3)
-
-    wiw, dist, emission, pdf = o
-    for t, r in ((TYPE_SUN, s), (TYPE_AREA, a), (TYPE_SKY, k)):
+    wiw, dist, emission, pdf = fns[present[0]]()
+    for t in present[1:]:
+        r = fns[t]()
         sel = ltype == t
         wiw = vec.where(sel, r[0], wiw)
         dist = jnp.where(sel, r[1], dist)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,59 +75,115 @@ MT_OPACITY = 3
 MT_NORMAL = 4
 
 
-class DeviceScene(NamedTuple):
+_SCENE_FIELDS = (
+    # geometry + BVH (triangles in BVH order)
+    "bvh",  # BVH
+    "tri_attr",  # (N, 33) fused shading attributes, see ATTR_*
+    "tri_material",  # (N,) int32
+    # geometry in original (pre-BVH) order, for area-light sampling
+    "tri_pos_orig",  # (N, 9) v0/v1/v2 components
+    # materials (M rows)
+    "mat_bsdf",  # (M,) int32 family 0..5 (lambert..uber)
+    "mat_scalars",  # (M, 8) f32, see MS_*
+    "mat_tex",  # (M, 5) int32, see MT_*
+    "mat_metal_ior",  # (M, 16)
+    "mat_metal_fresnel",  # (M, 16) eta^2 + k^2
+    # lights (L rows; AREA lights expanded per instance; sky last)
+    "light_type",  # (L,) int32 LightType
+    "light_color",  # (L, 16) spectrum
+    "light_pos",  # (L, 3)
+    "light_dir",  # (L, 3) normalized
+    "light_intensity",  # (L,)
+    "light_tri_first",  # (L,) int32 first tri (original order)
+    "light_tri_count",  # (L,) int32
+    "light_material",  # (L,) int32 emission material (AREA)
+    "lights_no",  # () int32
+    # sky (always present; tex_id 0 = disabled, matching the reference)
+    "sky_tex",  # () int32
+    "sky_intensity",  # () f32
+    "sky_obj2world",  # (3, 3)
+    "sky_world2obj",  # (3, 3)
+    # sky importance sampling: Walker/Vose alias tables (O(1) per sample;
+    # the reference's binary-search CDF inversion measured ~630 ms/launch
+    # as an XLA while-loop). Conditional tables are flattened row-major.
+    "sky_marg_prob",  # (H,)
+    "sky_marg_alias",  # (H,) int32
+    "sky_marginal_val",  # (H,) function values
+    "sky_marginal_integral",  # ()
+    "sky_cond_prob",  # (H*W,)
+    "sky_cond_alias",  # (H*W,) int32
+    "sky_cond_val",  # (H*W,)
+    "sky_cond_integral",  # (H,)
+    "sky_cond_n",  # () int32: W
+    # textures
+    "atlas",  # TextureAtlas
+    # meta
+    "scene_radius",  # ()
+    "scene_centre",  # (3,)
+    "exposure",  # ()
+)
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceScene:
     """Device-resident scene. Tables are ROW-major — item id on the first
     axis — because XLA's TPU row gather is the only fast gather form
     (lane-axis gathers from small tables lower to serial one-row-per-
     iteration while loops; measured seconds per launch). Gathered blocks
     are transposed/column-sliced into the SoA compute layout afterwards.
-    All fields are jax.Arrays so the structure shards as one pytree."""
+    All array fields are pytree children so the structure shards as one
+    pytree; see ``_SCENE_FIELDS`` for the field list and layouts.
 
-    # geometry + BVH (triangles in BVH order)
-    bvh: BVH
-    tri_attr: jnp.ndarray  # (N, 33) fused shading attributes, see ATTR_*
-    tri_material: jnp.ndarray  # (N,) int32
-    # geometry in original (pre-BVH) order, for area-light sampling
-    tri_pos_orig: jnp.ndarray  # (N, 9) v0/v1/v2 components
-    # materials (M rows)
-    mat_bsdf: jnp.ndarray  # (M,) int32 family 0..5 (lambert..uber)
-    mat_scalars: jnp.ndarray  # (M, 8) f32, see MS_*
-    mat_tex: jnp.ndarray  # (M, 5) int32, see MT_*
-    mat_metal_ior: jnp.ndarray  # (M, 16)
-    mat_metal_fresnel: jnp.ndarray  # (M, 16) eta^2 + k^2
-    # lights (L rows; AREA lights expanded per instance; sky last)
-    light_type: jnp.ndarray  # (L,) int32 LightType
-    light_color: jnp.ndarray  # (L, 16) spectrum
-    light_pos: jnp.ndarray  # (L, 3)
-    light_dir: jnp.ndarray  # (L, 3) normalized
-    light_intensity: jnp.ndarray  # (L,)
-    light_tri_first: jnp.ndarray  # (L,) int32 first tri (original order)
-    light_tri_count: jnp.ndarray  # (L,) int32
-    light_material: jnp.ndarray  # (L,) int32 emission material (AREA)
-    lights_no: jnp.ndarray  # () int32
-    # sky (always present; tex_id 0 = disabled, matching the reference)
-    sky_tex: jnp.ndarray  # () int32
-    sky_intensity: jnp.ndarray  # () f32
-    sky_obj2world: jnp.ndarray  # (3, 3)
-    sky_world2obj: jnp.ndarray  # (3, 3)
-    # sky importance sampling: Walker/Vose alias tables (O(1) per sample;
-    # the reference's binary-search CDF inversion measured ~630 ms/launch
-    # as an XLA while-loop). Conditional tables are flattened row-major.
-    sky_marg_prob: jnp.ndarray  # (H,)
-    sky_marg_alias: jnp.ndarray  # (H,) int32
-    sky_marginal_val: jnp.ndarray  # (H,) function values
-    sky_marginal_integral: jnp.ndarray  # ()
-    sky_cond_prob: jnp.ndarray  # (H*W,)
-    sky_cond_alias: jnp.ndarray  # (H*W,) int32
-    sky_cond_val: jnp.ndarray  # (H*W,)
-    sky_cond_integral: jnp.ndarray  # (H,)
-    sky_cond_n: jnp.ndarray  # () int32: W
-    # textures
-    atlas: TextureAtlas
-    # meta
-    scene_radius: jnp.ndarray  # ()
-    scene_centre: jnp.ndarray  # (3,)
-    exposure: jnp.ndarray  # ()
+    ``mat_families`` / ``light_kinds`` are STATIC pytree aux data: the
+    sorted tuples of BSDF families and light types actually present.
+    Jitted shading specializes on them, evaluating only the branches a
+    scene uses — the wavefront analogue of the reference's SBT running
+    exactly one BSDF callable per ray (pipeline.rs:387-564). They are
+    recomputed whenever ``_replace`` swaps the source arrays (material or
+    light edits), which retriggers jit specialization like the reference's
+    pipeline rebuild."""
+
+    __slots__ = _SCENE_FIELDS + ("mat_families", "light_kinds")
+
+    def __init__(self, *, mat_families=None, light_kinds=None, **fields):
+        for name in _SCENE_FIELDS:
+            setattr(self, name, fields.pop(name))
+        if fields:
+            raise TypeError(f"unknown DeviceScene fields: {sorted(fields)}")
+        if mat_families is None:
+            mat_families = tuple(
+                sorted({int(x) for x in np.asarray(self.mat_bsdf)})
+            )
+        if light_kinds is None:
+            light_kinds = tuple(
+                sorted({int(x) for x in np.asarray(self.light_type)})
+            )
+        self.mat_families = tuple(mat_families)
+        self.light_kinds = tuple(light_kinds)
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, n) for n in _SCENE_FIELDS)
+        return children, (self.mat_families, self.light_kinds)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        for name, child in zip(_SCENE_FIELDS, children):
+            setattr(obj, name, child)
+        obj.mat_families, obj.light_kinds = aux
+        return obj
+
+    def _replace(self, **updates):
+        """NamedTuple-style copy-with-overrides; recomputes the static
+        specialization sets when their source arrays change (None triggers
+        recompute in __init__)."""
+        mat_families = (None if "mat_bsdf" in updates else self.mat_families)
+        light_kinds = (None if "light_type" in updates else self.light_kinds)
+        fields = {n: updates.pop(n, getattr(self, n)) for n in _SCENE_FIELDS}
+        if updates:
+            raise TypeError(f"unknown DeviceScene fields: {sorted(updates)}")
+        return DeviceScene(mat_families=mat_families,
+                           light_kinds=light_kinds, **fields)
 
 
 def _normal_matrix(m4: np.ndarray) -> np.ndarray:
