@@ -345,6 +345,91 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     )
 
 
+@jax.tree_util.register_pytree_node_class
+class ChunkedBVH:
+    """Spatially-partitioned BVH forest for scenes whose triangle table
+    exceeds the VMEM budget (the analogue of the reference's chunked BLAS
+    builds, acceleration.rs:199-277). Chunks are traced SEQUENTIALLY with
+    the running best-t as the next chunk's t_max cap (closest) or the
+    not-yet-blocked mask as the active set (any-hit), so each chunk runs
+    at full VMEM-resident speed. Triangle ids are global: chunk-local ids
+    plus the chunk's static offset, matching the concatenated leaf-aligned
+    attribute order the flattener builds."""
+
+    def __init__(self, chunks, offsets, n_tris: int):
+        self.chunks = tuple(chunks)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.n_tris = int(n_tris)
+
+    def tree_flatten(self):
+        return (self.chunks,), (self.offsets, self.n_tris)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def tri(self):
+        """Concatenated triangle rows (host-side tools only)."""
+        return jnp.concatenate([c.tri for c in self.chunks], axis=0)
+
+
+# Default chunk ceiling: padded triangle rows must fit TRI_VMEM_BUDGET
+# (12 MB = 24576 rows = 196k padded tris); leave headroom for leaf padding.
+CHUNK_MAX_TRIS = 160_000
+
+
+def build_bvh_chunked(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
+                      max_tris: int | None = None):
+    """Builds a single BVH when the scene fits, else a ChunkedBVH.
+
+    Returns ``(bvh, tri_order)`` with the same contract as
+    :func:`build_bvh`: ``tri_order`` is the global padded leaf-aligned
+    permutation across all chunks. ``max_tris`` defaults to the module's
+    ``CHUNK_MAX_TRIS`` read at call time (tests shrink it)."""
+    if max_tris is None:
+        max_tris = CHUNK_MAX_TRIS
+    tri_verts = np.ascontiguousarray(tri_verts, np.float32)
+    n = tri_verts.shape[0]
+    if n <= max_tris:
+        return build_bvh(tri_verts, leaf_size)
+
+    # recursive median split over centroid's longest axis
+    centroid = tri_verts.mean(axis=1)
+    parts = []
+
+    def split(idx):
+        if idx.shape[0] <= max_tris:
+            parts.append(idx)
+            return
+        c = centroid[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        mid = idx.shape[0] // 2
+        split(idx[order[:mid]])
+        split(idx[order[mid:]])
+
+    split(np.arange(n, dtype=np.int64))
+
+    chunks = []
+    offsets = []
+    order_parts = []
+    base = 0
+    for idx in parts:
+        bvh_c, order_c = build_bvh(tri_verts[idx], leaf_size)
+        sent = order_c == SENTINEL
+        global_order = np.where(
+            sent, SENTINEL, idx[np.where(sent, 0, order_c.astype(np.int64))]
+        ).astype(np.uint32)
+        chunks.append(bvh_c)
+        offsets.append(base)
+        order_parts.append(global_order)
+        base += bvh_c.tri.shape[0]
+    order = (np.concatenate(order_parts) if order_parts
+             else np.zeros(0, np.uint32))
+    return ChunkedBVH(chunks, offsets, n), order
+
+
 # ---------------------------------------------------------------------------
 # Traversal
 # ---------------------------------------------------------------------------

@@ -36,11 +36,13 @@ from glaze_tpu.accel.bvh import T_MIN
 PACKET_ROWS = 16  # rays per packet = PACKET_ROWS * 128
 LANES = 128
 
-# VMEM budgets for the resident BVH tables. Tables that exceed them stay
-# in HBM and rows are DMA'd on demand (graceful degradation for scenes
-# beyond ~150k triangles instead of a compile failure).
-NODES_VMEM_BUDGET = 6 * 1024 * 1024
-TRI_VMEM_BUDGET = 8 * 1024 * 1024
+# VMEM budgets for the resident BVH tables (one octant node slab + the
+# triangle rows; VMEM is ~16 MB total with ~0.5 MB of ray blocks). Tables
+# that exceed them stay in HBM and rows are DMA'd on demand — a blocking
+# ~1 us DMA per visit, so scenes beyond the budget should be CHUNKED
+# (build_bvh_chunked) rather than streamed.
+NODES_VMEM_BUDGET = 3 * 1024 * 1024
+TRI_VMEM_BUDGET = 12 * 1024 * 1024
 
 def _load_fields(table_ref, item, per_row, stride):
     """Loads one packed item; returns an (8, 128) value whose lane f holds
@@ -62,12 +64,11 @@ def _load_row(table_ref, item, per_row):
 def _field(rowb, base, f):
     """Broadcasts field ``base*stride + f`` to all lanes as (1, 128) —
     a full-lane dynamic gather instead of a scalar extract (extracts
-    measured ~25 cycles each; gathers are plain vreg ops). A Python-int
-    index (8-aligned leaves) becomes a static slice + lane broadcast."""
-    idx = base + f
-    if isinstance(idx, int):
-        return jnp.broadcast_to(rowb[0:1, idx:idx + 1], (1, LANES))
-    idx = jnp.full((8, LANES), idx, jnp.int32)
+    measured ~25 cycles each; gathers are plain vreg ops). With 8-aligned
+    leaves ``base + f`` is a Python int, making the index a compile-time
+    constant. (A static slice + broadcast instead trips Mosaic's
+    unimplemented sublane+lane broadcast.)"""
+    idx = jnp.full((8, LANES), base + f, jnp.int32)
     return jnp.take_along_axis(rowb, idx, axis=1)[0:1, :]
 
 

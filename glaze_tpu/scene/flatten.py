@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from glaze_tpu.accel import BVH, build_bvh
+from glaze_tpu.accel import BVH, build_bvh_chunked
 from glaze_tpu.core import LightType, MaterialType, Texture
 from glaze_tpu.core.distribution import Distribution2D
 from glaze_tpu.core.spectrum import CIE_Y, INVY_SUM, rgb_to_spectrum_np
@@ -521,7 +521,9 @@ def flatten_scene(parsed):
         tri_uv[:, 0], tri_uv[:, 1], tri_uv[:, 2],
     )
 
-    bvh, order = build_bvh(tri_pos)
+    # chunked when the triangle table would exceed the VMEM budget
+    # (the reference's <=512MB BLAS chunking, acceleration.rs:199-277)
+    bvh, order = build_bvh_chunked(tri_pos)
     # the order is leaf-aligned and padded; sentinel entries are padding
     # whose attribute rows must be zeroed (their triangles are degenerate)
     from glaze_tpu.accel.bvh import SENTINEL

@@ -144,3 +144,89 @@ def test_identical_centroids_never_oversize_leaves(native):
     hit = bt != np.inf
     assert ((bt == np.inf) == (t == np.inf)).all()
     np.testing.assert_allclose(t[hit], bt[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_bvh_matches_single():
+    """ChunkedBVH (beyond-VMEM scenes) traces identically to one BVH."""
+    from glaze_tpu.accel import (
+        ChunkedBVH,
+        any_hit_auto,
+        build_bvh_chunked,
+        closest_hit_auto,
+    )
+
+    tri, rng = _random_soup(3000, seed=5)
+    o = rng.uniform(-15, 15, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    single, s_order = build_bvh_chunked(tri, max_tris=10_000)
+    chunked, c_order = build_bvh_chunked(tri, max_tris=700)
+    assert isinstance(chunked, ChunkedBVH) and len(chunked.chunks) >= 4
+    assert chunked.n_tris == 3000
+    # every chunk's padded rows line up with its offset
+    total = 0
+    for c, off in zip(chunked.chunks, chunked.offsets):
+        assert off == total
+        total += c.tri.shape[0]
+    assert c_order.shape[0] == total
+
+    hs = closest_hit_auto(single, jnp.asarray(o), jnp.asarray(d))
+    hc = closest_hit_auto(chunked, jnp.asarray(o), jnp.asarray(d))
+    ts, tc = np.asarray(hs["t"]), np.asarray(hc["t"])
+    np.testing.assert_allclose(
+        np.where(np.isinf(ts), 1e30, ts),
+        np.where(np.isinf(tc), 1e30, tc), rtol=1e-4, atol=1e-5)
+    # global tri ids map through each order to the same source triangle
+    hit = np.asarray(hs["tri"]) >= 0
+    src_s = s_order[np.asarray(hs["tri"])[hit]]
+    src_c = c_order[np.asarray(hc["tri"])[hit]]
+    assert (src_s == src_c).all()
+
+    # any-hit: chunked == single
+    t_max = np.full(512, 8.0, np.float32)
+    a_s = np.asarray(any_hit_auto(single, jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t_max)))
+    a_c = np.asarray(any_hit_auto(chunked, jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t_max)))
+    np.testing.assert_array_equal(a_s, a_c)
+
+    # active mask respected
+    act = np.zeros(512, bool)
+    a_m = np.asarray(any_hit_auto(chunked, jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t_max), active=jnp.asarray(act)))
+    assert not a_m.any()
+
+
+def test_chunked_scene_renders_like_unchunked():
+    """A scene flattened with a chunked BVH accumulates the same radiance."""
+    from glaze_tpu.accel import bvh as bvh_mod2
+    import glaze_tpu.accel.bvh as B
+    import __graft_entry__ as graft
+    from glaze_tpu.render import integrator as integ
+    import jax
+
+    scene, camera = graft._tiny_scene(16, 16)
+
+    saved = B.CHUNK_MAX_TRIS
+    try:
+        B.CHUNK_MAX_TRIS = 2  # force chunking of the 6-tri scene
+        scene_c, camera_c = graft._tiny_scene(16, 16)
+    finally:
+        B.CHUNK_MAX_TRIS = saved
+    from glaze_tpu.accel import ChunkedBVH
+
+    assert isinstance(scene_c.bvh, ChunkedBVH)
+
+    c2w, s2c = integ.camera_matrices(camera, 16, 16)
+    seeds = jnp.asarray(np.asarray([3, 5], np.uint32))
+    offsets = jnp.asarray(np.full((2, 2), 0.5, np.float32))
+    kw = dict(width=16, height=16, is_persp=True, direct_only=False, steps=2)
+    a = integ.render_steps(scene, integ.init_state(16, 16), seeds, offsets,
+                           jnp.asarray(c2w), jnp.asarray(s2c), **kw)
+    b = integ.render_steps(scene_c, integ.init_state(16, 16), seeds, offsets,
+                           jnp.asarray(c2w), jnp.asarray(s2c), **kw)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(a.accum[i]),
+                                   np.asarray(b.accum[i]),
+                                   rtol=1e-4, atol=1e-5)
