@@ -1,17 +1,20 @@
 """Benchmark: path-tracing throughput in Mrays/s on the default device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target (BASELINE.md): 200 Mrays/s/chip on Sponza-class scenes.
-Until a Sponza asset is available in-image, the workload is mattest.glaze
-(the reference's shipped scene, 138k world-space triangles) at 512x512 —
-BASELINE config #3 geometry.
+
+Workload = BASELINE config #4: a Sponza-class scene (262k-triangle
+procedural atrium, tools/make_sponza.py — Sponza itself needs a network
+download this image doesn't have) at 1920x1080, full path tracing with
+NEE. Secondary keys report per-launch wall time and the extrapolated
+time-to-256spp that BASELINE tracks.
 
 Methodology: one warm-up render_steps call (compile), then timed calls of
-a 12-launch fused scan with fresh per-launch seeds (distinct inputs; the
-TPU tunnel dedupes identical executions, so repeat-same-args timing lies).
-A launch = one path-tracing bounce for every pixel (camera ray or bounce
-ray + NEE shadow ray); the Mrays metric counts primary/bounce rays like
-the reference's traceRayEXT launches.
+a fused multi-launch scan with fresh per-launch seeds (distinct inputs;
+the TPU tunnel dedupes identical executions, so repeat-same-args timing
+lies). A launch = one path-tracing bounce for every pixel (camera ray or
+bounce ray + NEE shadow ray); the Mrays metric counts primary/bounce rays
+like the reference's traceRayEXT launches.
 """
 
 from __future__ import annotations
@@ -24,8 +27,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MRAYS = 200.0  # BASELINE.json target, Mrays/s/chip
-STEPS = 12
-REPEATS = 3
+WIDTH, HEIGHT = 1920, 1080
+SPP_TARGET = 256
+STEPS = 6  # one full sample per pixel per timed call (PT_STEPS)
+REPEATS = 2
 
 
 def main():
@@ -33,36 +38,30 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from glaze_tpu.parser import parse
     from glaze_tpu.render import integrator as integ
     from glaze_tpu.render.renderer import RayTraceRenderer
     from glaze_tpu.utils import enable_compilation_cache
+    from tools.make_sponza import build_scene
 
     enable_compilation_cache()
 
-    scene_path = "/root/reference/resources/mattest.glaze"
-    width = height = 512
-    if not os.path.exists(scene_path):
-        print(json.dumps({"metric": "mrays_per_sec", "value": 0.0,
-                          "unit": "Mrays/s", "vs_baseline": 0.0,
-                          "error": "scene missing"}))
-        return
-
-    parsed = parse(scene_path)
-    r = RayTraceRenderer(parsed, width=width, height=height, seed=3)
-    p = integ.pixel_count(width, height)
-    c2w, s2c = integ.camera_matrices(r.camera, width, height)
+    t_setup = time.perf_counter()
+    parsed = build_scene()
+    r = RayTraceRenderer(parsed, width=WIDTH, height=HEIGHT, seed=3)
+    p = integ.pixel_count(WIDTH, HEIGHT)
+    c2w, s2c = integ.camera_matrices(r.camera, WIDTH, HEIGHT)
     c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
-    kw = dict(width=width, height=height, is_persp=True, direct_only=False,
-              steps=STEPS)
+    kw = dict(width=WIDTH, height=HEIGHT, is_persp=True, direct_only=False,
+              steps=STEPS, alpha_rounds=r._alpha_rounds)
     rng = np.random.default_rng(7)
+    setup_s = time.perf_counter() - t_setup
 
     def run(state):
         seeds = jnp.asarray(rng.integers(0, 2**32, STEPS, dtype=np.uint32))
         offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
         return integ.render_steps(r.scene, state, seeds, offs, c2w, s2c, **kw)
 
-    state = integ.init_state(width, height)
+    state = integ.init_state(WIDTH, HEIGHT)
     state = run(state)  # compile + warm
     jax.block_until_ready(state.count)
 
@@ -75,11 +74,20 @@ def main():
 
     rays = p * STEPS
     mrays = rays / best / 1e6
+    launch_ms = best / STEPS * 1e3
+    # BASELINE's convergence metric, extrapolated from the launch rate
+    # (256 spp x PT_STEPS launches)
+    tt256 = SPP_TARGET * integ.PT_STEPS * launch_ms / 1e3
     print(json.dumps({
         "metric": "mrays_per_sec",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "scene": "sponza_class_262k_tris",
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "launch_ms": round(launch_ms, 1),
+        "time_to_256spp_s": round(tt256, 1),
+        "setup_s": round(setup_s, 1),
     }))
 
 

@@ -258,6 +258,90 @@ def _closest_kernel(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
 
 
+def _closest_kernel_dual(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+                         dx_ref, dy_ref, dz_ref, tmax_ref,
+                         t_ref, tri_out_ref, u_ref, v_ref,
+                         nodes_ref, tri_ref, sems, *, n_nodes, n_tris,
+                         leaf_size, n_walks=2):
+    """Closest hit with ``n_walks`` INDEPENDENT packet walks interleaved in
+    one loop body. Each walk owns PACKET_ROWS sublane rows of the block
+    and its own scalar node pointer; the chains have no data dependencies,
+    so the VLIW scheduler overlaps one walk's scalar decision latency
+    (vector->scalar sync, branch) with the others' vector work. Iterations
+    = max over walks of their visit counts (adjacent image tiles are
+    balanced)."""
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 True, True)
+    R = PACKET_ROWS
+
+    walks = []
+    for w in range(n_walks):
+        s = slice(w * R, (w + 1) * R)
+        ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
+        dx, dy, dz = dx_ref[s, :], dy_ref[s, :], dz_ref[s, :]
+        walks.append((s, ox, oy, oz, dx, dy, dz,
+                      _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)))
+
+    t_ref[:] = tmax_ref[:]
+    tri_out_ref[:] = jnp.full(t_ref.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
+    v_ref[:] = jnp.zeros(t_ref.shape, jnp.float32)
+
+    def cond(ptrs):
+        alive = ptrs[0] < n_nodes
+        for w in range(1, n_walks):
+            alive = alive | (ptrs[w] < n_nodes)
+        return alive
+
+    def body(ptrs):
+        new_ptrs = []
+        for w, (s, ox, oy, oz, dx, dy, dz, ix, iy, iz) in enumerate(walks):
+            ptr = ptrs[w]
+            safe = jnp.minimum(ptr, n_nodes - 1)
+            rowb, slot = _load_row(nodes_ref, safe, 16)
+            f8 = _node_fields(rowb, slot)
+            meta = pltpu.bitcast(f8[6:7], jnp.int32)[0, 0]
+            skip = pltpu.bitcast(f8[7:8], jnp.int32)[0, 0]
+            cap = jnp.where(ptr < n_nodes, t_ref[s, :], jnp.float32(-1.0))
+            hit = _slab((f8[0:1], f8[1:2], f8[2:3]),
+                        (f8[3:4], f8[4:5], f8[5:6]),
+                        ox, oy, oz, ix, iy, iz, cap)
+            any_hit = jnp.any(hit)
+            is_leaf = meta >= 0
+
+            @pl.when(any_hit & is_leaf)
+            def _(s=s, hit=hit, meta=meta, walk=(ox, oy, oz, dx, dy, dz)):
+                ox, oy, oz, dx, dy, dz = walk
+                first = meta >> 3
+                t_best = t_ref[s, :]
+                tri_best = tri_out_ref[s, :]
+                u_best = u_ref[s, :]
+                v_best = v_ref[s, :]
+                row = tri_ref[pl.ds(first // 8, 1), :]
+                trow = jnp.broadcast_to(row, (8, LANES))
+                for k in range(leaf_size):
+                    t, u, v, h = _tri_hit_rows(trow, k * 16, ox, oy, oz,
+                                               dx, dy, dz)
+                    better = h & (t < t_best) & hit
+                    t_best = jnp.where(better, t, t_best)
+                    tri_best = jnp.where(better, first + k, tri_best)
+                    u_best = jnp.where(better, u, u_best)
+                    v_best = jnp.where(better, v, v_best)
+                t_ref[s, :] = t_best
+                tri_out_ref[s, :] = tri_best
+                u_ref[s, :] = u_best
+                v_ref[s, :] = v_best
+
+            descend = any_hit & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, ptr + 1, skip)
+            new_ptrs.append(jnp.where(ptr < n_nodes, nxt, ptr))
+        return tuple(new_ptrs)
+
+    jax.lax.while_loop(cond, body, tuple(jnp.int32(0)
+                                         for _ in range(n_walks)))
+    t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
+
+
 def _closest_kernel_sub(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                         dx_ref, dy_ref, dz_ref, tmax_ref,
                         t_ref, tri_out_ref, u_ref, v_ref,
@@ -552,7 +636,8 @@ def _pack_comps(origin3, direction3, extra=()):
     """SoA (R,) components -> (rows, 128) padded layouts."""
     r = origin3[0].shape[0]
     rows = -(-r // LANES)
-    pad_rows = -(-rows // PACKET_ROWS) * PACKET_ROWS
+    blk = PACKET_ROWS * max(DUAL_WALKS, 1)
+    pad_rows = -(-rows // blk) * blk
     total = pad_rows * LANES
 
     def comp(x, fill):
@@ -576,9 +661,9 @@ def _pack_rays(origin, direction, extra=()):
     )
 
 
-def _ray_blk():
+def _ray_blk(rows=None):
     # index_map takes (grid_idx, *scalar_prefetch_refs)
-    return pl.BlockSpec((PACKET_ROWS, LANES), lambda i, *_: (i, 0),
+    return pl.BlockSpec((rows or PACKET_ROWS, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -605,12 +690,13 @@ def _table_scratch(nodes16, tri8):
     ]
 
 
-def _packet_octants(dx, dy, dz):
-    """Majority direction octant per packet, (grid, 1) int32."""
-    grid = dx.shape[0] // PACKET_ROWS
+def _packet_octants(dx, dy, dz, blk_rows=None):
+    """Majority direction octant per packet (kernel block), (grid,) i32."""
+    blk_rows = blk_rows or PACKET_ROWS
+    grid = dx.shape[0] // blk_rows
 
     def mean(c):
-        return c.reshape(grid, PACKET_ROWS * LANES).sum(axis=1)
+        return c.reshape(grid, blk_rows * LANES).sum(axis=1)
 
     o = (
         (mean(dx) >= 0).astype(jnp.int32)
@@ -629,6 +715,12 @@ def _packet_octants(dx, dy, dz):
 SUBPACKETS_CLOSEST = False
 SUBPACKETS_ANYHIT = True
 
+# Interleave this many INDEPENDENT packet walks per closest-hit kernel body
+# (block = DUAL_WALKS*PACKET_ROWS rows). Their scalar chains have no data
+# dependencies, so the VLIW scheduler hides each walk's vector->scalar sync
+# latency behind the others' vector work. 1 disables.
+DUAL_WALKS = 1  # measured: 2 walks/body = 1.3x SLOWER (no VLIW overlap)
+
 
 def _sub_scratch(nodes16, tri8):
     return [
@@ -645,24 +737,33 @@ def _sub_scratch(nodes16, tri8):
 def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
                   n_tris, leaf_size, interpret):
     rows = ox.shape[0]
-    grid = rows // PACKET_ROWS
     octs = _packet_octants(dx, dy, dz)
     nodes_res, tri_res = _residency(nodes16, tri8)
+    blk_rows = PACKET_ROWS
     if SUBPACKETS_CLOSEST and nodes_res and tri_res:
         kernel = functools.partial(_closest_kernel_sub, n_nodes=n_nodes,
                                    n_tris=n_tris, leaf_size=leaf_size)
         scratch = _sub_scratch(nodes16, tri8)
+    elif DUAL_WALKS > 1 and nodes_res and tri_res:
+        blk_rows = PACKET_ROWS * DUAL_WALKS
+        kernel = functools.partial(_closest_kernel_dual, n_nodes=n_nodes,
+                                   n_tris=n_tris, leaf_size=leaf_size,
+                                   n_walks=DUAL_WALKS)
+        scratch = _table_scratch(nodes16, tri8)
+        octs = _packet_octants(dx, dy, dz, blk_rows)
     else:
         kernel = functools.partial(_closest_kernel, n_nodes=n_nodes,
                                    n_tris=n_tris, leaf_size=leaf_size,
                                    nodes_resident=nodes_res,
                                    tri_resident=tri_res)
         scratch = _table_scratch(nodes16, tri8)
+    grid = rows // blk_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[_hbm(nodes16), _hbm(tri8)] + [_ray_blk() for _ in range(7)],
-        out_specs=[_ray_blk() for _ in range(4)],
+        in_specs=[_hbm(nodes16), _hbm(tri8)]
+        + [_ray_blk(blk_rows) for _ in range(7)],
+        out_specs=[_ray_blk(blk_rows) for _ in range(4)],
         scratch_shapes=scratch,
     )
     return pl.pallas_call(

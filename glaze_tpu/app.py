@@ -29,6 +29,12 @@ HELP = """commands:
   mat <id> ior <v>    set dielectric ior
   mat <id> metal <m>  set metal (e.g. GOLD, SILVER, COPPER)
   mat <id> diffuse <r> <g> <b>   set diffuse multiplier (0-255)
+  mat <id> tex <slot> <tid>      assign texture (slot: diffuse|roughness|
+                                 metalness|opacity|normal; 0 clears)
+  tex                 list textures
+  tex add <path> [srgb|norm|gray]   load an image as a new texture
+  tex del <id>        remove an unused texture
+  tex format <id> <srgb|norm|gray>  reinterpret pixel format
   light               list lights
   light <id> intensity <v>
   light <id> color <r> <g> <b>   (0-1 rgb, converted to spectrum)
@@ -182,7 +188,49 @@ def main(argv=None):
                     mat.metal = Metal[parts[3].upper()]
                 elif field == "diffuse":
                     mat.diffuse_mul = tuple(int(v) for v in parts[3:6])
+                elif field == "tex":
+                    slot = parts[3].lower()
+                    if slot not in ("diffuse", "roughness", "metalness",
+                                    "opacity", "normal"):
+                        raise ValueError(f"bad texture slot {slot!r}")
+                    tid = int(parts[4])
+                    if not 0 <= tid < len(rr.textures()):
+                        raise ValueError(f"no texture {tid}")
+                    setattr(mat, slot, tid)
                 rr.change_material(mid, mat)
+                present()
+            elif cmd == "tex" and len(parts) == 1:
+                for i, t in enumerate(rr.textures()):
+                    print(f"  [{i}] {t.info.name or '(unnamed)'}: "
+                          f"{t.info.width}x{t.info.height} "
+                          f"{t.info.format.name} mips={len(t.data)}")
+            elif cmd == "tex" and parts[1] == "add":
+                import numpy as np
+
+                from glaze_tpu.core import Texture, TextureFormat, TextureInfo
+
+                fmts = {"srgb": TextureFormat.RgbaSrgb,
+                        "norm": TextureFormat.RgbaNorm,
+                        "gray": TextureFormat.Gray}
+                fmt = fmts[parts[3].lower()] if len(parts) > 3 else TextureFormat.RgbaSrgb
+                pil = Image.open(parts[2])
+                arr = np.asarray(pil.convert(
+                    "L" if fmt == TextureFormat.Gray else "RGBA"), np.uint8)
+                info = TextureInfo(parts[2].rsplit("/", 1)[-1],
+                                   arr.shape[1], arr.shape[0], fmt)
+                tid = rr.add_texture(Texture(info, [arr]))
+                print(f"added texture [{tid}]", file=sys.stderr)
+                present()
+            elif cmd == "tex" and parts[1] == "del":
+                rr.remove_texture(int(parts[2]))
+                present()
+            elif cmd == "tex" and parts[1] == "format":
+                from glaze_tpu.core import TextureFormat
+
+                fmts = {"srgb": TextureFormat.RgbaSrgb,
+                        "norm": TextureFormat.RgbaNorm,
+                        "gray": TextureFormat.Gray}
+                rr.set_texture_format(int(parts[2]), fmts[parts[3].lower()])
                 present()
             elif cmd == "light" and len(parts) == 1:
                 for i, l in enumerate(rr.lights()):

@@ -41,6 +41,12 @@ def build_parser():
         help="integrator (default pt)",
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
+    p.add_argument(
+        "--profile", nargs="?", const="glaze_profile", default=None,
+        metavar="DIR",
+        help="dump a jax.profiler trace (xprof/tensorboard xplane) of the "
+             "render to DIR and print per-phase wall-clock",
+    )
     return p
 
 
@@ -48,18 +54,28 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
-    from glaze_tpu.utils import enable_compilation_cache
+    from glaze_tpu.utils import (
+        Timer,
+        enable_compilation_cache,
+        profiler_trace,
+        setup_debug_modes,
+    )
 
     enable_compilation_cache()
+    if setup_debug_modes():
+        print("GLAZE_DEBUG: NaN checks + runtime validation on",
+              file=sys.stderr)
 
-    t0 = time.time()
+    timer = Timer()
     parsed = parse(args.input)
+    timer.mark("parse")
     width, height = args.res
     integrator = Integrator.DIRECT if args.integrator == "direct" else Integrator.PATH_TRACE
     renderer = RayTraceRenderer(
         parsed, width=width, height=height, integrator=integrator, seed=args.seed
     )
-    setup_ms = (time.time() - t0) * 1000.0
+    timer.mark("upload+bvh")
+    setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0
     print(f"Setup time: {setup_ms:.0f}ms", file=sys.stderr)
 
     total = args.spp * integrator.steps_per_sample
@@ -69,9 +85,11 @@ def main(argv=None):
         pct = 100.0 * done / total
         print(f"\rRendering... {pct:5.1f}%", end="", file=sys.stderr, flush=True)
 
-    renderer.draw(args.spp, progress)
+    with profiler_trace(args.profile or "", enabled=args.profile is not None):
+        renderer.draw(args.spp, progress)
+    timer.mark("render")
     print(file=sys.stderr)
-    render_ms = (time.time() - t0) * 1000.0
+    render_ms = timer.marks["render"] * 1000.0
     rays = width * height * total
     print(
         f"Render time: {render_ms:.0f}ms "
@@ -79,6 +97,13 @@ def main(argv=None):
         file=sys.stderr,
     )
     renderer.save(args.output)
+    timer.mark("save")
+    if args.profile is not None:
+        phases = "  ".join(
+            f"{k}={v * 1e3:.0f}ms" for k, v in timer.marks.items()
+        )
+        print(f"Phases: {phases}", file=sys.stderr)
+        print(f"Profile trace written to {args.profile}/", file=sys.stderr)
     print(f"Saved {args.output}", file=sys.stderr)
     return 0
 

@@ -134,6 +134,105 @@ class RealtimeRenderer:
     def lights(self):
         return self._rt.host.lights
 
+    # texture editing (the ui.rs textures window: add/remove/format select)
+    def textures(self):
+        return self._rt.host.textures
+
+    def _texture_users(self, tex_id: int):
+        """Materials (by slot) and sky lights referencing ``tex_id``."""
+        users = []
+        for i, m in enumerate(self._rt.host.materials):
+            for slot in ("diffuse", "roughness", "metalness", "opacity",
+                         "normal"):
+                if getattr(m, slot) == tex_id:
+                    users.append(f"material {i} {slot}")
+        for i, l in enumerate(self._rt.host.lights):
+            from glaze_tpu.core import LightType
+
+            if l.ltype == LightType.SKY and int(l.resource_id) == tex_id:
+                users.append(f"light {i} sky")
+        return users
+
+    def add_texture(self, texture) -> int:
+        """Appends a texture; returns its id."""
+        texs = list(self._rt.host.textures)
+        texs.append(texture)
+        self._rt.update_textures(texs)
+        self._preview.scene = self._rt.scene
+        self._preview.host = self._rt.host
+        self._preview._request_new_frame = True
+        return len(texs) - 1
+
+    def remove_texture(self, tex_id: int):
+        """Removes a texture. Refuses while referenced (the UI disables
+        remove for in-use textures); later texture ids shift down and all
+        material/sky references are remapped."""
+        if tex_id <= 0:
+            raise ValueError("texture 0 is the built-in default")
+        users = self._texture_users(tex_id)
+        if users:
+            raise ValueError(f"texture {tex_id} in use by: {', '.join(users)}")
+        texs = list(self._rt.host.textures)
+        del texs[tex_id]
+
+        def remap(v):
+            return v - 1 if v > tex_id else v
+
+        mats = []
+        for m in self._rt.host.materials:
+            import copy
+
+            m2 = copy.copy(m)
+            for slot in ("diffuse", "roughness", "metalness", "opacity",
+                         "normal"):
+                setattr(m2, slot, remap(getattr(m, slot)))
+            mats.append(m2)
+        lights = []
+        from glaze_tpu.core import LightType
+        import copy
+
+        for l in self._rt.host.lights:
+            l2 = copy.copy(l)
+            if l2.ltype == LightType.SKY:
+                l2.resource_id = remap(int(l2.resource_id))
+            lights.append(l2)
+        self._rt.update_textures(texs)
+        self._rt.update_materials_and_lights(mats, lights)
+        self._preview.scene = self._rt.scene
+        self._preview.host = self._rt.host
+        self._preview._request_new_frame = True
+
+    def set_texture_format(self, tex_id: int, fmt):
+        """Reinterprets a texture's pixel format (the UI's format
+        dropdown): Gray <-> RGBA conversions re-encode the data."""
+        import numpy as np
+
+        from glaze_tpu.core import Texture, TextureFormat, TextureInfo
+
+        texs = list(self._rt.host.textures)
+        t = texs[tex_id]
+        if fmt == t.info.format:
+            return
+        data = []
+        for mip in t.data:
+            if fmt == TextureFormat.Gray and mip.ndim == 3:
+                lum = (0.299 * mip[..., 0] + 0.587 * mip[..., 1]
+                       + 0.114 * mip[..., 2])
+                data.append(lum.astype(np.uint8))
+            elif fmt != TextureFormat.Gray and mip.ndim == 2:
+                rgba = np.empty(mip.shape + (4,), np.uint8)
+                rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = mip
+                rgba[..., 3] = 255
+                data.append(rgba)
+            else:
+                data.append(mip)  # Srgb <-> Norm: same bytes, new decode
+        info = TextureInfo(t.info.name, t.info.width, t.info.height, fmt)
+        texs[tex_id] = Texture(info, data)
+        self._rt.update_textures(texs)
+        self._preview.scene = self._rt.scene
+        self._preview.host = self._rt.host
+        self._preview._request_new_frame = True
+
     # interactive camera controls forward to Camera (camera.rs:182-281)
     def strafe(self, m: float):
         self._rt.camera.strafe(m)

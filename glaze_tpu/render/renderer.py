@@ -139,6 +139,27 @@ class RayTraceRenderer:
         self._refresh_alpha_rounds()
         self._request_new_frame = True
 
+    def update_textures(self, textures):
+        """Swaps the texture set: rebuilds the packed atlas and — like the
+        reference, which rebuilds the sky distribution only when its
+        texture changes (scene.rs:1598-1616) — the sky importance tables.
+        Restarts accumulation (ui.rs textures window semantics)."""
+        from glaze_tpu.ops.texture import build_atlas
+        from glaze_tpu.scene import flatten
+
+        if self.host is None:
+            raise ValueError(
+                "update_textures needs a renderer built from a parsed scene"
+            )
+        atlas = build_atlas(list(textures))
+        sky = flatten.build_sky_tables(self.host.lights, list(textures))
+        updates = {"atlas": atlas}
+        updates.update({k: jnp.asarray(v) for k, v in sky.items()})
+        self.scene = self.scene._replace(**updates)
+        self.host = self.host._replace(textures=list(textures))
+        self._refresh_alpha_rounds()
+        self._request_new_frame = True
+
     def change_resolution(self, width: int, height: int):
         self.width, self.height = int(width), int(height)
         self._state = integ.init_state(self.width, self.height)

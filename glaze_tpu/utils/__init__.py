@@ -1,5 +1,15 @@
-"""Runtime utilities: compilation cache, profiling, logging."""
+"""Runtime utilities: compilation cache, profiling, debug modes."""
 
-from glaze_tpu.utils.runtime import enable_compilation_cache, Timer
+from glaze_tpu.utils.runtime import (
+    Timer,
+    enable_compilation_cache,
+    profiler_trace,
+    setup_debug_modes,
+)
 
-__all__ = ["enable_compilation_cache", "Timer"]
+__all__ = [
+    "Timer",
+    "enable_compilation_cache",
+    "profiler_trace",
+    "setup_debug_modes",
+]

@@ -35,6 +35,50 @@ def enable_compilation_cache(path: str | None = None):
         pass  # older jax without these flags
 
 
+def setup_debug_modes(force: bool | None = None) -> bool:
+    """The reference's validation layers (debug.rs:83-165), TPU-style:
+    with ``GLAZE_DEBUG=1`` (or ``force=True``) every jit checks for NaNs
+    (jax_debug_nans re-runs the offending op un-jitted and points at it)
+    and JAX's internal invariant checks are on. Returns whether enabled.
+
+    The reference auto-enables validation in debug builds with a
+    FORCE_VALIDATIONS escape hatch; Python has no debug build, so the env
+    var is the hatch."""
+    import jax
+
+    enabled = (os.environ.get("GLAZE_DEBUG", "") not in ("", "0")
+               if force is None else force)
+    if enabled:
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_enable_checks", True)
+    return enabled
+
+
+class profiler_trace:
+    """Context manager: dumps a jax.profiler trace (xplane) to ``path``
+    when ``enabled`` — the xprof/tensorboard-compatible analogue of GPU
+    timestamps the reference never had (SURVEY §5 tracing row)."""
+
+    def __init__(self, path: str, enabled: bool = True):
+        self.path = path
+        self.enabled = enabled
+
+    def __enter__(self):
+        if self.enabled:
+            import jax
+
+            os.makedirs(self.path, exist_ok=True)
+            jax.profiler.start_trace(self.path)
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
 class Timer:
     """Wall-clock phase timer (the CLI's setup/render ms reporting,
     cli/src/main.rs:96-120)."""

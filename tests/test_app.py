@@ -241,3 +241,67 @@ def test_cli_end_to_end(tmp_path):
 
         img = np.asarray(Image.open(out))
         assert img.shape == (16, 16, 3)
+
+
+def test_app_texture_editor(tmp_path):
+    """The ui.rs textures window equivalents: tex list/add/del/format and
+    material texture-slot assignment through the command loop."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    path = _lit_cube_scene(tmp_path)
+    # an image to import
+    from PIL import Image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0] = 255
+    tex_png = tmp_path / "red.png"
+    Image.fromarray(img).save(tex_png)
+
+    script = tmp_path / "script.txt"
+    edited = tmp_path / "tex_edited.glaze"
+    # the converted cube scene ships 2 textures (default + its MTL map),
+    # so the added texture gets id 2
+    script.write_text(
+        "tex\n"
+        f"tex add {tex_png} srgb\n"
+        "mat 1 tex diffuse 2\n"
+        "tex format 2 gray\n"
+        "mat 1 tex diffuse 0\n"
+        "tex del 2\n"
+        f"tex add {tex_png}\n"
+        "mat 1 tex diffuse 2\n"
+        f"saveas {edited}\n"
+        "quit\n"
+    )
+    from glaze_tpu.app import main
+
+    rc = main([path, "--out", str(tmp_path / "v.png"), "--res", "24x24",
+               "--script", str(script)])
+    assert rc == 0
+    p = parse(str(edited))
+    assert len(p.textures()) == 3  # default + MTL map + re-added red.png
+    assert p.textures()[2].info.name == "red.png"
+    assert p.materials()[1].diffuse == 2
+
+
+def test_texture_remove_guard(tmp_path):
+    """remove_texture refuses while a material references the texture."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    path = _lit_cube_scene(tmp_path)
+    from glaze_tpu.core import Texture, TextureFormat, TextureInfo
+    from glaze_tpu.render.realtime import RealtimeRenderer
+
+    rr = RealtimeRenderer(parse(path), width=16, height=16)
+    arr = np.full((4, 4), 128, np.uint8)
+    tid = rr.add_texture(
+        Texture(TextureInfo("g", 4, 4, TextureFormat.Gray), [arr]))
+    mat = rr.materials()[1]
+    mat.roughness = tid
+    rr.change_material(1, mat)
+    with pytest.raises(ValueError, match="in use"):
+        rr.remove_texture(tid)
+    mat.roughness = 0
+    rr.change_material(1, mat)
+    rr.remove_texture(tid)
+    assert len(rr.textures()) == 2  # back to default + the scene's MTL map
