@@ -100,9 +100,11 @@ def main(argv=None):
           f"{len(rr.lights())} lights", file=sys.stderr)
 
     def present(n=8):
-        img = None
+        # pipelined launches (frames-in-flight); the final image read
+        # reflects every launch issued
         for _ in range(max(1, n)):
-            img = rr.draw_frame()
+            rr.draw_frame(pipelined=True)
+        img = rr.get_image()
         Image.fromarray(img).save(args.out)
         if args.terminal:
             print(_terminal_preview(img))

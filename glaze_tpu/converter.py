@@ -314,10 +314,16 @@ def convert(input_path, output_path, gen_mipmaps=False):
 
         (vertices, meshes, materials, textures, lights, cameras,
          transforms, instances) = import_gltf(input_path)
+    elif ext == ".fbx":
+        from glaze_tpu.fbx import import_fbx
+
+        (vertices, meshes, materials, textures, lights, cameras,
+         transforms, instances) = import_fbx(input_path)
     else:
         raise SystemExit(
-            f"Unsupported input format {ext!r}: this build imports OBJ and "
-            "glTF/GLB natively (assimp is not available in the TPU image)."
+            f"Unsupported input format {ext!r}: this build imports OBJ, "
+            "glTF/GLB, and binary FBX natively (assimp is not available in "
+            "the TPU image)."
         )
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
     if not cameras:

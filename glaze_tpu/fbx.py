@@ -1,0 +1,401 @@
+"""Minimal binary-FBX importer (meshes, transforms, materials, lights).
+
+The reference converter reads FBX through assimp
+(/root/reference/converter/src/main.rs:86-102); this is a from-scratch
+reader of the binary FBX container (Kaydara 7.x node records, zlib array
+properties) covering the subset a .glaze scene needs: Geometry
+(Vertices/PolygonVertexIndex/Normals/UV with per-polygon-vertex or
+per-vertex mappings, polygon fan triangulation), Model local transforms
+(translation/rotation XYZ-euler/scaling), material diffuse colors, and
+point/directional lights. ASCII FBX files are rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"Kaydara FBX Binary  \x00"
+
+
+class FbxNode:
+    __slots__ = ("name", "props", "children")
+
+    def __init__(self, name, props, children):
+        self.name = name
+        self.props = props
+        self.children = children
+
+    def find(self, name):
+        return [c for c in self.children if c.name == name]
+
+    def first(self, name):
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+
+def _read_props(data, pos, count):
+    props = []
+    for _ in range(count):
+        code = data[pos:pos + 1]
+        pos += 1
+        if code == b"Y":
+            props.append(struct.unpack_from("<h", data, pos)[0]); pos += 2
+        elif code == b"C":
+            props.append(bool(data[pos])); pos += 1
+        elif code == b"I":
+            props.append(struct.unpack_from("<i", data, pos)[0]); pos += 4
+        elif code == b"F":
+            props.append(struct.unpack_from("<f", data, pos)[0]); pos += 4
+        elif code == b"D":
+            props.append(struct.unpack_from("<d", data, pos)[0]); pos += 8
+        elif code == b"L":
+            props.append(struct.unpack_from("<q", data, pos)[0]); pos += 8
+        elif code in (b"f", b"d", b"l", b"i", b"b"):
+            n, enc, clen = struct.unpack_from("<III", data, pos)
+            pos += 12
+            raw = data[pos:pos + clen]
+            pos += clen
+            if enc == 1:
+                raw = zlib.decompress(raw)
+            dt = {b"f": "<f4", b"d": "<f8", b"l": "<i8", b"i": "<i4",
+                  b"b": "<i1"}[code]
+            props.append(np.frombuffer(raw, dt, count=n))
+        elif code == b"S":
+            n = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            props.append(data[pos:pos + n].decode("utf-8", "replace"))
+            pos += n
+        elif code == b"R":
+            n = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            props.append(data[pos:pos + n])
+            pos += n
+        else:
+            raise ValueError(f"unknown FBX property type {code!r}")
+    return props, pos
+
+
+def _read_node(data, pos, big):
+    if big:
+        end, nprops, plen = struct.unpack_from("<QQQ", data, pos)
+        pos += 24
+    else:
+        end, nprops, plen = struct.unpack_from("<III", data, pos)
+        pos += 12
+    nlen = data[pos]
+    pos += 1
+    if end == 0 and nprops == 0 and nlen == 0:
+        return None, pos
+    name = data[pos:pos + nlen].decode("ascii", "replace")
+    pos += nlen
+    props, pos = _read_props(data, pos, nprops)
+    children = []
+    while pos < end:
+        child, pos = _read_node(data, pos, big)
+        if child is None:  # null record terminates the child list
+            break
+        children.append(child)
+    return FbxNode(name, props, children), max(pos, end)
+
+
+def parse_fbx(path):
+    """Parses a binary FBX file into a root node."""
+    data = open(path, "rb").read()
+    if not data.startswith(MAGIC):
+        raise ValueError(
+            "not a binary FBX file (ASCII FBX is not supported; re-export "
+            "as binary or convert via glTF)"
+        )
+    version = struct.unpack_from("<I", data, 23)[0]
+    big = version >= 7500
+    pos = 27
+    roots = []
+    while pos < len(data):
+        node, pos = _read_node(data, pos, big)
+        if node is None:
+            break
+        roots.append(node)
+    return FbxNode("", [], roots), version
+
+
+def _prop70(node, name, default=None):
+    """Fetches a Properties70 'P' entry's values."""
+    p70 = node.first("Properties70")
+    if p70 is None:
+        return default
+    for p in p70.find("P"):
+        if p.props and p.props[0] == name:
+            return p.props[4:]
+    return default
+
+
+def _euler_xyz(rx, ry, rz):
+    """FBX Lcl Rotation (degrees, XYZ order) -> 3x3."""
+    rx, ry, rz = (math.radians(v) for v in (rx, ry, rz))
+
+    def rot(axis, a):
+        c, s = math.cos(a), math.sin(a)
+        m = np.eye(3)
+        i, j = [(1, 2), (0, 2), (0, 1)][axis]
+        m[i, i] = c
+        m[j, j] = c
+        m[i, j] = -s if axis != 1 else s
+        m[j, i] = s if axis != 1 else -s
+        return m
+
+    return rot(2, rz) @ rot(1, ry) @ rot(0, rx)
+
+
+def _model_matrix(model):
+    t = _prop70(model, "Lcl Translation", (0.0, 0.0, 0.0)) or (0, 0, 0)
+    r = _prop70(model, "Lcl Rotation", (0.0, 0.0, 0.0)) or (0, 0, 0)
+    s = _prop70(model, "Lcl Scaling", (1.0, 1.0, 1.0)) or (1, 1, 1)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = (_euler_xyz(*r[:3]) * np.asarray(s[:3], np.float64)).astype(
+        np.float32)
+    m[:3, 3] = np.asarray(t[:3], np.float32)
+    return m
+
+
+def _layer_values(geom, layer_name, value_name, index_name, n_pv, n_vert,
+                  poly_vert_index):
+    """Resolves a layer element to per-polygon-vertex values (N_pv, K)."""
+    layer = geom.first(layer_name)
+    if layer is None:
+        return None
+    mapping = (layer.first("MappingInformationType").props[0]
+               if layer.first("MappingInformationType") else "")
+    ref = (layer.first("ReferenceInformationType").props[0]
+           if layer.first("ReferenceInformationType") else "Direct")
+    vals_node = layer.first(value_name)
+    if vals_node is None:
+        return None
+    vals = np.asarray(vals_node.props[0], np.float64)
+    k = 2 if value_name == "UV" else 3
+    vals = vals.reshape(-1, k)
+    if ref == "IndexToDirect" and layer.first(index_name) is not None:
+        idx = np.asarray(layer.first(index_name).props[0], np.int64)
+        vals = vals[np.clip(idx, 0, len(vals) - 1)]
+    if mapping == "ByPolygonVertex":
+        return vals[:n_pv] if len(vals) >= n_pv else None
+    if mapping in ("ByVertex", "ByVertice", "ByControlPoint"):
+        per_vert = vals[:n_vert] if len(vals) >= n_vert else None
+        if per_vert is None:
+            return None
+        return per_vert[poly_vert_index]
+    if mapping == "AllSame":
+        return np.broadcast_to(vals[0], (n_pv, k))
+    return None
+
+
+def import_fbx(path):
+    """FBX -> (vertices, meshes, materials, textures, lights, cameras,
+    transforms, instances), mirroring glaze_tpu.gltf.import_gltf."""
+    from glaze_tpu.core import (
+        Light,
+        LightType,
+        Material,
+        MaterialType,
+        Mesh,
+        MeshInstance,
+        Spectrum,
+        Texture,
+        Transform,
+        Vertex,
+    )
+    from glaze_tpu.parser.v1 import vertex_to_bytes
+
+    root, _version = parse_fbx(path)
+    objects = root.first("Objects")
+    conns = root.first("Connections")
+    if objects is None:
+        raise ValueError("FBX file has no Objects section")
+
+    # connection maps: child id -> parent ids
+    oo = {}
+    if conns is not None:
+        for c in conns.find("C"):
+            if len(c.props) >= 3 and c.props[0] == "OO":
+                oo.setdefault(c.props[1], []).append(c.props[2])
+
+    geoms = {}
+    models = {}
+    fbx_mats = {}
+    lights_attr = {}
+    for obj in objects.children:
+        if not obj.props:
+            continue
+        oid = obj.props[0]
+        if obj.name == "Geometry":
+            geoms[oid] = obj
+        elif obj.name == "Model":
+            models[oid] = obj
+        elif obj.name == "Material":
+            fbx_mats[oid] = obj
+        elif obj.name == "NodeAttribute":
+            lights_attr[oid] = obj
+
+    materials = [Material()]
+    mat_id_of = {}
+    for oid, m in fbx_mats.items():
+        name = (m.props[1].split("\x00")[0] if len(m.props) > 1
+                and isinstance(m.props[1], str) else f"mat{oid}")
+        dc = _prop70(m, "DiffuseColor", (0.8, 0.8, 0.8)) or (0.8, 0.8, 0.8)
+        mat = Material(name=name, mtype=MaterialType.LAMBERT,
+                       diffuse_mul=tuple(int(float(v) * 255) for v in dc[:3]))
+        ec = _prop70(m, "EmissiveColor")
+        ef = _prop70(m, "EmissiveFactor", (1.0,))
+        if ec is not None and any(float(v) > 0 for v in ec[:3]) and \
+                float(ef[0] if ef else 1.0) > 0:
+            mat.emissive_col = tuple(int(float(v) * 255) for v in ec[:3])
+        mat_id_of[oid] = len(materials)
+        materials.append(mat)
+
+    vertices = []
+    vert_cache = {}
+    meshes = []
+    transforms = [Transform.identity()]
+    tf_cache = {Transform.identity().m.tobytes(): 0}
+    instances = []
+    lights = []
+
+    def add_vertex(p, n, uv):
+        v = Vertex(np.asarray(p, np.float32), np.asarray(n, np.float32),
+                   np.asarray(uv, np.float32))
+        key = vertex_to_bytes(v)
+        if key not in vert_cache:
+            vert_cache[key] = len(vertices)
+            vertices.append(v)
+        return vert_cache[key]
+
+    def add_transform(m4):
+        t = Transform(m4.astype(np.float32))
+        key = t.m.tobytes()
+        if key not in tf_cache:
+            tf_cache[key] = len(transforms)
+            transforms.append(t)
+        return tf_cache[key]
+
+    def model_material(model):
+        if model is None or not model.props:
+            return 0
+        for cid, parents in oo.items():
+            if model.props[0] in parents and cid in mat_id_of:
+                return mat_id_of[cid]
+        return 0
+
+    for gid, geom in geoms.items():
+        vnode = geom.first("Vertices")
+        inode = geom.first("PolygonVertexIndex")
+        if vnode is None or inode is None:
+            continue
+        pts = np.asarray(vnode.props[0], np.float64).reshape(-1, 3)
+        pvi = np.asarray(inode.props[0], np.int64)
+        # polygon fan triangulation; negative index = ~last-of-polygon
+        polys = []
+        cur = []
+        for ix in pvi:
+            if ix < 0:
+                cur.append(~ix)
+                polys.append(cur)
+                cur = []
+            else:
+                cur.append(ix)
+        poly_vert_index = np.asarray([i for p in polys for i in p], np.int64)
+        n_pv = len(poly_vert_index)
+        normals = _layer_values(geom, "LayerElementNormal", "Normals",
+                                "NormalsIndex", n_pv, len(pts),
+                                poly_vert_index)
+        uvs = _layer_values(geom, "LayerElementUV", "UV", "UVIndex",
+                            n_pv, len(pts), poly_vert_index)
+
+        # instancing: one LOCAL-space mesh per (geometry, material); one
+        # transform + instance per connected model (the russimp
+        # FindInstances postprocess the reference enables, main.rs:89-98)
+        users = [models[pid] for pid in oo.get(gid, []) if pid in models]
+        if not users:
+            users = [None]
+
+        mesh_by_mat = {}
+        for model in users:
+            mat_id = model_material(model)
+            if mat_id not in mesh_by_mat:
+                indices = []
+                pv = 0
+                for poly in polys:
+                    for t in range(1, len(poly) - 1):
+                        for local in (0, t, t + 1):
+                            gi = pv + local
+                            n = (normals[gi] if normals is not None
+                                 else np.asarray([0.0, 1.0, 0.0]))
+                            n = np.asarray(n, np.float64)
+                            ln = np.linalg.norm(n)
+                            n = (n / ln if ln > 0
+                                 else np.asarray([0.0, 1.0, 0.0]))
+                            uv = uvs[gi] if uvs is not None else (0.0, 0.0)
+                            indices.append(
+                                add_vertex(pts[poly[local]], n, uv))
+                    pv += len(poly)
+                mesh_id = len(meshes)
+                meshes.append(Mesh(mesh_id, indices, mat_id))
+                mesh_by_mat[mat_id] = mesh_id
+                if materials[mat_id].emissive_col is not None:
+                    lights.append(Light(ltype=LightType.AREA,
+                                        name=materials[mat_id].name,
+                                        resource_id=mat_id))
+            m4 = (_model_matrix(model) if model is not None
+                  else np.eye(4, dtype=np.float32))
+            instances.append(
+                MeshInstance(mesh_by_mat[mat_id], add_transform(m4)))
+
+    # FBX lights: NodeAttribute "Light" connected to a Model for position
+    for oid, attr in lights_attr.items():
+        if len(attr.props) > 2 and attr.props[2] == "Light":
+            lt = _prop70(attr, "LightType", (0,))
+            color = _prop70(attr, "Color", (1.0, 1.0, 1.0))
+            inten = _prop70(attr, "Intensity", (100.0,))
+            model = None
+            for pid in oo.get(oid, []):
+                if pid in models:
+                    model = models[pid]
+                    break
+            pos = (_model_matrix(model)[:3, 3] if model is not None
+                   else np.zeros(3, np.float32))
+            kind = int(lt[0]) if lt else 0
+            ltype = LightType.SUN if kind == 1 else LightType.OMNI
+            lights.append(Light(
+                ltype=ltype,
+                name="fbx_light",
+                color=Spectrum.from_rgb([float(v) for v in color[:3]], True),
+                position=np.asarray(pos, np.float32),
+                direction=np.asarray([0.0, -1.0, 0.0], np.float32),
+                intensity=float(inten[0]) / 100.0 if inten else 1.0,
+            ))
+
+    # FBX cameras: NodeAttribute "Camera" (Position/InterestPosition/
+    # FieldOfView in its Properties70)
+    cameras = []
+    for oid, attr in lights_attr.items():
+        if len(attr.props) > 2 and attr.props[2] == "Camera":
+            from glaze_tpu.core import Camera, PerspectiveCam
+
+            pos = _prop70(attr, "Position", (0.0, 0.0, 10.0))
+            tgt = _prop70(attr, "InterestPosition", (0.0, 0.0, 0.0))
+            up = _prop70(attr, "UpVector", (0.0, 1.0, 0.0))
+            fov = _prop70(attr, "FieldOfView", (40.0,))
+            cameras.append(Camera.Perspective(PerspectiveCam(
+                position=[float(v) for v in pos[:3]],
+                target=[float(v) for v in tgt[:3]],
+                up=[float(v) for v in up[:3]],
+                fovx=math.radians(float(fov[0]) if fov else 40.0),
+            )))
+
+    textures = [Texture.default()]
+    return (vertices, meshes, materials, textures, lights, cameras,
+            transforms, instances)

@@ -484,18 +484,28 @@ def to_image_np(values, width: int, height: int, fill=0):
     return full[:height, :width]
 
 
+@jax.jit
+def _display_chans(accum, count, exposure):
+    """Device side of render_image, one fused executable (eager ops each
+    cost a full ~25ms tunnel dispatch — this was the interactive-fps
+    bottleneck, not the render launch)."""
+    inv = exposure / jnp.maximum(count, 1.0)
+    chans = [
+        jnp.round(
+            tx.linear_to_srgb(jnp.clip(accum[i] * inv, 0.0, 1.0)) * 255.0
+        ).astype(jnp.uint8)
+        for i in range(3)
+    ]
+    return jnp.stack(chans, axis=-1)
+
+
 def render_image(state: PathState, exposure, width: int, height: int):
     """accumulated sum -> display image (update_result + the out8 blit):
     linear rgb * exposure / count, clamped, sRGB-encoded, (H, W, 3) u8.
     Unswizzles the tile order and crops padding."""
-    inv = exposure / jnp.maximum(state.count, 1.0)
-    chans = [
-        jnp.round(
-            tx.linear_to_srgb(jnp.clip(state.accum[i] * inv, 0.0, 1.0)) * 255.0
-        ).astype(jnp.uint8)
-        for i in range(3)
-    ]
-    img = np.asarray(jax.device_get(jnp.stack(chans, axis=-1)))
+    img = np.asarray(jax.device_get(
+        _display_chans(state.accum, state.count, jnp.float32(exposure))
+    ))
     px, py = pixel_coords_np(width, height)
     pw, ph = padded_dims(width, height)
     full = np.zeros((ph, pw, 3), np.uint8)
@@ -528,3 +538,22 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
 
     state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
     return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds"),
+)
+def render_steps_with_image(scene, state, seeds, offsets, cam2world,
+                            screen2cam, exposure, *, width, height, is_persp,
+                            direct_only, steps, alpha_rounds=0):
+    """render_steps + the sRGB display conversion fused into ONE
+    executable: the interactive path pays a single dispatch per frame
+    (each dispatch costs ~25 ms through the remote-TPU tunnel)."""
+    state = render_steps(
+        scene, state, seeds, offsets, cam2world, screen2cam,
+        width=width, height=height, is_persp=is_persp,
+        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+    )
+    return state, _display_chans(state.accum, state.count, exposure)

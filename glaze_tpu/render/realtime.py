@@ -10,12 +10,11 @@ derived device buffers and restart accumulation; camera moves restart
 accumulation; ``save``/``save_as`` rewrite the scene file via the
 parser's in-place update (scene.rs:477-511).
 
-The raster preview path of the reference (forward pass + skydome) exists
-to give instant feedback while the path tracer warms up; here the
-progressive first-launch image appears in milliseconds, so the preview IS
-the first accumulation frame (set ``use_raytracer=False`` to show the
-flat-shaded DIRECT integrator pass instead, the closest analogue of the
-raster preview).
+The reference's raster preview (forward pass + skydome) maps to
+:mod:`glaze_tpu.render.preview`: ``use_raytracer=False`` switches
+``draw_frame`` to a single flat-shaded primary-visibility pass — no NEE,
+no accumulation — the TPU-native equivalent of the per-material raster
+pipelines + skydome background (renderer.rs:561-655).
 """
 
 from __future__ import annotations
@@ -63,6 +62,7 @@ class RealtimeRenderer:
         self.use_raytracer = True
         self.presenter = presenter
         self.stats = FrameStats()
+        self._inflight = None  # (u8 device array, w, h) of the last launch
         self._rt = RayTraceRenderer(
             parsed,
             width=self._scaled(self.width),
@@ -70,15 +70,18 @@ class RealtimeRenderer:
             integrator=Integrator.PATH_TRACE,
             seed=seed,
         )
-        self._preview = RayTraceRenderer(
+        # the non-raytraced instant preview (the reference's raster
+        # forward pass + skydome, renderer.rs:561-655, reinterpreted as a
+        # single flat-shaded primary-visibility pass)
+        from glaze_tpu.render.preview import FlatPreviewRenderer
+
+        self._preview = FlatPreviewRenderer(
             self._rt.scene,
             camera=self._rt.camera,
             width=self._scaled(self.width),
             height=self._scaled(self.height),
-            integrator=Integrator.DIRECT,
-            seed=seed,
+            host=self._rt.host,
         )
-        self._preview.host = self._rt.host
 
     def _scaled(self, v: int) -> int:
         return max(1, int(v * self.render_scale))
@@ -251,15 +254,43 @@ class RealtimeRenderer:
         self.set_camera(self._rt.camera)
 
     # -- frame loop ----------------------------------------------------------
-    def draw_frame(self) -> np.ndarray:
-        """One progressive launch + present (renderer.rs:415-545)."""
+    def draw_frame(self, pipelined: bool = False) -> np.ndarray:
+        """One progressive launch + present (renderer.rs:415-545).
+
+        ``pipelined=True`` presents the PREVIOUS launch's accumulation
+        while the new launch runs on device — the reference's
+        FRAMES_IN_FLIGHT=2 (vulkan/mod.rs:38): one frame of display
+        latency buys launch/present overlap. The default presents the
+        launch it just issued (simpler semantics for tests/scripts)."""
         active = self._rt if self.use_raytracer else self._preview
-        active.draw_frame()
-        frame = active.get_image()
+        if pipelined and active is self._rt:
+            # one fused launch+display dispatch; present the PREVIOUS
+            # frame's u8 array while this one executes
+            img = active.draw_frame(return_image=True)
+            prev = self._inflight
+            self._inflight = (img, active.width, active.height)
+            if prev is None:
+                prev = self._inflight
+            frame = self._unswizzle(*prev)
+        else:
+            self._inflight = None
+            active.draw_frame()
+            frame = active.get_image()
         self.stats.tick()
         if self.presenter is not None:
             self.presenter(frame)
         return frame
+
+    @staticmethod
+    def _unswizzle(img, width, height):
+        from glaze_tpu.render import integrator as integ
+
+        arr = np.asarray(img)
+        px, py = integ.pixel_coords_np(width, height)
+        pw, ph = integ.padded_dims(width, height)
+        full = np.zeros((ph, pw, 3), np.uint8)
+        full[py, px] = arr
+        return full[:height, :width]
 
     def get_image(self) -> np.ndarray:
         active = self._rt if self.use_raytracer else self._preview

@@ -188,21 +188,34 @@ class RayTraceRenderer:
             self._scheduler.rewind()
             self._state = integ.init_state(self.width, self.height)
 
-    def draw_frame(self):
+    def draw_frame(self, return_image: bool = False):
         """One launch: every pixel advances one bounce
-        (raytracer.rs draw_frame, :369-603)."""
+        (raytracer.rs draw_frame, :369-603).
+
+        ``return_image=True`` fuses the sRGB display conversion into the
+        same executable and returns the (P', 3) u8 device array (one
+        dispatch per frame — the interactive path)."""
         self._maybe_restart()
         c2w, s2c = self._frame_params()
         seeds = jnp.asarray(
             self._rng.integers(0, 2**32, size=1, dtype=np.uint32)
         )
         offsets = jnp.asarray(self._scheduler.take(1))
+        kw = dict(width=self.width, height=self.height,
+                  is_persp=self.camera.is_perspective,
+                  direct_only=self.integrator is Integrator.DIRECT,
+                  steps=1, alpha_rounds=self._alpha_rounds)
+        if return_image:
+            exposure = (jnp.float32(self.exposure)
+                        if self.exposure is not None
+                        else self.scene.exposure)
+            self._state, img = integ.render_steps_with_image(
+                self.scene, self._state, seeds, offsets, c2w, s2c,
+                exposure, **kw,
+            )
+            return img
         self._state = integ.render_steps(
-            self.scene, self._state, seeds, offsets, c2w, s2c,
-            width=self.width, height=self.height,
-            is_persp=self.camera.is_perspective,
-            direct_only=self.integrator is Integrator.DIRECT,
-            steps=1, alpha_rounds=self._alpha_rounds,
+            self.scene, self._state, seeds, offsets, c2w, s2c, **kw,
         )
 
     def draw(self, spp: int, callback: Optional[Callable[[int], None]] = None):

@@ -305,3 +305,61 @@ def test_texture_remove_guard(tmp_path):
     rr.change_material(1, mat)
     rr.remove_texture(tid)
     assert len(rr.textures()) == 2  # back to default + the scene's MTL map
+
+
+def test_fbx_converter(tmp_path):
+    """Converts the reference's shipped test.fbx (binary FBX 7400: one cube
+    geometry instanced under five models + a point light + a camera) and
+    renders it (converter/src/main.rs:86-102 parity for FBX input)."""
+    fbx = "/root/reference/resources/test.fbx"
+    if not os.path.exists(fbx):
+        pytest.skip("test.fbx missing")
+    from glaze_tpu.converter import convert
+
+    out = tmp_path / "test_fbx.glaze"
+    convert(fbx, str(out))
+    p = parse(str(out))
+    assert len(p.meshes()) == 1  # one shared cube geometry
+    assert len(p.instances()) == 5  # five instanced models
+    # identity (slot 0) + the five model placements, deduplicated
+    assert 5 <= len(p.transforms()) <= 6
+    assert sum(len(m.indices) for m in p.meshes()) // 3 == 12
+    assert any(l.ltype in (LightType.OMNI, LightType.SUN)
+               for l in p.lights())
+    assert len(p.cameras()) == 1
+
+    # instanced world-space placements must differ
+    import numpy as np
+
+    mats = [t.m for t in p.transforms()]
+    assert not all(np.allclose(mats[0], m) for m in mats[1:])
+
+    # end-to-end: renders without NaNs
+    from glaze_tpu.render.renderer import RayTraceRenderer
+
+    r = RayTraceRenderer(p, width=16, height=16, seed=1)
+    r.draw(1)
+    accum = np.stack([np.asarray(c) for c in r._state.accum], -1)
+    assert np.isfinite(accum).all()
+
+
+def test_pipelined_draw_matches_blocking(tmp_path):
+    """pipelined draw_frame presents one frame late but accumulates
+    identically: after N launches, get_image equals the blocking path."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    path = _lit_cube_scene(tmp_path)
+    from glaze_tpu.render.realtime import RealtimeRenderer
+
+    a = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
+    b = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
+    last_pipe = None
+    for _ in range(3):
+        last_pipe = a.draw_frame(pipelined=True)
+        b.draw_frame()
+    np.testing.assert_array_equal(a.get_image(), b.get_image())
+    # the pipelined PRESENTED frame lags by one launch
+    b2 = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
+    b2.draw_frame()
+    b2.draw_frame()
+    np.testing.assert_array_equal(last_pipe, b2.get_image())

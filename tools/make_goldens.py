@@ -1,0 +1,39 @@
+"""Generates the stored golden render for tests/test_goldens.py.
+
+Run on the CPU backend (deterministic across hosts):
+  JAX_PLATFORMS=cpu python tools/make_goldens.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    import golden_scenes as gs
+
+    accum, count, img = gs.render_golden()
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens", "matrow.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(out, accum=accum.astype(np.float32),
+                        count=count.astype(np.float32),
+                        spp=gs.GOLDEN_SPP, seed=gs.GOLDEN_SEED)
+    print(f"wrote {out}: accum {accum.shape}, mean {accum.mean():.4f}, "
+          f"count {count.mean():.1f}")
+    from PIL import Image
+
+    Image.fromarray(img).save(out.replace(".npz", ".png"))
+
+
+if __name__ == "__main__":
+    main()
