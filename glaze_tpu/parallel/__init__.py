@@ -1,5 +1,7 @@
-"""Multi-chip execution over a jax.sharding.Mesh."""
+"""Multi-chip execution over a jax.sharding.Mesh (single- and
+multi-host; see :mod:`glaze_tpu.parallel.distributed`)."""
 
+from glaze_tpu.parallel import distributed
 from glaze_tpu.parallel.mesh import (
     init_state_spp,
     make_mesh,
@@ -11,6 +13,7 @@ from glaze_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "distributed",
     "init_state_spp",
     "make_mesh",
     "reduce_spp",

@@ -180,3 +180,14 @@ def test_streamed_tables_mode():
     ax = np.asarray(any_hit(bvh, jnp.asarray(o), jnp.asarray(d),
                             jnp.full((R,), 4.0, jnp.float32)))
     assert (np.asarray(ah) == ax).all()
+
+
+def test_distributed_single_process_noop():
+    """distributed.init is a safe no-op without a cluster and the local
+    pixel slice covers the whole axis for a lone process."""
+    from glaze_tpu.parallel import distributed
+    from glaze_tpu.render import integrator as integ
+
+    assert distributed.init() is False
+    sl = distributed.local_pixel_slice(32, 32)
+    assert (sl.start, sl.stop) == (0, integ.pixel_count(32, 32))
