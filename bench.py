@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MRAYS = 200.0  # BASELINE.json target, Mrays/s/chip
 WIDTH, HEIGHT = 1920, 1080
 SPP_TARGET = 256
-STEPS = 6  # one full sample per pixel per timed call (PT_STEPS)
+STEPS = 2  # per timed call; single executions beyond ~30s can
+           # crash the remote TPU worker, so keep scans short
 REPEATS = 2
 
 

@@ -90,8 +90,9 @@ def main(argv=None):
     from glaze_tpu.core import Light, LightType, Material, MaterialType, Metal, Spectrum
     from glaze_tpu.parser import parse
     from glaze_tpu.render.realtime import RealtimeRenderer
-    from glaze_tpu.utils import enable_compilation_cache
+    from glaze_tpu.utils import enable_compilation_cache, init_logging
 
+    init_logging()
     enable_compilation_cache()
     w, h = (int(v) for v in args.res.lower().split("x"))
     parsed = parse(args.scene)

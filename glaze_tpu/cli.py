@@ -57,10 +57,12 @@ def main(argv=None):
     from glaze_tpu.utils import (
         Timer,
         enable_compilation_cache,
+        init_logging,
         profiler_trace,
         setup_debug_modes,
     )
 
+    init_logging()
     enable_compilation_cache()
     if setup_debug_modes():
         print("GLAZE_DEBUG: NaN checks + runtime validation on",

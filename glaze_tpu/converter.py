@@ -1,12 +1,12 @@
 """glaze-converter: 3D scene -> ``.glaze`` (port of converter/src/main.rs).
 
-The reference uses assimp; this build ships a native OBJ/MTL importer with
-the same postprocess semantics (triangulation, identical-vertex joining,
-normal generation, UV y-flip, material slot 0 reserved for the default)
-and the same scene derivations (AABB centre/radius, camera fallback,
-emissive materials -> AREA lights). Other assimp formats (FBX, ...) are
-gated with a clear error; the `.glaze` output is byte-compatible with the
-reference renderer.
+The reference uses assimp; this build ships native OBJ/MTL, glTF 2.0
+(:mod:`glaze_tpu.gltf`), and binary FBX (:mod:`glaze_tpu.fbx`) importers
+with the same postprocess semantics (triangulation, identical-vertex
+joining, normal generation, instancing detection, material slot 0
+reserved for the default) and the same scene derivations (AABB
+centre/radius, camera fallback, emissive materials -> AREA lights). The
+`.glaze` output is byte-compatible with the reference renderer.
 
 Usage: ``python -m glaze_tpu.converter input.obj output.glaze
 [--gen-mipmaps] [--benchmark]``
@@ -175,7 +175,9 @@ def import_obj(path):
         if not os.path.isabs(p):
             p = os.path.join(base, p)
         if not os.path.exists(p):
-            print(f"[W] texture not found: {name}", file=sys.stderr)
+            from glaze_tpu.utils import get_logger
+
+            get_logger("converter").warning("texture not found: %s", name)
             return 0
         from PIL import Image
 

@@ -252,6 +252,51 @@ def _hit_alpha(scene, hit):
     return jnp.where(opacity_tex != 0, alpha, 1.0)
 
 
+def _octant_perm(direction):
+    """Stable permutation grouping rays by direction octant. Stability
+    preserves pixel-tile (origin) coherence within each octant bucket, so
+    traversal packets become octant-pure without losing spatial locality —
+    measured 1.5-1.9x fewer packet-union visits on bounce-heavy launches
+    (tools/sim_partition.py; a full morton sort measured WORSE because it
+    scattered origins). The machinery (argsort + 1D gathers/scatters)
+    costs well under a millisecond on-chip (tools/bench_sort.py)."""
+    key = (
+        (direction[0] >= 0).astype(jnp.int32)
+        | ((direction[1] >= 0).astype(jnp.int32) << 1)
+        | ((direction[2] >= 0).astype(jnp.int32) << 2)
+    )
+    return jnp.argsort(key, stable=True)
+
+
+def trace_alpha_sorted(scene, origin, direction, t_max=None,
+                       alpha_rounds: int = 0):
+    """trace_alpha with octant-partitioned packets (results in input
+    order)."""
+    perm = _octant_perm(direction)
+    o = tuple(c[perm] for c in origin)
+    d = tuple(c[perm] for c in direction)
+    cap = None
+    if t_max is not None:
+        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               origin[0].shape)[perm]
+    hit = trace_alpha(scene, o, d, cap, alpha_rounds)
+    unsort = lambda x: jnp.zeros_like(x).at[perm].set(x)
+    return {k: unsort(v) for k, v in hit.items()}
+
+
+def _any_hit_sorted(scene, origin, direction, t_max, active):
+    """Shadow trace with octant-partitioned packets (sky/light-sampled
+    directions are incoherent in pixel order)."""
+    perm = _octant_perm(direction)
+    o = tuple(c[perm] for c in origin)
+    d = tuple(c[perm] for c in direction)
+    cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                           origin[0].shape)[perm]
+    act = active[perm]
+    hit = accel.any_hit_soa_auto(scene.bvh, o, d, cap, active=act)
+    return jnp.zeros_like(hit).at[perm].set(hit)
+
+
 def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     """Closest hit with alpha-tested transparency (the reference's any-hit
     shader, raytrace_hit.rahit): hits whose opacity sample is < 0.5 are
@@ -328,13 +373,14 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
     if alpha_rounds > 0:
         # alpha-tested occlusion: transparent surfaces don't shadow
         # (occlusion_tester + rahit semantics)
-        sh = trace_alpha(scene, hit["point"], wiw,
-                         t_max=jnp.where(active & usable, dist - 1e-3, -1.0),
-                         alpha_rounds=alpha_rounds)
+        sh = trace_alpha_sorted(
+            scene, hit["point"], wiw,
+            t_max=jnp.where(active & usable, dist - 1e-3, -1.0),
+            alpha_rounds=alpha_rounds)
         shadow_hit = sh["tri"] >= 0
     else:
-        shadow_hit = accel.any_hit_soa_auto(
-            scene.bvh, hit["point"], wiw, dist - 1e-3, active=active & usable
+        shadow_hit = _any_hit_sorted(
+            scene, hit["point"], wiw, dist - 1e-3, active & usable
         )
     cos_term = jnp.abs(vec.dot(wiw, hit["shading_normal"]))
     weight = (
@@ -379,7 +425,8 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     direction = vec.where(regen, cam_dir, state.direction)
     importance = jnp.where(regen, spectra.one_t(p), state.importance)
 
-    hit = trace_alpha(scene, origin, direction, alpha_rounds=alpha_rounds)
+    hit = trace_alpha_sorted(scene, origin, direction,
+                             alpha_rounds=alpha_rounds)
     missed = hit["tri"] < 0
 
     # ---- miss: sky radiance only on camera rays / after specular bounces

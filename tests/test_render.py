@@ -414,3 +414,30 @@ def test_spp_sharded_matches_sequential():
     red = reduce_spp(out)
     np.testing.assert_allclose(_accum(red), ref_accum, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(red.count), ref_count)
+
+
+def test_sorted_trace_equivalence():
+    """Octant-partitioned tracing returns results in input order,
+    identical to the unsorted path (incl. t_max caps and active masks)."""
+    import __graft_entry__ as g2
+    from glaze_tpu import accel
+
+    scene, camera = g2._tiny_scene(16, 16)
+    rng = np.random.default_rng(4)
+    n = 300
+    o = tuple(jnp.asarray(rng.uniform(-3, 3, n).astype(np.float32))
+              for _ in range(3))
+    dm = rng.normal(size=(n, 3)).astype(np.float32)
+    dm /= np.linalg.norm(dm, axis=1, keepdims=True)
+    d = tuple(jnp.asarray(dm[:, i]) for i in range(3))
+    t_max = jnp.asarray(rng.uniform(0.1, 20, n).astype(np.float32))
+    act = jnp.asarray(rng.random(n) > 0.3)
+
+    a = integ.trace_alpha(scene, o, d, t_max)
+    b = integ.trace_alpha_sorted(scene, o, d, t_max)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-6)
+    h1 = accel.any_hit_soa_auto(scene.bvh, o, d, t_max, active=act)
+    h2 = integ._any_hit_sorted(scene, o, d, t_max, act)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
