@@ -49,11 +49,15 @@ FAMILY_UBER = 5
 
 def gather_material(scene, mat_id):
     """Per-ray material record. Row gathers (the only fast TPU gather
-    form), transposed to the (K, R) compute layout afterwards."""
-    scalars = scene.mat_scalars[mat_id].T  # (8, R)
+    form), transposed to the (K, R) compute layout afterwards. The bsdf
+    family rides the scalar row (a separate 1D gather fuses into a
+    multi-ms serial op)."""
+    scalars = scene.mat_scalars[mat_id].T  # (MS_ROWS, R)
     tex = scene.mat_tex[mat_id].T  # (5, R)
+    from glaze_tpu.scene.flatten import MS_BSDF
+
     return {
-        "bsdf": scene.mat_bsdf[mat_id],
+        "bsdf": scalars[MS_BSDF].astype(jnp.int32),
         "scalars": scalars,
         "tex": tex,
         "metal_ior": scene.mat_metal_ior[mat_id].T,  # (16, R)

@@ -207,10 +207,10 @@ def _interpolate_hit(scene, hit):
 
     geom_n = v3_at(fl.ATTR_GN)
     dpdu = v3_at(fl.ATTR_DPDU)
-    mat_id = scene.tri_material[tri]
+    mat_id = a[:, fl.ATTR_MAT].astype(jnp.int32)
 
     # normal mapping (rchit:55-64)
-    normal_tex = scene.mat_tex[mat_id, fl.MT_NORMAL]
+    normal_tex = scene.mat_tex[mat_id][:, fl.MT_NORMAL]
     has_nm = normal_tex != 0
     tr, tg, tb = tx.sample_rgb_v(scene.atlas, normal_tex, u, v)
     s_old = vec.normalize(dpdu)
@@ -246,8 +246,8 @@ def _hit_alpha(scene, hit):
          + bv * a[:, fl.ATTR_UV2])
     v = (bw * a[:, fl.ATTR_UV0 + 1] + bu * a[:, fl.ATTR_UV1 + 1]
          + bv * a[:, fl.ATTR_UV2 + 1])
-    mat_id = scene.tri_material[tri]
-    opacity_tex = scene.mat_tex[mat_id, fl.MT_OPACITY]
+    mat_id = a[:, fl.ATTR_MAT].astype(jnp.int32)
+    opacity_tex = scene.mat_tex[mat_id][:, fl.MT_OPACITY]
     alpha = tx.sample_r(scene.atlas, opacity_tex, jnp.stack([u, v], -1))
     return jnp.where(opacity_tex != 0, alpha, 1.0)
 
@@ -271,8 +271,10 @@ def _octant_perm(direction):
 def trace_alpha_sorted(scene, origin, direction, t_max=None,
                        alpha_rounds: int = 0):
     """trace_alpha with octant-partitioned packets (results in input
-    order)."""
+    order). Unsorting uses inverse-permutation GATHERS — scatters
+    (.at[].set) fuse into multi-ms serial ops on TPU, gathers don't."""
     perm = _octant_perm(direction)
+    inv = jnp.argsort(perm)
     o = tuple(c[perm] for c in origin)
     d = tuple(c[perm] for c in direction)
     cap = None
@@ -280,21 +282,21 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
         cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                origin[0].shape)[perm]
     hit = trace_alpha(scene, o, d, cap, alpha_rounds)
-    unsort = lambda x: jnp.zeros_like(x).at[perm].set(x)
-    return {k: unsort(v) for k, v in hit.items()}
+    return {k: v[inv] for k, v in hit.items()}
 
 
 def _any_hit_sorted(scene, origin, direction, t_max, active):
     """Shadow trace with octant-partitioned packets (sky/light-sampled
     directions are incoherent in pixel order)."""
     perm = _octant_perm(direction)
+    inv = jnp.argsort(perm)
     o = tuple(c[perm] for c in origin)
     d = tuple(c[perm] for c in direction)
     cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            origin[0].shape)[perm]
     act = active[perm]
     hit = accel.any_hit_soa_auto(scene.bvh, o, d, cap, active=act)
-    return jnp.zeros_like(hit).at[perm].set(hit)
+    return hit[inv]
 
 
 def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):

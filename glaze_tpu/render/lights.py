@@ -3,10 +3,13 @@
 TPU port of the light callable shaders (``light_*_sample_visible.rcall``).
 Every sampler runs masked over the whole ray batch and the result is
 selected by the picked light's type, replacing the SBT callable dispatch
-(light.rs:100-119).
+(light.rs:100-119). Only the light types present in the scene (static
+``scene.light_kinds``) are evaluated.
 
 Layout: positions/directions are (x, y, z) tuples of (R,); emissions are
-(16, R) spectra.
+(16, R) spectra. Per-light scalars come from ONE ``light_scalars`` row
+gather (five separate 1D gathers fused into multi-ms serial TPU ops);
+sky alias lookups use consolidated (N, 4) row tables for the same reason.
 
 Documented deviations from the reference (bug fixes):
 * AREA: pdf uses the true world-space triangle area (the reference's GLSL
@@ -39,12 +42,19 @@ TYPE_SUN = 1
 TYPE_AREA = 2
 TYPE_SKY = 3
 
+# light_scalars columns
+LS_TYPE = 0
+LS_INTENSITY = 1
+LS_TRI_FIRST = 2
+LS_TRI_COUNT = 3
+LS_MATERIAL = 4
 
-def _omni(scene, light_idx, position):
+
+def _omni(scene, light_idx, ls, position):
     p3 = scene.light_pos[light_idx]  # (R, 3) row gather
     pos = (p3[:, 0], p3[:, 1], p3[:, 2])
     color = scene.light_color[light_idx].T  # (16, R)
-    intensity = scene.light_intensity[light_idx]
+    intensity = ls[:, LS_INTENSITY]
     delta = vec.sub(pos, position)
     d2 = vec.dot(delta, delta)
     dist = jnp.sqrt(d2)
@@ -54,22 +64,23 @@ def _omni(scene, light_idx, position):
     return wiw, dist, emission, pdf
 
 
-def _sun(scene, light_idx, position):
+def _sun(scene, light_idx, ls, position):
     color = scene.light_color[light_idx].T
-    intensity = scene.light_intensity[light_idx]
+    intensity = ls[:, LS_INTENSITY]
     d3 = scene.light_dir[light_idx]
     wiw = (-d3[:, 0], -d3[:, 1], -d3[:, 2])
-    dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0, light_idx.shape)
+    dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0,
+                            intensity.shape)
     emission = color * intensity
     pdf = jnp.ones_like(dist)
     return wiw, dist, emission, pdf
 
 
-def _area(scene, light_idx, position, r3):
-    first = scene.light_tri_first[light_idx]
-    count = jnp.maximum(scene.light_tri_count[light_idx], 1)
-    intensity = scene.light_intensity[light_idx]
-    mat_id = scene.light_material[light_idx]
+def _area(scene, light_idx, ls, position, r3):
+    first = ls[:, LS_TRI_FIRST].astype(jnp.int32)
+    count = jnp.maximum(ls[:, LS_TRI_COUNT].astype(jnp.int32), 1)
+    intensity = ls[:, LS_INTENSITY]
+    mat_id = ls[:, LS_MATERIAL].astype(jnp.int32)
 
     tri_id = first + jnp.minimum(
         (r3[0] * count.astype(jnp.float32)).astype(jnp.int32), count - 1
@@ -101,20 +112,24 @@ def _area(scene, light_idx, position, r3):
     return wiw, dist, emission, pdf
 
 
-def _alias_pick(prob, alias, rand, base, n_f):
-    """O(1) alias-method draw from one row of a (flattened) table.
+def _alias_pick_rows(rows, rand, base, n_f):
+    """O(1) alias-method draw from consolidated (N, 4) rows
+    [prob, alias, value, extra].
 
-    ``base``: row offset into the flat arrays; ``n_f``: bin count (float).
-    Returns (bin index within row, continuous position in [0,1)).
+    ``base``: row offset into the table; ``n_f``: bin count (float).
+    Returns (picked bin, continuous position in [0,1), the FIRST row
+    gathered — callers re-gather at the picked bin for its value).
     The fractional part is reused exactly for both the accept test and the
     intra-bin position (piecewise-constant pdf, so this is unbiased).
     """
     rn = rand * n_f
     j = jnp.clip(rn.astype(jnp.int32), 0, n_f.astype(jnp.int32) - 1)
     frac = rn - j.astype(jnp.float32)
-    p = prob[base + j]
+    r0 = rows[base + j]  # (R, 4) row gather
+    p = r0[:, 0]
+    alias = r0[:, 1].astype(jnp.int32)
     accept = frac < p
-    jf = jnp.where(accept, j, alias[base + j])
+    jf = jnp.where(accept, j, alias)
     pos = jnp.where(
         accept,
         frac / jnp.maximum(p, 1e-20),
@@ -127,18 +142,18 @@ def _alias_pick(prob, alias, rand, base, n_f):
 def _sky(scene, light_idx, position, r3):
     # marginal over rows (v), then conditional over columns (u) — alias
     # tables instead of the reference's binary-search CDF inversion
-    h = scene.sky_marginal_val.shape[0]
+    h = scene.sky_marg_rows.shape[0]
     h_f = jnp.float32(h)
     zero = jnp.zeros_like(r3[1], dtype=jnp.int32)
-    row, v = _alias_pick(scene.sky_marg_prob, scene.sky_marg_alias, r3[1],
-                         zero, h_f)
-    v_pdf = scene.sky_marginal_val[row] / scene.sky_marginal_integral
+    row, v = _alias_pick_rows(scene.sky_marg_rows, r3[1], zero, h_f)
+    r_marg = scene.sky_marg_rows[row]  # picked row: [_, _, val, cond_int]
+    v_pdf = r_marg[:, 2] / scene.sky_marginal_integral
+    cond_integral = r_marg[:, 3]
 
     w_f = scene.sky_cond_n.astype(jnp.float32)
     base = row * scene.sky_cond_n
-    col, u = _alias_pick(scene.sky_cond_prob, scene.sky_cond_alias, r3[0],
-                         base, w_f)
-    u_pdf = scene.sky_cond_val[base + col] / scene.sky_cond_integral[row]
+    col, u = _alias_pick_rows(scene.sky_cond_rows, r3[0], base, w_f)
+    u_pdf = scene.sky_cond_rows[base + col][:, 2] / cond_integral
 
     theta = v * PI
     sint = jnp.sin(theta)
@@ -171,14 +186,15 @@ def sample_light(scene, light_idx, position, r3):
     ``r3``: tuple of three (R,) uniforms. Only the light types in
     ``scene.light_kinds`` (static) are evaluated — the wavefront analogue
     of the SBT running exactly one light callable per ray."""
+    ls = scene.light_scalars[light_idx]  # (R, 8) row gather
     fns = {
-        TYPE_OMNI: lambda: _omni(scene, light_idx, position),
-        TYPE_SUN: lambda: _sun(scene, light_idx, position),
-        TYPE_AREA: lambda: _area(scene, light_idx, position, r3),
+        TYPE_OMNI: lambda: _omni(scene, light_idx, ls, position),
+        TYPE_SUN: lambda: _sun(scene, light_idx, ls, position),
+        TYPE_AREA: lambda: _area(scene, light_idx, ls, position, r3),
         TYPE_SKY: lambda: _sky(scene, light_idx, position, r3),
     }
     present = list(scene.light_kinds) or [TYPE_OMNI]
-    ltype = scene.light_type[light_idx]
+    ltype = ls[:, LS_TYPE].astype(jnp.int32)
     wiw, dist, emission, pdf = fns[present[0]]()
     for t in present[1:]:
         r = fns[t]()

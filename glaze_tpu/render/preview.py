@@ -41,7 +41,7 @@ def flat_pass(scene, cam2world, screen2cam, exposure, *, width, height,
 
     surf = integ._interpolate_hit(scene, hit)
     mat_id = surf["material_id"]
-    tex = scene.mat_tex[mat_id, fl.MT_DIFFUSE]
+    tex = scene.mat_tex[mat_id][:, fl.MT_DIFFUSE]
     r, g, b = tx.sample_rgb_v(scene.atlas, tex, surf["uv"][0], surf["uv"][1])
     s = scene.mat_scalars[mat_id]
     r = r * s[:, fl.MS_DIFFUSE_R]

@@ -55,7 +55,10 @@ ATTR_UV2 = 22
 ATTR_GN = 24  # 3: geometric normal
 ATTR_DPDU = 27  # 3
 ATTR_DPDV = 30  # 3
-ATTR_ROWS = 33
+ATTR_MAT = 33  # 1: material id as float (rides the one hit gather; a
+               # separate 1D tri_material gather lowered to a serial
+               # SMEM-staged op costing ms per launch)
+ATTR_ROWS = 34
 
 # Rows of the material scalar table ``mat_scalars`` (8, M)
 MS_IOR = 0
@@ -66,6 +69,8 @@ MS_IS_SPECULAR = 4
 MS_DIFFUSE_R = 5
 MS_DIFFUSE_G = 6
 MS_DIFFUSE_B = 7
+MS_BSDF = 8  # bsdf family as float — rides the mat_scalars row gather
+MS_ROWS = 9
 
 # Rows of the material texture-id table ``mat_tex`` (5, M) int32
 MT_DIFFUSE = 0
@@ -84,7 +89,7 @@ _SCENE_FIELDS = (
     "tri_pos_orig",  # (N, 9) v0/v1/v2 components
     # materials (M rows)
     "mat_bsdf",  # (M,) int32 family 0..5 (lambert..uber)
-    "mat_scalars",  # (M, 8) f32, see MS_*
+    "mat_scalars",  # (M, MS_ROWS) f32, see MS_*
     "mat_tex",  # (M, 5) int32, see MT_*
     "mat_metal_ior",  # (M, 16)
     "mat_metal_fresnel",  # (M, 16) eta^2 + k^2
@@ -97,6 +102,10 @@ _SCENE_FIELDS = (
     "light_tri_first",  # (L,) int32 first tri (original order)
     "light_tri_count",  # (L,) int32
     "light_material",  # (L,) int32 emission material (AREA)
+    "light_scalars",  # (L, 8) f32 [type, intensity, tri_first, tri_count,
+    #                 material, 0, 0, 0] — ONE row gather per ray instead
+    #                 of five 1D gathers (1D gathers fuse into multi-ms
+    #                 serial ops on TPU)
     "lights_no",  # () int32
     # sky (always present; tex_id 0 = disabled, matching the reference)
     "sky_tex",  # () int32
@@ -114,6 +123,8 @@ _SCENE_FIELDS = (
     "sky_cond_alias",  # (H*W,) int32
     "sky_cond_val",  # (H*W,)
     "sky_cond_integral",  # (H,)
+    "sky_marg_rows",  # (H, 4) f32 [prob, alias, val, cond_integral]
+    "sky_cond_rows",  # (H*W, 4) f32 [prob, alias, val, 0]
     "sky_cond_n",  # () int32: W
     # textures
     "atlas",  # TextureAtlas
@@ -235,7 +246,7 @@ def flatten_materials(materials):
     (load_raytrace_materials_to_gpu, scene.rs:1823-1864)."""
     m = max(len(materials), 1)
     bsdf = np.zeros(m, np.int32)
-    scalars = np.zeros((8, m), np.float32)
+    scalars = np.zeros((MS_ROWS, m), np.float32)
     scalars[MS_IOR] = 1.46
     scalars[MS_ROUGHNESS_MUL] = 1.0
     scalars[MS_DIFFUSE_R:MS_DIFFUSE_B + 1] = 1.0
@@ -259,6 +270,7 @@ def flatten_materials(materials):
         tex[MT_METALNESS, i] = mat.metalness
         tex[MT_OPACITY, i] = mat.opacity
         tex[MT_NORMAL, i] = mat.normal
+        scalars[MS_BSDF, i] = float(mat.mtype.bsdf_family())
         metal_ior[:, i] = ior
         metal_fresnel[:, i] = ior * ior + k * k
     return {
@@ -335,8 +347,15 @@ def flatten_lights(lights, instance_mat, instance_first, instance_count):
                 material=0,
             )
         )
+    scalars = np.zeros((len(rows), 8), np.float32)
+    scalars[:, 0] = [r["ltype"] for r in rows]
+    scalars[:, 1] = [r["intensity"] for r in rows]
+    scalars[:, 2] = [r["tri_first"] for r in rows]
+    scalars[:, 3] = [r["tri_count"] for r in rows]
+    scalars[:, 4] = [r["material"] for r in rows]
     return {
         "light_type": np.asarray([r["ltype"] for r in rows], np.int32),
+        "light_scalars": scalars,
         "light_color": np.stack([r["color"] for r in rows]).astype(np.float32),
         "light_pos": np.stack([r["pos"] for r in rows]).astype(np.float32),
         "light_dir": np.stack([r["dir"] for r in rows]).astype(np.float32),
@@ -402,6 +421,8 @@ def build_sky_tables(lights, textures):
             "sky_cond_alias": np.zeros(1, np.int32),
             "sky_cond_val": np.ones(1, np.float32),
             "sky_cond_integral": np.ones(1, np.float32),
+            "sky_marg_rows": np.asarray([[1.0, 0.0, 1.0, 1.0]], np.float32),
+            "sky_cond_rows": np.asarray([[1.0, 0.0, 1.0, 0.0]], np.float32),
             "sky_cond_n": np.int32(1),
         }
     tex: Texture = textures[int(sky.resource_id)]
@@ -438,6 +459,18 @@ def build_sky_tables(lights, textures):
         "sky_cond_alias": cond_alias.reshape(-1),
         "sky_cond_val": dist.conditional_values().astype(np.float32).reshape(-1),
         "sky_cond_integral": cond_integrals.astype(np.float32),
+        "sky_marg_rows": np.stack([
+            marg_prob[0].astype(np.float32),
+            marg_alias[0].astype(np.float32),
+            dist.marginal().values().astype(np.float32),
+            cond_integrals.astype(np.float32),
+        ], axis=1),
+        "sky_cond_rows": np.stack([
+            cond_prob.reshape(-1).astype(np.float32),
+            cond_alias.reshape(-1).astype(np.float32),
+            dist.conditional_values().astype(np.float32).reshape(-1),
+            np.zeros(h * w, np.float32),
+        ], axis=1),
         "sky_cond_n": np.int32(w),
     }
 
@@ -571,6 +604,7 @@ def flatten_scene(parsed):
     tri_mat_bvh = tri_mat[order] if len(order) else tri_mat[:1]
     if len(order):
         tri_mat_bvh = np.where(sentinel_rows, 0, tri_mat_bvh)
+    attr[ATTR_MAT] = tri_mat_bvh.astype(np.float32)
 
     dev = DeviceScene(
         bvh=bvh,

@@ -73,6 +73,10 @@ def main():
             continue
         ev_meta = plane.event_metadata
         for line in plane.lines:
+            # async-activity lines (copy/slice spans cover their whole
+            # start->done window, not cost) would dwarf real compute
+            if "async" in line.name.lower() or "copy" in line.name.lower():
+                continue
             evs = sorted(line.events, key=lambda e: e.offset_ps)
             # exclusive time via an interval stack
             stack = []
