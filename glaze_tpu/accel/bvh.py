@@ -374,9 +374,11 @@ class ChunkedBVH:
         return jnp.concatenate([c.tri for c in self.chunks], axis=0)
 
 
-# Default chunk ceiling: padded triangle rows must fit TRI_VMEM_BUDGET
-# (12 MB = 24576 rows = 196k padded tris); leave headroom for leaf padding.
-CHUNK_MAX_TRIS = 160_000
+# Default chunk ceiling: the while-while traversal kernels stream leaf
+# triangle rows from HBM, so only the NODE slab (one octant) must fit the
+# VMEM budget — ~393k nodes = 12 MB, reached around ~1.2M triangles with
+# LEAF_SIZE=8 SAH leaves. Chunking now only kicks in beyond that.
+CHUNK_MAX_TRIS = 1_000_000
 
 
 def build_bvh_chunked(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,

@@ -24,6 +24,7 @@ Layout contract (built by :func:`glaze_tpu.accel.bvh.build_bvh`):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +38,14 @@ PACKET_ROWS = 16  # rays per packet = PACKET_ROWS * 128
 LANES = 128
 
 # VMEM budgets for the resident BVH tables (one octant node slab + the
-# triangle rows; VMEM is ~16 MB total with ~0.5 MB of ray blocks). Tables
-# that exceed them stay in HBM and rows are DMA'd on demand — a blocking
-# ~1 us DMA per visit, so scenes beyond the budget should be CHUNKED
-# (build_bvh_chunked) rather than streamed.
-NODES_VMEM_BUDGET = 3 * 1024 * 1024
+# triangle rows; VMEM is ~16 MB total with ~0.5 MB of ray blocks). The
+# while-while kernels only need the NODE slab resident — leaf triangle
+# rows are DMA'd from HBM per leaf phase — so node budget is generous and
+# triangles become resident only when both fit together. Scenes whose
+# NODE slab exceeds the budget should be CHUNKED (build_bvh_chunked).
+NODES_VMEM_BUDGET = 12 * 1024 * 1024
 TRI_VMEM_BUDGET = 12 * 1024 * 1024
+COMBINED_VMEM_BUDGET = 14 * 1024 * 1024
 
 def _load_fields(table_ref, item, per_row, stride):
     """Loads one packed item; returns an (8, 128) value whose lane f holds
@@ -427,6 +430,471 @@ def _closest_kernel_sub(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
 
 
+def _closest_kernel_ww(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+                       dx_ref, dy_ref, dz_ref, tmax_ref,
+                       t_ref, tri_out_ref, u_ref, v_ref,
+                       nodes_ref, tri_ref, ntile_ref, ttile_ref, sems,
+                       leaf_sems, *, n_nodes, n_tris, leaf_size,
+                       tri_resident):
+    """While-while sub-packet closest hit.
+
+    Each of the PACKET_ROWS sublane rows (128 rays) walks the skip-link
+    tree behind its OWN pointer (3.6x fewer serial iterations than the
+    2048-ray packet union on bounce rays), and — unlike
+    :func:`_closest_kernel_sub` — leaf work is NOT paid every iteration:
+    the INNER while walks internal nodes only, stalling a row when it
+    enters a hit leaf; when every live row is stalled the OUTER body runs
+    one dense leaf phase for all stalled rows at once (simulated mattest
+    bounce schedule: ~2000 inner iterations + ~68 leaf phases per
+    2048-ray tile vs ~7200 full-cost packet iterations).
+
+    The leaf phase reads each row's one triangle row either from resident
+    VMEM or via 16 parallel async DMAs from HBM (``tri_resident=False``)
+    — so the triangle table never has to fit VMEM and big scenes keep a
+    single tree instead of sequential chunks.
+    """
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 True, tri_resident)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+
+    t_ref[:] = tmax_ref[:]
+    tri_out_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+
+    max_tri_row = tri_hbm.shape[0] - 1
+
+    def leaf_dma(r, lrow_r):
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(lrow_r, 1), :],
+            ttile_ref.at[pl.ds(r, 1), :],
+            leaf_sems.at[r],
+        )
+
+    def icond(ic):
+        p, m_ = ic
+        return jnp.any((p < n_nodes) & (m_ < 0))
+
+    def ibody(ic):
+        p, m_ = ic
+        safe = jnp.minimum(p, n_nodes - 1)
+        for r in range(PACKET_ROWS):
+            ntile_ref[pl.ds(r, 1), :] = nodes_ref[pl.ds(safe[r, 0] // 16, 1), :]
+        ntile = ntile_ref[:]
+        base = (safe % 16) * 8
+
+        def nf(f):
+            return jnp.take_along_axis(ntile, base + f, axis=1)
+
+        meta = pltpu.bitcast(nf(6), jnp.int32)
+        skip = pltpu.bitcast(nf(7), jnp.int32)
+        walking = (p < n_nodes) & (m_ < 0)
+        cap = jnp.where(walking, t_ref[:], jnp.float32(-1.0))
+        hit = _slab((nf(0), nf(1), nf(2)), (nf(3), nf(4), nf(5)),
+                    ox, oy, oz, ix, iy, iz, cap)
+        any_row = jnp.any(hit, axis=1, keepdims=True)
+        is_leaf = meta >= 0
+        stall = walking & is_leaf & any_row
+        new_m = jnp.where(stall, meta, m_)
+        descend = any_row & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, p + 1, skip)
+        return jnp.where(walking, nxt, p), new_m
+
+    def cond(c):
+        p, m_ = c
+        return jnp.any((p < n_nodes) | (m_ >= 0))
+
+    def body(c):
+        ptrs, lm = jax.lax.while_loop(icond, ibody, c)
+
+        @pl.when(jnp.any(lm >= 0))
+        def _():
+            valid_row = lm >= 0
+            first = lm >> 3
+            lrow = jnp.minimum(jnp.where(valid_row, first >> 3, 0),
+                               max_tri_row)
+            if tri_resident:
+                for r in range(PACKET_ROWS):
+                    ttile_ref[pl.ds(r, 1), :] = tri_ref[
+                        pl.ds(lrow[r, 0], 1), :]
+            else:
+                for r in range(PACKET_ROWS):
+                    leaf_dma(r, lrow[r, 0]).start()
+                for r in range(PACKET_ROWS):
+                    leaf_dma(r, lrow[r, 0]).wait()
+            ttile = ttile_ref[:]
+            t_best = t_ref[:]
+            tri_best = tri_out_ref[:]
+            u_best = u_ref[:]
+            v_best = v_ref[:]
+            for k in range(leaf_size):
+                f = lambda j: jnp.take_along_axis(
+                    ttile, jnp.full(ox.shape, k * 16 + j, jnp.int32), axis=1)
+                t, u, v, h = _mt_fields(f, ox, oy, oz, dx, dy, dz)
+                better = h & (t < t_best) & valid_row
+                t_best = jnp.where(better, t, t_best)
+                tri_best = jnp.where(better, first + k, tri_best)
+                u_best = jnp.where(better, u, u_best)
+                v_best = jnp.where(better, v, v_best)
+            t_ref[:] = t_best
+            tri_out_ref[:] = tri_best
+            u_ref[:] = u_best
+            v_ref[:] = v_best
+
+        return ptrs, jnp.full(lm.shape, -1, jnp.int32)
+
+    ptrs0 = jnp.zeros(ox.shape, jnp.int32)
+    lm0 = jnp.full(ox.shape, -1, jnp.int32)
+    jax.lax.while_loop(cond, body, (ptrs0, lm0))
+    t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
+
+
+# In-window steps per load round in the windowed kernels. Simulated
+# (tools/sim_window.py, mattest bounce): per-row walks stay inside one
+# aligned 16-node row for 3.78 steps on average; lockstep load-rounds per
+# 2048-ray tile drop 678 (S=1) -> 249 (S=4) -> 211 (S=6).
+WINDOW_STEPS = int(os.environ.get("GLAZE_WINDOW_STEPS", "4"))
+# Leaf-queue capacity before a drain phase triggers. Smaller keeps
+# closest-hit t pruning fresher (queued leaves haven't updated t yet);
+# larger amortizes the drain-round fixed cost over more rows.
+QUEUE_MAX = int(os.environ.get("GLAZE_QUEUE_MAX", "8"))
+
+
+def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+                        dx_ref, dy_ref, dz_ref, tmax_ref,
+                        t_ref, tri_out_ref, u_ref, v_ref,
+                        nodes_ref, tri_ref, ntile_ref, ttile_ref, queue_ref,
+                        sems, leaf_sems, *, n_nodes, n_tris, leaf_size,
+                        tri_resident):
+    """Windowed sub-packet closest hit.
+
+    Each of the 16 sublane rows (128 rays) walks the skip-link tree behind
+    its OWN pointer. Per outer round every row loads its current aligned
+    16-node window ONCE (the expensive per-row scalar dynamic-slice), then
+    takes up to WINDOW_STEPS walk steps via in-tile lane gathers — all
+    dense vector work across the 16 rows at once. Rows whose pointer
+    leaves the window idle until the next round's reload. Leaf hits do NOT
+    stall the row: the leaf meta is pushed to a per-row FIFO ring
+    (``queue_ref`` lanes) and the row keeps walking; when any row has
+    QUEUE_MAX pending (or the walk ends) a drain phase pops one leaf per
+    row per round and runs the 8-triangle Moller-Trumbore dense across all
+    16 rows — so leaf work costs ~1/16th of the packet-union kernel's
+    whole-packet leaf test. Deferred leaves mean slightly staler t-pruning
+    during the walk; QUEUE_MAX bounds that.
+    """
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 True, tri_resident)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+
+    t_ref[:] = tmax_ref[:]
+    tri_out_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_ref[:] = jnp.zeros(ox.shape, jnp.float32)
+    queue_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+
+    max_tri_row = tri_hbm.shape[0] - 1
+    lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
+
+    def leaf_dma(r, lrow_r):
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(lrow_r, 1), :],
+            ttile_ref.at[pl.ds(r, 1), :],
+            leaf_sems.at[r],
+        )
+
+    def drain_round(c):
+        qc, hc = c
+        has = qc > hc
+        lm = jnp.take_along_axis(queue_ref[:], hc % LANES, axis=1)
+        first = lm >> 3
+        lrow = jnp.minimum(jnp.where(has, first >> 3, 0), max_tri_row)
+        if tri_resident:
+            for r in range(PACKET_ROWS):
+                ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
+        else:
+            for r in range(PACKET_ROWS):
+                leaf_dma(r, lrow[r, 0]).start()
+            for r in range(PACKET_ROWS):
+                leaf_dma(r, lrow[r, 0]).wait()
+        ttile = ttile_ref[:]
+        t_best = t_ref[:]
+        tri_best = tri_out_ref[:]
+        u_best = u_ref[:]
+        v_best = v_ref[:]
+        for k in range(leaf_size):
+            f = lambda j: jnp.take_along_axis(
+                ttile, jnp.full(ox.shape, k * 16 + j, jnp.int32), axis=1)
+            t, u, v, h = _mt_fields(f, ox, oy, oz, dx, dy, dz)
+            better = h & (t < t_best) & has
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, first + k, tri_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+        t_ref[:] = t_best
+        tri_out_ref[:] = tri_best
+        u_ref[:] = u_best
+        v_ref[:] = v_best
+        return qc, jnp.where(has, hc + 1, hc)
+
+    def cond(c):
+        p, qc, hc = c
+        return jnp.any((p < n_nodes) | (qc > hc))
+
+    def body(c):
+        p, qc, hc = c
+        safe = jnp.minimum(p, n_nodes - 1)
+        for r in range(PACKET_ROWS):
+            ntile_ref[pl.ds(r, 1), :] = nodes_ref[pl.ds(safe[r, 0] // 16, 1), :]
+        ntile = ntile_ref[:]
+        win = safe // 16
+        for _ in range(WINDOW_STEPS):
+            inwin = ((p // 16) == win) & (p < n_nodes) & (qc - hc < QUEUE_MAX)
+            base = (p % 16) * 8
+
+            def nf(f):
+                return jnp.take_along_axis(ntile, base + f, axis=1)
+
+            meta = pltpu.bitcast(nf(6), jnp.int32)
+            skip = pltpu.bitcast(nf(7), jnp.int32)
+            cap = jnp.where(inwin, t_ref[:], jnp.float32(-1.0))
+            hit = _slab((nf(0), nf(1), nf(2)), (nf(3), nf(4), nf(5)),
+                        ox, oy, oz, ix, iy, iz, cap)
+            any_row = jnp.any(hit, axis=1, keepdims=True)
+            is_leaf = meta >= 0
+            enq = inwin & is_leaf & any_row
+            queue_ref[:] = jnp.where(enq & (lanes == qc % LANES), meta,
+                                     queue_ref[:])
+            qc = qc + enq.astype(jnp.int32)
+            descend = any_row & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, p + 1, skip)
+            p = jnp.where(inwin, nxt, p)
+
+        drain = jnp.any(qc - hc >= QUEUE_MAX) | jnp.logical_not(
+            jnp.any(p < n_nodes))
+
+        @pl.when(drain & jnp.any(qc > hc))
+        def _():
+            c2 = jax.lax.while_loop(
+                lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+            # hc is recomputed below; the loop's effect is in the refs
+
+        hc = jnp.where(drain, qc, hc)
+        return p, qc, hc
+
+    p0 = jnp.zeros(ox.shape, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.int32)
+    jax.lax.while_loop(cond, body, (p0, z0, z0))
+    t_ref[:] = jnp.where(tri_out_ref[:] >= 0, t_ref[:], jnp.float32(jnp.inf))
+
+
+def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+                       dx_ref, dy_ref, dz_ref, tmax_ref, active_ref,
+                       hit_ref, nodes_ref, tri_ref, ntile_ref, ttile_ref,
+                       queue_ref, sems, leaf_sems, *, n_nodes, n_tris,
+                       leaf_size, t_min, tri_resident):
+    """Windowed sub-packet any hit (see _closest_kernel_win). Queued
+    leaves set the blocked mask at drain time; rows whose lanes are all
+    blocked jump past the end (per-row early exit)."""
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 True, tri_resident)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    t_max = tmax_ref[:]
+    needed0 = active_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    hit_ref[:] = jnp.where(needed0 > 0, jnp.int32(0), jnp.int32(1))
+    queue_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+
+    max_tri_row = tri_hbm.shape[0] - 1
+    lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
+
+    def leaf_dma(r, lrow_r):
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(lrow_r, 1), :],
+            ttile_ref.at[pl.ds(r, 1), :],
+            leaf_sems.at[r],
+        )
+
+    def drain_round(c):
+        qc, hc = c
+        has = qc > hc
+        lm = jnp.take_along_axis(queue_ref[:], hc % LANES, axis=1)
+        first = lm >> 3
+        lrow = jnp.minimum(jnp.where(has, first >> 3, 0), max_tri_row)
+        if tri_resident:
+            for r in range(PACKET_ROWS):
+                ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
+        else:
+            for r in range(PACKET_ROWS):
+                leaf_dma(r, lrow[r, 0]).start()
+            for r in range(PACKET_ROWS):
+                leaf_dma(r, lrow[r, 0]).wait()
+        ttile = ttile_ref[:]
+        b = hit_ref[:]
+        for k in range(leaf_size):
+            f = lambda j: jnp.take_along_axis(
+                ttile, jnp.full(ox.shape, k * 16 + j, jnp.int32), axis=1)
+            t, _, _, h = _mt_fields(f, ox, oy, oz, dx, dy, dz)
+            new = h & (t > t_min) & (t < t_max) & has
+            b = jnp.maximum(b, new.astype(jnp.int32))
+        hit_ref[:] = b
+        return qc, jnp.where(has, hc + 1, hc)
+
+    def cond(c):
+        p, qc, hc = c
+        return jnp.any((p < n_nodes) | (qc > hc))
+
+    def body(c):
+        p, qc, hc = c
+        safe = jnp.minimum(p, n_nodes - 1)
+        for r in range(PACKET_ROWS):
+            ntile_ref[pl.ds(r, 1), :] = nodes_ref[pl.ds(safe[r, 0] // 16, 1), :]
+        ntile = ntile_ref[:]
+        win = safe // 16
+        blocked = hit_ref[:]
+        for _ in range(WINDOW_STEPS):
+            inwin = ((p // 16) == win) & (p < n_nodes) & (qc - hc < QUEUE_MAX)
+            base = (p % 16) * 8
+
+            def nf(f):
+                return jnp.take_along_axis(ntile, base + f, axis=1)
+
+            meta = pltpu.bitcast(nf(6), jnp.int32)
+            skip = pltpu.bitcast(nf(7), jnp.int32)
+            cap = jnp.where(inwin & (blocked == 0), t_max, jnp.float32(-1.0))
+            hit = _slab((nf(0), nf(1), nf(2)), (nf(3), nf(4), nf(5)),
+                        ox, oy, oz, ix, iy, iz, cap)
+            any_row = jnp.any(hit, axis=1, keepdims=True)
+            is_leaf = meta >= 0
+            enq = inwin & is_leaf & any_row
+            queue_ref[:] = jnp.where(enq & (lanes == qc % LANES), meta,
+                                     queue_ref[:])
+            qc = qc + enq.astype(jnp.int32)
+            descend = any_row & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, p + 1, skip)
+            p = jnp.where(inwin, nxt, p)
+
+        drain = jnp.any(qc - hc >= QUEUE_MAX) | jnp.logical_not(
+            jnp.any(p < n_nodes))
+
+        @pl.when(drain & jnp.any(qc > hc))
+        def _():
+            jax.lax.while_loop(
+                lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+
+        hc = jnp.where(drain, qc, hc)
+        # early-exit fully blocked rows once their queue is flushed
+        row_done = jnp.all(hit_ref[:] > 0, axis=1, keepdims=True)
+        p = jnp.where(row_done & (qc <= hc), n_nodes, p)
+        return p, qc, hc
+
+    p0 = jnp.zeros(ox.shape, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.int32)
+    jax.lax.while_loop(cond, body, (p0, z0, z0))
+    hit_ref[:] = jnp.where(needed0 > 0, hit_ref[:], jnp.int32(0))
+
+
+def _anyhit_kernel_ww(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
+                      dx_ref, dy_ref, dz_ref, tmax_ref, active_ref,
+                      hit_ref, nodes_ref, tri_ref, ntile_ref, ttile_ref,
+                      sems, leaf_sems, *, n_nodes, n_tris, leaf_size, t_min,
+                      tri_resident):
+    """While-while sub-packet any hit (see _closest_kernel_ww). Rows whose
+    lanes are all blocked jump past the end (per-row early exit)."""
+    _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
+                 True, tri_resident)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    t_max = tmax_ref[:]
+    needed0 = active_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    hit_ref[:] = jnp.where(needed0 > 0, jnp.int32(0), jnp.int32(1))
+
+    max_tri_row = tri_hbm.shape[0] - 1
+
+    def leaf_dma(r, lrow_r):
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(lrow_r, 1), :],
+            ttile_ref.at[pl.ds(r, 1), :],
+            leaf_sems.at[r],
+        )
+
+    def icond(ic):
+        p, m_ = ic
+        return jnp.any((p < n_nodes) & (m_ < 0))
+
+    def ibody(ic):
+        p, m_ = ic
+        safe = jnp.minimum(p, n_nodes - 1)
+        for r in range(PACKET_ROWS):
+            ntile_ref[pl.ds(r, 1), :] = nodes_ref[pl.ds(safe[r, 0] // 16, 1), :]
+        ntile = ntile_ref[:]
+        base = (safe % 16) * 8
+
+        def nf(f):
+            return jnp.take_along_axis(ntile, base + f, axis=1)
+
+        meta = pltpu.bitcast(nf(6), jnp.int32)
+        skip = pltpu.bitcast(nf(7), jnp.int32)
+        walking = (p < n_nodes) & (m_ < 0)
+        blocked = hit_ref[:]
+        cap = jnp.where(walking & (blocked == 0), t_max, jnp.float32(-1.0))
+        hit = _slab((nf(0), nf(1), nf(2)), (nf(3), nf(4), nf(5)),
+                    ox, oy, oz, ix, iy, iz, cap)
+        any_row = jnp.any(hit, axis=1, keepdims=True)
+        is_leaf = meta >= 0
+        stall = walking & is_leaf & any_row
+        new_m = jnp.where(stall, meta, m_)
+        descend = any_row & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, p + 1, skip)
+        return jnp.where(walking, nxt, p), new_m
+
+    def cond(c):
+        p, m_ = c
+        return jnp.any((p < n_nodes) | (m_ >= 0))
+
+    def body(c):
+        ptrs, lm = jax.lax.while_loop(icond, ibody, c)
+
+        @pl.when(jnp.any(lm >= 0))
+        def _():
+            valid_row = lm >= 0
+            first = lm >> 3
+            lrow = jnp.minimum(jnp.where(valid_row, first >> 3, 0),
+                               max_tri_row)
+            if tri_resident:
+                for r in range(PACKET_ROWS):
+                    ttile_ref[pl.ds(r, 1), :] = tri_ref[
+                        pl.ds(lrow[r, 0], 1), :]
+            else:
+                for r in range(PACKET_ROWS):
+                    leaf_dma(r, lrow[r, 0]).start()
+                for r in range(PACKET_ROWS):
+                    leaf_dma(r, lrow[r, 0]).wait()
+            ttile = ttile_ref[:]
+            b = hit_ref[:]
+            for k in range(leaf_size):
+                f = lambda j: jnp.take_along_axis(
+                    ttile, jnp.full(ox.shape, k * 16 + j, jnp.int32), axis=1)
+                t, _, _, h = _mt_fields(f, ox, oy, oz, dx, dy, dz)
+                new = h & (t > t_min) & (t < t_max) & valid_row
+                b = jnp.maximum(b, new.astype(jnp.int32))
+            hit_ref[:] = b
+
+        row_done = jnp.all(hit_ref[:] > 0, axis=1, keepdims=True)
+        return (jnp.where(row_done, n_nodes, ptrs),
+                jnp.full(lm.shape, -1, jnp.int32))
+
+    ptrs0 = jnp.zeros(ox.shape, jnp.int32)
+    lm0 = jnp.full(ox.shape, -1, jnp.int32)
+    jax.lax.while_loop(cond, body, (ptrs0, lm0))
+    hit_ref[:] = jnp.where(needed0 > 0, hit_ref[:], jnp.int32(0))
+
+
 def _mt_fields(f, ox, oy, oz, dx, dy, dz):
     """Moller-Trumbore with fields supplied by a gather closure ``f(j)``
     (full-tile shapes)."""
@@ -672,10 +1140,17 @@ def _hbm(a):
 
 
 def _residency(nodes16, tri8):
-    """(nodes_resident, tri_resident) by VMEM budget."""
+    """(nodes_resident, tri_resident) by VMEM budget. Nodes get priority
+    (the while-while kernels stream leaf triangle rows from HBM);
+    triangles are resident only when both tables fit together."""
     nodes_bytes = (nodes16.shape[0] // 8) * 128 * 4
     tri_bytes = tri8.shape[0] * 128 * 4
-    return nodes_bytes <= NODES_VMEM_BUDGET, tri_bytes <= TRI_VMEM_BUDGET
+    nodes_res = nodes_bytes <= NODES_VMEM_BUDGET
+    if nodes_res:
+        tri_res = nodes_bytes + tri_bytes <= COMBINED_VMEM_BUDGET
+    else:
+        tri_res = tri_bytes <= TRI_VMEM_BUDGET
+    return nodes_res, tri_res
 
 
 def _table_scratch(nodes16, tri8):
@@ -715,6 +1190,19 @@ def _packet_octants(dx, dy, dz, blk_rows=None):
 SUBPACKETS_CLOSEST = False
 SUBPACKETS_ANYHIT = True
 
+# While-while restructure of the sub-packet kernels: inner loop walks
+# internal nodes only (cheap body), leaf phases run dense only when rows
+# stall at hit leaves. Triangle rows stream from HBM when not resident, so
+# a single tree serves any triangle count whose NODES fit VMEM.
+WHILEWHILE_CLOSEST = True
+WHILEWHILE_ANYHIT = True
+
+# Windowed refinement of the while-while kernels (see _closest_kernel_win):
+# one row-load round serves WINDOW_STEPS in-tile gather steps and leaf hits
+# queue instead of stalling. Takes precedence when enabled.
+WINDOWED_CLOSEST = True
+WINDOWED_ANYHIT = True
+
 # Interleave this many INDEPENDENT packet walks per closest-hit kernel body
 # (block = DUAL_WALKS*PACKET_ROWS rows). Their scalar chains have no data
 # dependencies, so the VLIW scheduler hides each walk's vector->scalar sync
@@ -732,6 +1220,18 @@ def _sub_scratch(nodes16, tri8):
     ]
 
 
+def _ww_scratch(nodes16, tri8, tri_res, queue=False):
+    return [
+        pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),
+        pltpu.VMEM(tri8.shape if tri_res else (8, 128), jnp.float32),
+        pltpu.VMEM((PACKET_ROWS, LANES), jnp.float32),
+        pltpu.VMEM((PACKET_ROWS, LANES), jnp.float32),
+    ] + ([pltpu.VMEM((PACKET_ROWS, LANES), jnp.int32)] if queue else []) + [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((PACKET_ROWS,)),
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_tris", "leaf_size",
                                              "interpret"))
 def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
@@ -740,7 +1240,17 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
     octs = _packet_octants(dx, dy, dz)
     nodes_res, tri_res = _residency(nodes16, tri8)
     blk_rows = PACKET_ROWS
-    if SUBPACKETS_CLOSEST and nodes_res and tri_res:
+    if WINDOWED_CLOSEST and nodes_res:
+        kernel = functools.partial(_closest_kernel_win, n_nodes=n_nodes,
+                                   n_tris=n_tris, leaf_size=leaf_size,
+                                   tri_resident=tri_res)
+        scratch = _ww_scratch(nodes16, tri8, tri_res, queue=True)
+    elif WHILEWHILE_CLOSEST and nodes_res:
+        kernel = functools.partial(_closest_kernel_ww, n_nodes=n_nodes,
+                                   n_tris=n_tris, leaf_size=leaf_size,
+                                   tri_resident=tri_res)
+        scratch = _ww_scratch(nodes16, tri8, tri_res)
+    elif SUBPACKETS_CLOSEST and nodes_res and tri_res:
         kernel = functools.partial(_closest_kernel_sub, n_nodes=n_nodes,
                                    n_tris=n_tris, leaf_size=leaf_size)
         scratch = _sub_scratch(nodes16, tri8)
@@ -879,7 +1389,17 @@ def _anyhit_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, active, *,
     grid = rows // PACKET_ROWS
     octs = _packet_octants(dx, dy, dz)
     nodes_res, tri_res = _residency(nodes16, tri8)
-    if SUBPACKETS_ANYHIT and nodes_res and tri_res:
+    if WINDOWED_ANYHIT and nodes_res:
+        kernel = functools.partial(_anyhit_kernel_win, n_nodes=n_nodes,
+                                   n_tris=n_tris, leaf_size=leaf_size,
+                                   t_min=t_min, tri_resident=tri_res)
+        scratch = _ww_scratch(nodes16, tri8, tri_res, queue=True)
+    elif WHILEWHILE_ANYHIT and nodes_res:
+        kernel = functools.partial(_anyhit_kernel_ww, n_nodes=n_nodes,
+                                   n_tris=n_tris, leaf_size=leaf_size,
+                                   t_min=t_min, tri_resident=tri_res)
+        scratch = _ww_scratch(nodes16, tri8, tri_res)
+    elif SUBPACKETS_ANYHIT and nodes_res and tri_res:
         kernel = functools.partial(_anyhit_kernel_sub, n_nodes=n_nodes,
                                    n_tris=n_tris, leaf_size=leaf_size,
                                    t_min=t_min)
