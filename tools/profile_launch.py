@@ -68,14 +68,20 @@ def main():
     spaces = xplane_pb2.XSpace()
     spaces.ParseFromString(open(files[0], "rb").read())
     totals = {}
+    line_totals = {}
     for plane in spaces.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
         ev_meta = plane.event_metadata
         for line in plane.lines:
+            line_totals[line.name] = line_totals.get(line.name, 0) + sum(
+                e.duration_ps for e in line.events)
             # async-activity lines (copy/slice spans cover their whole
             # start->done window, not cost) would dwarf real compute
             if "async" in line.name.lower() or "copy" in line.name.lower():
+                continue
+            # module-level events duplicate the op events (separate line)
+            if "module" in line.name.lower():
                 continue
             evs = sorted(line.events, key=lambda e: e.offset_ps)
             # exclusive time via an interval stack
@@ -90,6 +96,20 @@ def main():
                     totals[pname] = totals.get(pname, 0) - e.duration_ps
                 totals[name] = totals.get(name, 0) + e.duration_ps
                 stack.append((start, end, name))
+    print("line totals (inclusive, ms/launch):")
+    for name, ps in sorted(line_totals.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {ps / 1e9 / steps:9.2f} ms  {name[:80]}")
+    import re as _re
+    cats = {}
+    for name, ps in totals.items():
+        if ps <= 0:
+            continue
+        m = _re.search(r"= ([a-z0-9\[\],]+)[^(]*\(([a-z0-9\[\],]+)", name)
+        key = f"{m.group(1)} <- {m.group(2)}" if m else name[:60]
+        cats[key] = cats.get(key, 0) + ps
+    print("by shape signature (ms/launch):")
+    for k, ps in sorted(cats.items(), key=lambda kv: -kv[1])[:18]:
+        print(f"  {ps / 1e9 / steps:9.2f} ms  {k[:100]}")
     total = sum(v for v in totals.values() if v > 0)
     print(f"total device time {total / 1e9:.1f} ms over {steps} launches")
     for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:24]:

@@ -1,0 +1,106 @@
+"""Exact lockstep emulation of a SLIDING-window variant of
+_closest_kernel_win on mattest rays: the per-row window starts AT the
+row's pointer ([p, p+W)) instead of the aligned 16-node block, at the
+cost of loading 1+W/16 rows (and 2x gathers + select per step).
+
+Counts outer rounds (load rounds), step-subrounds, and drain rounds with
+deferred t updates, for given W (window nodes) / S (max steps) / Q.
+
+Usage: python tools/sim_slide.py [W] [S] [Q]
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+from sim_traversal import load_mattest, gen_rays, _majority_octant
+
+
+def emulate_tile(flat_oct, o, d, oct_, W, S, Q):
+    bmn, bmx = flat_oct["bmin"][oct_], flat_oct["bmax"][oct_]
+    fst, skp = flat_oct["first"][oct_], flat_oct["skip"][oct_]
+    m = bmn.shape[0]
+    R = 16
+    o = o.reshape(R, 128, 3).astype(np.float32)
+    d = d.reshape(R, 128, 3).astype(np.float32)
+    inv = np.where(np.abs(d) < 1e-20, 1e20, 1.0 / np.where(d == 0, 1, d))
+    t_best = np.full((R, 128), np.inf, np.float32)
+    ptr = np.zeros(R, np.int64)
+    queue = [[] for _ in range(R)]
+    rounds = steps = drains = 0
+
+    def slab(r, i):
+        t0 = (bmn[i] - o[r]) * inv[r]
+        t1 = (bmx[i] - o[r]) * inv[r]
+        tn = np.minimum(t0, t1).max(-1)
+        tf = np.maximum(t0, t1).min(-1)
+        return (tn <= tf) & (tf >= 1e-4) & (tn <= t_best[r])
+
+    def do_drain():
+        nonlocal drains
+        while any(queue):
+            drains += 1
+            for r in range(R):
+                if queue[r]:
+                    leaf = queue[r].pop(0)
+                    h = slab(r, leaf)
+                    t0 = (bmn[leaf] - o[r]) * inv[r]
+                    t1 = (bmx[leaf] - o[r]) * inv[r]
+                    tf = np.maximum(t0, t1).min(-1)
+                    t_best[r] = np.where(h, np.minimum(t_best[r],
+                                                       np.maximum(tf, 0)),
+                                         t_best[r])
+
+    while (ptr < m).any() or any(queue):
+        rounds += 1
+        win = np.minimum(ptr, m - 1)  # window start = current pointer
+        for _ in range(S):
+            moved = False
+            for r in range(R):
+                p = ptr[r]
+                if (p >= m or p < win[r] or p >= win[r] + W
+                        or len(queue[r]) >= Q):
+                    continue
+                moved = True
+                hit = slab(r, p)
+                anyh = hit.any()
+                leaf = fst[p] >= 0
+                if leaf and anyh:
+                    queue[r].append(p)
+                    ptr[r] = skp[p]
+                else:
+                    ptr[r] = p + 1 if (anyh and not leaf) else skp[p]
+            if moved:
+                steps += 1
+        if any(len(q) >= Q for q in queue) or not (ptr < m).any():
+            do_drain()
+    return rounds, steps, drains
+
+
+def main():
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    S = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    Q = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    scene, camera, host = load_mattest()
+    from glaze_tpu.accel import bvh as bvh_mod
+    tris = np.asarray(scene.bvh.tri)
+    v0, e1, e2 = tris[:, 0:3], tris[:, 3:6], tris[:, 6:9]
+    tv = np.stack([v0, v0 + e1, v0 + e2], axis=1)
+    good = (np.abs(e1).sum(1) + np.abs(e2).sum(1)) > 0
+    flat_oct = bvh_mod.build_host_octants(tv[good])
+    (po, pd), (bo, bd) = gen_rays(scene, camera)
+    for name, o, d in (("primary", po, pd), ("bounce", bo, bd)):
+        tr = td = ts = n = 0
+        for tix in range(0, len(o) // 2048, 16):
+            sl = slice(tix * 2048, (tix + 1) * 2048)
+            oct_ = _majority_octant(d[sl])
+            r_, s_, d_ = emulate_tile(flat_oct, o[sl], d[sl], oct_, W, S, Q)
+            tr += r_
+            ts += s_
+            td += d_
+            n += 1
+        print(f"{name}: rounds={tr/n:7.1f} step-subrounds={ts/n:7.1f} "
+              f"drain-rounds={td/n:7.1f}  /tile (W={W} S={S} Q={Q})")
+
+
+if __name__ == "__main__":
+    main()
