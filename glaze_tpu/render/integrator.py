@@ -275,22 +275,25 @@ def _perm_rows(perm, arrays):
     op-overhead bound, not bandwidth bound — measured: a 1D f32 gather of
     1M elements 21 ms, a (1M, 34) row gather 11.5 ms), so permuting K
     arrays as one packed row gather is ~K× cheaper than K 1D gathers.
-    Non-f32 columns ride along bitcast to f32 (bit-preserving).
+    The carrier dtype is int32: float columns ride as bitcast int bits.
+    (The reverse — ints as f32 — corrupts: XLA's f32 data movement
+    canonicalizes NaN payloads and flushes denormals, so small ints and
+    -1 don't survive a float stack/gather. Integer movement is bitwise.)
     """
     cols = []
     for a in arrays:
         if a.dtype == jnp.bool_:
-            a = a.astype(jnp.uint32)
-        if a.dtype != jnp.float32:
-            a = jax.lax.bitcast_convert_type(a, jnp.float32)
+            a = a.astype(jnp.int32)
+        elif a.dtype != jnp.int32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32)
         cols.append(a)
     packed = jnp.stack(cols, axis=1)[perm]
     out = []
     for i, a in enumerate(arrays):
         c = packed[:, i]
         if a.dtype == jnp.bool_:
-            c = jax.lax.bitcast_convert_type(c, jnp.uint32) != 0
-        elif a.dtype != jnp.float32:
+            c = c != 0
+        elif a.dtype != jnp.int32:
             c = jax.lax.bitcast_convert_type(c, a.dtype)
         out.append(c)
     return out

@@ -191,3 +191,58 @@ def test_distributed_single_process_noop():
     assert distributed.init() is False
     sl = distributed.local_pixel_slice(32, 32)
     assert (sl.start, sl.stop) == (0, integ.pixel_count(32, 32))
+
+
+def test_perm_rows_bit_exact():
+    """The packed permutation carrier must be BIT-exact for every column
+    dtype: XLA's f32 data movement canonicalizes NaN payloads and flushes
+    denormals (so int32 tri ids riding as f32 bits silently corrupt —
+    the round-2 black-mattest regression). The int32 carrier is bitwise."""
+    from glaze_tpu.render.integrator import _perm_rows
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    perm = jnp.asarray(rng.permutation(n))
+    p = np.asarray(perm)
+    f = jnp.asarray(rng.random(n, np.float32))
+    special = jnp.asarray(
+        np.array([np.inf, -np.inf, 0.0, 1e-40] * (n // 4), np.float32))
+    i = jnp.asarray(rng.integers(-5, 300000, n), jnp.int32)
+    b = jnp.asarray(rng.random(n) > 0.5)
+    of, osp, oi, ob = _perm_rows(perm, [f, special, i, b])
+    for out, src in ((of, f), (osp, special), (oi, i)):
+        assert np.array_equal(np.asarray(out).view(np.uint32),
+                              np.asarray(src)[p].view(np.uint32))
+    assert np.array_equal(np.asarray(ob), np.asarray(b)[p])
+
+
+def test_parsed_scene_renders_structure():
+    """A real parsed scene (written by the reference) must render with
+    spatial structure and plausible brightness — guards against attribute
+    /permutation corruption that per-component tests can miss (the noise
+    only appears with a full parsed scene's material/texture tables)."""
+    import os
+    from glaze_tpu.parser import parse
+    from glaze_tpu.render.renderer import RayTraceRenderer, Integrator
+    from glaze_tpu.render import integrator as integ
+
+    path = "/root/reference/resources/mattest.glaze"
+    if not os.path.exists(path):
+        pytest.skip("reference scene unavailable")
+    r = RayTraceRenderer(parse(path), width=32, height=32,
+                         integrator=Integrator.DIRECT, seed=3)
+    r.draw(2)
+    acc = np.stack(
+        [integ.to_image_np(r._state.accum[i], 32, 32) for i in range(3)], -1)
+    cnt = integ.to_image_np(r._state.count, 32, 32)[..., None]
+    lin = acc / np.maximum(cnt, 1)
+    lum = lin.mean(-1)
+    # healthy DIRECT@2spp measures ~1.5e-3 mean; the corruption mode
+    # measured ~2e-4 with no structure
+    assert lum.mean() > 8e-4, f"parsed scene renders black: {lum.mean()}"
+    # structure: bright pixels are spatially clustered, not white noise —
+    # the corrupted-attribute failure mode renders uniform speckle
+    bright = lum > np.percentile(lum, 80)
+    neigh = bright[1:, :] & bright[:-1, :]
+    clustered = neigh.mean() / max(bright.mean(), 1e-9)
+    assert clustered > 0.35, f"render looks like noise (cluster {clustered})"
