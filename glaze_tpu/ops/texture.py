@@ -4,14 +4,17 @@ The reference binds every texture in a descriptor array and samples with
 hardware linear filtering (``scene.rs`` binding 6). The TPU design packs
 level 0 of every texture into ONE flat uint32 array (RGBA8 packed little-
 endian: R | G<<8 | B<<16 | A<<24) plus per-texture metadata rows, and
-samples with TWO row gathers + bilinear weights: every atlas row stores
-the texel AND its wrap-around right neighbor, so one (T, 2) row gather
-yields a horizontal texel pair (single-element gathers fuse into multi-ms
-serial TPU ops; row gathers are the fast form). sRGB decode happens
-per-texel before filtering, matching Vulkan's behavior for *_SRGB formats.
+samples with ONE row gather + bilinear weights: every atlas row stores
+the texel AND its full 2x2 wrap-around neighborhood, so a single (T, 4)
+row gather yields all four bilinear taps (single-element gathers fuse
+into multi-ms serial TPU ops; row gathers are the fast form, and their
+cost is per-ROW — ~20 ns/row regardless of width — so one 4-wide gather
+beats two 2-wide ones). sRGB decode happens per-texel before filtering,
+matching Vulkan's behavior for *_SRGB formats.
 
 Atlas pytree fields (all jax.Array):
-  texels  (T, 2) uint32 packed RGBA8 [self, right-neighbor (REPEAT wrap)]
+  texels  (T, 4) uint32 packed RGBA8 [self, right, down, down-right]
+          (REPEAT wrap on both axes)
   offset  (N,)  int32 start of each texture in ``texels``
   width   (N,)  int32
   height  (N,)  int32
@@ -54,18 +57,21 @@ def build_atlas(textures) -> TextureAtlas:
         else:
             a = arr.astype(np.uint32)
             packed = a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16) | (a[..., 3] << 24)
-        pair = np.stack(
-            [packed.reshape(-1), np.roll(packed, -1, axis=1).reshape(-1)],
+        right = np.roll(packed, -1, axis=1)
+        quad = np.stack(
+            [packed.reshape(-1), right.reshape(-1),
+             np.roll(packed, -1, axis=0).reshape(-1),
+             np.roll(right, -1, axis=0).reshape(-1)],
             axis=1,
         )
-        texels.append(pair)
+        texels.append(quad)
         offsets.append(pos)
         widths.append(w)
         heights.append(h)
         srgbs.append(1.0 if tex.format() == TextureFormat.RgbaSrgb else 0.0)
         pos += w * h
     if not texels:
-        texels = [np.full((1, 2), 0xFFFFFFFF, np.uint32)]
+        texels = [np.full((1, 4), 0xFFFFFFFF, np.uint32)]
         offsets, widths, heights, srgbs = [0], [1], [1], [0.0]
     return TextureAtlas(
         texels=jnp.asarray(np.concatenate(texels).astype(np.uint32)),
@@ -121,21 +127,18 @@ def sample_rgba(atlas: TextureAtlas, tex_id, uv):
         return jnp.remainder(i.astype(jnp.int32), n)
 
     x0i = wrap(x0, w)
-    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+    y0i = wrap(y0, h)
 
-    def fetch_pair(xi, yi):
-        idx = off + yi * w + xi
-        pair = atlas.texels[idx]  # (..., 2) row gather: texel + right
-        out = []
-        for k in range(2):
-            texel = _unpack(pair[..., k])
-            rgb = texel[..., :3]
-            rgb = jnp.where(srgb[..., None] > 0.5, srgb_to_linear(rgb), rgb)
-            out.append(jnp.concatenate([rgb, texel[..., 3:]], axis=-1))
-        return out
+    # ONE (T, 4) row gather: the 2x2 bilinear neighborhood
+    quad = atlas.texels[off + y0i * w + x0i]
 
-    c00, c10 = fetch_pair(x0i, y0i)
-    c01, c11 = fetch_pair(x0i, y1i)
+    def tap(k):
+        texel = _unpack(quad[..., k])
+        rgb = texel[..., :3]
+        rgb = jnp.where(srgb[..., None] > 0.5, srgb_to_linear(rgb), rgb)
+        return jnp.concatenate([rgb, texel[..., 3:]], axis=-1)
+
+    c00, c10, c01, c11 = tap(0), tap(1), tap(2), tap(3)
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy
@@ -178,28 +181,25 @@ def sample_rgba_v(atlas: TextureAtlas, tex_id, u, v):
         return jnp.remainder(i.astype(jnp.int32), n)
 
     x0i = wrap(x0, w)
-    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+    y0i = wrap(y0, h)
 
-    def fetch_pair(xi, yi):
-        # ONE (T, 2) row gather returns the texel and its wrapped right
-        # neighbor (element gathers fuse into serial multi-ms ops)
-        pair = atlas.texels[off + yi * w + xi]
-        s = jnp.float32(1.0 / 255.0)
-        out = []
-        for k in range(2):
-            p = pair[:, k].astype(jnp.uint32)
-            r = (p & jnp.uint32(0xFF)).astype(jnp.float32) * s
-            g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-            b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-            a = ((p >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-            r = jnp.where(srgb, srgb_to_linear(r), r)
-            g = jnp.where(srgb, srgb_to_linear(g), g)
-            b = jnp.where(srgb, srgb_to_linear(b), b)
-            out.append((r, g, b, a))
-        return out
+    # ONE (T, 4) row gather: the full 2x2 bilinear neighborhood (element
+    # gathers fuse into serial multi-ms ops; gather cost is per-row)
+    quad = atlas.texels[off + y0i * w + x0i]
+    s = jnp.float32(1.0 / 255.0)
 
-    c00, c10 = fetch_pair(x0i, y0i)
-    c01, c11 = fetch_pair(x0i, y1i)
+    def tap(k):
+        p = quad[:, k].astype(jnp.uint32)
+        r = (p & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        a = ((p >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+        r = jnp.where(srgb, srgb_to_linear(r), r)
+        g = jnp.where(srgb, srgb_to_linear(g), g)
+        b = jnp.where(srgb, srgb_to_linear(b), b)
+        return (r, g, b, a)
+
+    c00, c10, c01, c11 = tap(0), tap(1), tap(2), tap(3)
 
     def lerp2(k):
         top = c00[k] * (1.0 - fx) + c10[k] * fx

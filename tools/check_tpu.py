@@ -1,0 +1,80 @@
+"""On-hardware validation of the Pallas traversal kernels.
+
+The CPU test suite exercises the XLA reference walker, NOT the Mosaic
+compilation of the Pallas kernels — so TPU-only miscompiles are invisible
+to CI. This tool traces primary and incoherent random rays through both
+the Pallas kernels and the XLA walker ON THE SAME DEVICE and compares.
+
+Run on a TPU host: python tools/check_tpu.py  (exits nonzero on mismatch)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glaze_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    from glaze_tpu.parser import parse
+    from glaze_tpu.render.renderer import RayTraceRenderer
+    from glaze_tpu.render import integrator as integ
+    from glaze_tpu.accel.traverse_pallas import closest_hit_soa, any_hit_soa
+    from glaze_tpu.accel.bvh import closest_hit, any_hit
+
+    parsed = parse("/root/reference/resources/mattest.glaze")
+    r = RayTraceRenderer(parsed, width=64, height=64, seed=3)
+    scene = r.scene
+    c2w, s2c = integ.camera_matrices(r.camera, 64, 64)
+    px, py = integ.pixel_coords(64, 64)
+    ndc_x = -1.0 + 2.0 * (px + 0.5) / 64
+    ndc_y = -1.0 + 2.0 * (py + 0.5) / 64
+    o, d = integ.camera_rays(ndc_x, ndc_y, jnp.asarray(c2w),
+                             jnp.asarray(s2c), True)
+    om = np.stack([np.asarray(c) for c in o], -1)
+    dm = np.stack([np.asarray(c) for c in d], -1)
+    ph = closest_hit_soa(scene.bvh, o, d)
+    t = np.asarray(ph["t"])
+    tri0 = np.asarray(ph["tri"])
+    rng = np.random.default_rng(3)
+    bo = om + dm * np.where(tri0 >= 0, t, 1.0)[:, None]
+    bd = rng.normal(size=dm.shape).astype(np.float32)
+    bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
+
+    failed = False
+    for name, (O, D) in {"primary": (om, dm), "random": (bo, bd)}.items():
+        o3 = tuple(jnp.asarray(O[:, i]) for i in range(3))
+        d3 = tuple(jnp.asarray(D[:, i]) for i in range(3))
+        pk = closest_hit_soa(scene.bvh, o3, d3)
+        ref = closest_hit(scene.bvh, jnp.asarray(O), jnp.asarray(D))
+        tp, tr = np.asarray(pk["t"]), np.asarray(ref["t"])
+        ip, ir = np.asarray(pk["tri"]), np.asarray(ref["tri"])
+        # t must agree; tri may differ only where two triangles tie on t
+        bad_t = ~np.isclose(np.nan_to_num(tp, posinf=1e30),
+                            np.nan_to_num(tr, posinf=1e30),
+                            rtol=1e-4, atol=1e-5)
+        tri_diff = (ip != ir) & ~bad_t
+        print(f"{name} closest: t mismatch {bad_t.mean():.5f}  "
+              f"tri-only diff {tri_diff.mean():.5f}")
+        if bad_t.mean() > 0.001:
+            failed = True
+        ap = np.asarray(any_hit_soa(scene.bvh, o3, d3, 2.0))
+        ar = np.asarray(any_hit(scene.bvh, jnp.asarray(O), jnp.asarray(D),
+                                2.0))
+        print(f"{name} anyhit : mismatch {(ap != ar).mean():.5f}  "
+              f"(pallas {ap.mean():.3f} ref {ar.mean():.3f})")
+        if (ap != ar).mean() > 0.001:
+            failed = True
+    print("FAIL" if failed else "OK")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
