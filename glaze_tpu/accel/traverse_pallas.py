@@ -583,6 +583,13 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     16 rows — so leaf work costs ~1/16th of the packet-union kernel's
     whole-packet leaf test. Deferred leaves mean slightly staler t-pruning
     during the walk; QUEUE_MAX bounds that.
+
+    Streamed mode (``tri_resident=False``): drain rounds DOUBLE-BUFFER the
+    16 per-row leaf DMAs from HBM — round k+1's rows are in flight while
+    round k's Moller-Trumbore runs, so the HBM latency hides behind the
+    dense leaf math instead of stalling every round (``ttile_ref`` holds 2
+    banks of PACKET_ROWS rows; the drain loop is unrolled 2 rounds/body so
+    bank indices stay static).
     """
     _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
                  True, tri_resident)
@@ -599,28 +606,31 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     max_tri_row = tri_hbm.shape[0] - 1
     lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
 
-    def leaf_dma(r, lrow_r):
-        return pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(lrow_r, 1), :],
-            ttile_ref.at[pl.ds(r, 1), :],
-            leaf_sems.at[r],
-        )
-
-    def drain_round(c):
-        qc, hc = c
-        has = qc > hc
-        lm = jnp.take_along_axis(queue_ref[:], hc % LANES, axis=1)
+    def _queue_rows(qc, hcv):
+        """(has, first, lrow) for the queue entries at position ``hcv``."""
+        has = qc > hcv
+        lm = jnp.take_along_axis(queue_ref[:], hcv % LANES, axis=1)
         first = lm >> 3
         lrow = jnp.minimum(jnp.where(has, first >> 3, 0), max_tri_row)
-        if tri_resident:
-            for r in range(PACKET_ROWS):
-                ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
-        else:
-            for r in range(PACKET_ROWS):
-                leaf_dma(r, lrow[r, 0]).start()
-            for r in range(PACKET_ROWS):
-                leaf_dma(r, lrow[r, 0]).wait()
-        ttile = ttile_ref[:]
+        return has, first, lrow
+
+    def _issue(lrow, bank):
+        for r in range(PACKET_ROWS):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(lrow[r, 0], 1), :],
+                ttile_ref.at[pl.ds(bank * PACKET_ROWS + r, 1), :],
+                leaf_sems.at[bank * PACKET_ROWS + r],
+            ).start()
+
+    def _wait(bank):
+        for r in range(PACKET_ROWS):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(0, 1), :],
+                ttile_ref.at[pl.ds(bank * PACKET_ROWS + r, 1), :],
+                leaf_sems.at[bank * PACKET_ROWS + r],
+            ).wait()
+
+    def _mt_leaf(ttile, has, first):
         t_best = t_ref[:]
         tri_best = tri_out_ref[:]
         u_best = u_ref[:]
@@ -638,7 +648,59 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         tri_out_ref[:] = tri_best
         u_ref[:] = u_best
         v_ref[:] = v_best
+
+    def drain_round(c):
+        qc, hc = c
+        has, first, lrow = _queue_rows(qc, hc)
+        for r in range(PACKET_ROWS):
+            ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
+        _mt_leaf(ttile_ref[pl.ds(0, PACKET_ROWS), :], has, first)
         return qc, jnp.where(has, hc + 1, hc)
+
+    def drain_streamed(qc, hc):
+        """Double-buffered drain: while bank p's rows feed the MT, bank
+        1-p's DMAs for the next round are in flight."""
+        has0, _, lrow0 = _queue_rows(qc, hc)
+
+        @pl.when(jnp.any(has0))
+        def _():
+            _issue(lrow0, 0)
+
+        def cond(c):
+            qc, hc = c
+            return jnp.any(qc > hc)
+
+        def body(c):
+            qc, hc = c
+            # bank 0 round (hc)
+            has, first, _ = _queue_rows(qc, hc)
+            _wait(0)
+            hc1 = jnp.where(has, hc + 1, hc)
+            has1, first1, lrow1 = _queue_rows(qc, hc1)
+
+            @pl.when(jnp.any(has1))
+            def _():
+                _issue(lrow1, 1)
+
+            _mt_leaf(ttile_ref[pl.ds(0, PACKET_ROWS), :], has, first)
+
+            # bank 1 round (hc1), runs only if anything was issued
+            @pl.when(jnp.any(has1))
+            def _():
+                _wait(1)
+                hc2 = jnp.where(has1, hc1 + 1, hc1)
+                has2, _, lrow2 = _queue_rows(qc, hc2)
+
+                @pl.when(jnp.any(has2))
+                def _():
+                    _issue(lrow2, 0)
+
+                _mt_leaf(ttile_ref[pl.ds(PACKET_ROWS, PACKET_ROWS), :],
+                         has1, first1)
+
+            return qc, jnp.where(has1, hc1 + 1, hc1)
+
+        jax.lax.while_loop(cond, body, (qc, hc))
 
     def cond(c):
         p, qc, hc = c
@@ -678,8 +740,11 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
         @pl.when(drain & jnp.any(qc > hc))
         def _():
-            c2 = jax.lax.while_loop(
-                lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+            if tri_resident:
+                jax.lax.while_loop(
+                    lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+            else:
+                drain_streamed(qc, hc)
             # hc is recomputed below; the loop's effect is in the refs
 
         hc = jnp.where(drain, qc, hc)
@@ -712,28 +777,30 @@ def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     max_tri_row = tri_hbm.shape[0] - 1
     lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
 
-    def leaf_dma(r, lrow_r):
-        return pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(lrow_r, 1), :],
-            ttile_ref.at[pl.ds(r, 1), :],
-            leaf_sems.at[r],
-        )
-
-    def drain_round(c):
-        qc, hc = c
-        has = qc > hc
-        lm = jnp.take_along_axis(queue_ref[:], hc % LANES, axis=1)
+    def _queue_rows(qc, hcv):
+        has = qc > hcv
+        lm = jnp.take_along_axis(queue_ref[:], hcv % LANES, axis=1)
         first = lm >> 3
         lrow = jnp.minimum(jnp.where(has, first >> 3, 0), max_tri_row)
-        if tri_resident:
-            for r in range(PACKET_ROWS):
-                ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
-        else:
-            for r in range(PACKET_ROWS):
-                leaf_dma(r, lrow[r, 0]).start()
-            for r in range(PACKET_ROWS):
-                leaf_dma(r, lrow[r, 0]).wait()
-        ttile = ttile_ref[:]
+        return has, first, lrow
+
+    def _issue(lrow, bank):
+        for r in range(PACKET_ROWS):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(lrow[r, 0], 1), :],
+                ttile_ref.at[pl.ds(bank * PACKET_ROWS + r, 1), :],
+                leaf_sems.at[bank * PACKET_ROWS + r],
+            ).start()
+
+    def _wait(bank):
+        for r in range(PACKET_ROWS):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(0, 1), :],
+                ttile_ref.at[pl.ds(bank * PACKET_ROWS + r, 1), :],
+                leaf_sems.at[bank * PACKET_ROWS + r],
+            ).wait()
+
+    def _mt_leaf(ttile, has):
         b = hit_ref[:]
         for k in range(leaf_size):
             f = lambda j: jnp.take_along_axis(
@@ -742,7 +809,55 @@ def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
             new = h & (t > t_min) & (t < t_max) & has
             b = jnp.maximum(b, new.astype(jnp.int32))
         hit_ref[:] = b
+
+    def drain_round(c):
+        qc, hc = c
+        has, first, lrow = _queue_rows(qc, hc)
+        for r in range(PACKET_ROWS):
+            ttile_ref[pl.ds(r, 1), :] = tri_ref[pl.ds(lrow[r, 0], 1), :]
+        _mt_leaf(ttile_ref[pl.ds(0, PACKET_ROWS), :], has)
         return qc, jnp.where(has, hc + 1, hc)
+
+    def drain_streamed(qc, hc):
+        """Double-buffered leaf DMAs (see _closest_kernel_win)."""
+        has0, _, lrow0 = _queue_rows(qc, hc)
+
+        @pl.when(jnp.any(has0))
+        def _():
+            _issue(lrow0, 0)
+
+        def cond(c):
+            qc, hc = c
+            return jnp.any(qc > hc)
+
+        def body(c):
+            qc, hc = c
+            has, first, _ = _queue_rows(qc, hc)
+            _wait(0)
+            hc1 = jnp.where(has, hc + 1, hc)
+            has1, first1, lrow1 = _queue_rows(qc, hc1)
+
+            @pl.when(jnp.any(has1))
+            def _():
+                _issue(lrow1, 1)
+
+            _mt_leaf(ttile_ref[pl.ds(0, PACKET_ROWS), :], has)
+
+            @pl.when(jnp.any(has1))
+            def _():
+                _wait(1)
+                hc2 = jnp.where(has1, hc1 + 1, hc1)
+                has2, _, lrow2 = _queue_rows(qc, hc2)
+
+                @pl.when(jnp.any(has2))
+                def _():
+                    _issue(lrow2, 0)
+
+                _mt_leaf(ttile_ref[pl.ds(PACKET_ROWS, PACKET_ROWS), :], has1)
+
+            return qc, jnp.where(has1, hc1 + 1, hc1)
+
+        jax.lax.while_loop(cond, body, (qc, hc))
 
     def cond(c):
         p, qc, hc = c
@@ -783,8 +898,11 @@ def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 
         @pl.when(drain & jnp.any(qc > hc))
         def _():
-            jax.lax.while_loop(
-                lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+            if tri_resident:
+                jax.lax.while_loop(
+                    lambda c2: jnp.any(c2[0] > c2[1]), drain_round, (qc, hc))
+            else:
+                drain_streamed(qc, hc)
 
         hc = jnp.where(drain, qc, hc)
         # early-exit fully blocked rows once their queue is flushed
@@ -1221,14 +1339,17 @@ def _sub_scratch(nodes16, tri8):
 
 
 def _ww_scratch(nodes16, tri8, tri_res, queue=False):
+    # queue (windowed) kernels carry TWO ttile banks + per-bank DMA sems
+    # for the double-buffered streamed drain
+    ttile_rows = (2 if queue else 1) * PACKET_ROWS
     return [
         pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),
         pltpu.VMEM(tri8.shape if tri_res else (8, 128), jnp.float32),
         pltpu.VMEM((PACKET_ROWS, LANES), jnp.float32),
-        pltpu.VMEM((PACKET_ROWS, LANES), jnp.float32),
+        pltpu.VMEM((ttile_rows, LANES), jnp.float32),
     ] + ([pltpu.VMEM((PACKET_ROWS, LANES), jnp.int32)] if queue else []) + [
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((PACKET_ROWS,)),
+        pltpu.SemaphoreType.DMA((ttile_rows,)),
     ]
 
 

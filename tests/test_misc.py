@@ -246,3 +246,40 @@ def test_parsed_scene_renders_structure():
     neigh = bright[1:, :] & bright[:-1, :]
     clustered = neigh.mean() / max(bright.mean(), 1e-9)
     assert clustered > 0.35, f"render looks like noise (cluster {clustered})"
+
+
+def test_streamed_leaf_drain_mode():
+    """Nodes resident + triangles streamed = the WINDOWED kernels'
+    double-buffered drain path (big-scene mode). Results identical."""
+    from glaze_tpu.accel import build_bvh, closest_hit, any_hit
+    from glaze_tpu.accel import traverse_pallas as tp
+
+    rng = np.random.default_rng(7)
+    ntri = 120
+    c = rng.uniform(-4, 4, (ntri, 1, 3)).astype(np.float32)
+    tri = (c + rng.uniform(-0.5, 0.5, (ntri, 3, 3))).astype(np.float32)
+    bvh, _ = build_bvh(tri)
+    R = 2048
+    o = rng.uniform(-5, 5, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+    ref = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d))
+    aref = any_hit(bvh, jnp.asarray(o), jnp.asarray(d), 4.0)
+
+    saved = tp.COMBINED_VMEM_BUDGET
+    try:
+        tp.COMBINED_VMEM_BUDGET = 0  # nodes stay resident; tris stream
+        res = tp.closest_hit_soa(bvh, o3, d3, interpret=True)
+        ah = tp.any_hit_soa(bvh, o3, d3, jnp.full((R,), 4.0, jnp.float32),
+                            interpret=True)
+    finally:
+        tp.COMBINED_VMEM_BUDGET = saved
+    t = np.asarray(res["t"])
+    tx = np.asarray(ref["t"])
+    assert (np.isinf(t) == np.isinf(tx)).all()
+    m = ~np.isinf(tx)
+    np.testing.assert_allclose(t[m], tx[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(res["tri"]), np.asarray(ref["tri"]))
+    assert np.array_equal(np.asarray(ah), np.asarray(aref))
