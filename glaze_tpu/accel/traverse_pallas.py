@@ -1317,9 +1317,10 @@ WHILEWHILE_ANYHIT = True
 
 # Windowed refinement of the while-while kernels (see _closest_kernel_win):
 # one row-load round serves WINDOW_STEPS in-tile gather steps and leaf hits
-# queue instead of stalling. Takes precedence when enabled.
-WINDOWED_CLOSEST = True
-WINDOWED_ANYHIT = True
+# queue instead of stalling. Takes precedence when enabled. Env overrides
+# exist for on-chip A/B sweeps (tools/bench_phases.py).
+WINDOWED_CLOSEST = os.environ.get("GLAZE_WINDOWED_CLOSEST", "1") == "1"
+WINDOWED_ANYHIT = os.environ.get("GLAZE_WINDOWED_ANYHIT", "1") == "1"
 
 # Interleave this many INDEPENDENT packet walks per closest-hit kernel body
 # (block = DUAL_WALKS*PACKET_ROWS rows). Their scalar chains have no data

@@ -321,11 +321,19 @@ def convert(input_path, output_path, gen_mipmaps=False):
 
         (vertices, meshes, materials, textures, lights, cameras,
          transforms, instances) = import_fbx(input_path)
+    elif ext in (".ply", ".stl"):
+        from glaze_tpu.mesh_formats import import_ply, import_stl
+
+        importer = import_ply if ext == ".ply" else import_stl
+        vertices, meshes, materials, textures, lights = importer(input_path)
+        transforms = [Transform.identity()]
+        instances = [MeshInstance(m.id, 0) for m in meshes]
+        cameras = []
     else:
         raise SystemExit(
             f"Unsupported input format {ext!r}: this build imports OBJ, "
-            "glTF/GLB, and binary FBX natively (assimp is not available in "
-            "the TPU image)."
+            "glTF/GLB, binary FBX, PLY, and STL natively (assimp is not "
+            "available in the TPU image)."
         )
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
     if not cameras:

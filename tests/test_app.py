@@ -363,3 +363,106 @@ def test_pipelined_draw_matches_blocking(tmp_path):
     b2.draw_frame()
     b2.draw_frame()
     np.testing.assert_array_equal(last_pipe, b2.get_image())
+
+
+def _write_ply_ascii(path):
+    with open(path, "w") as f:
+        f.write("""ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+property float nx
+property float ny
+property float nz
+property float s
+property float t
+element face 2
+property list uchar int vertex_indices
+end_header
+0 0 0 0 0 1 0 0
+1 0 0 0 0 1 1 0
+1 1 0 0 0 1 1 1
+0 1 0 0 0 1 0 1
+3 0 1 2
+3 0 2 3
+""")
+
+
+def _write_ply_binary(path):
+    import struct
+    head = (b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 3\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face 1\n"
+            b"property list uchar int vertex_indices\n"
+            b"end_header\n")
+    body = b""
+    for v in [(0, 0, 0), (2, 0, 0), (0, 2, 0)]:
+        body += struct.pack("<3f", *v)
+    body += struct.pack("<B3i", 3, 0, 1, 2)
+    with open(path, "wb") as f:
+        f.write(head + body)
+
+
+def test_ply_converter(tmp_path):
+    """ascii quad (fan-triangulated) and binary tri, through convert()."""
+    from glaze_tpu.converter import convert
+    from glaze_tpu.parser import parse
+
+    ply = tmp_path / "quad.ply"
+    _write_ply_ascii(str(ply))
+    out = tmp_path / "quad.glaze"
+    convert(str(ply), str(out))
+    p = parse(str(out))
+    assert len(p.vertices()) == 4
+    (mesh,) = p.meshes()
+    assert len(mesh.indices) == 6  # two triangles, deduped verts
+    assert len(p.materials()) == 1
+
+    ply2 = tmp_path / "tri.ply"
+    _write_ply_binary(str(ply2))
+    out2 = tmp_path / "tri.glaze"
+    convert(str(ply2), str(out2))
+    p2 = parse(str(out2))
+    assert len(p2.vertices()) == 3
+    # generated normals: flat +z triangle
+    n = np.asarray([v.vn for v in p2.vertices()])
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 3, atol=1e-5)
+
+
+def test_stl_converter(tmp_path):
+    """binary and ascii STL through convert()."""
+    import struct
+    from glaze_tpu.converter import convert
+    from glaze_tpu.parser import parse
+
+    stl = tmp_path / "tri.stl"
+    payload = struct.pack("<3f", 0, 0, 1)
+    payload += struct.pack("<9f", 0, 0, 0, 1, 0, 0, 0, 1, 0)
+    payload += struct.pack("<H", 0)
+    with open(stl, "wb") as f:
+        f.write(b"\0" * 80 + struct.pack("<I", 1) + payload)
+    out = tmp_path / "tri.glaze"
+    convert(str(stl), str(out))
+    p = parse(str(out))
+    assert len(p.vertices()) == 3
+    n = np.asarray([v.vn for v in p.vertices()])
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 3, atol=1e-6)
+
+    stl2 = tmp_path / "tri2.stl"
+    with open(stl2, "w") as f:
+        f.write("""solid t
+facet normal 0 0 1
+  outer loop
+    vertex 0 0 0
+    vertex 1 0 0
+    vertex 0 1 0
+  endloop
+endfacet
+endsolid t
+""")
+    out2 = tmp_path / "tri2.glaze"
+    convert(str(stl2), str(out2))
+    assert len(parse(str(out2)).vertices()) == 3

@@ -46,7 +46,13 @@ def main():
     from glaze_tpu import accel
     from glaze_tpu.render.renderer import RayTraceRenderer
 
-    parsed = parse("/root/reference/resources/mattest.glaze")
+    scene_name = os.environ.get("GLAZE_BENCH_SCENE", "mattest")
+    if scene_name == "sponza":
+        from tools.make_sponza import build_scene
+
+        parsed = build_scene()
+    else:
+        parsed = parse("/root/reference/resources/mattest.glaze")
     r = RayTraceRenderer(parsed, width=WIDTH, height=HEIGHT, seed=3)
     scene = r.scene
     p = integ.pixel_count(WIDTH, HEIGHT)
