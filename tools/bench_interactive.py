@@ -51,6 +51,17 @@ def main():
         print(f"  material edit -> next frame: "
               f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
 
+        # the reference's raster preview equivalent (flat primary pass)
+        rr.use_raytracer = False
+        rr.draw_frame(pipelined=True)
+        rr.draw_frame(pipelined=True)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rr.draw_frame(pipelined=True)
+        dt = time.perf_counter() - t0
+        print(f"  flat preview: {n / dt:6.2f} fps ({dt / n * 1e3:.0f} "
+              f"ms/frame)")
+
 
 if __name__ == "__main__":
     main()
