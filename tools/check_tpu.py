@@ -72,6 +72,30 @@ def main():
               f"(pallas {ap.mean():.3f} ref {ar.mean():.3f})")
         if (ap != ar).mean() > 0.001:
             failed = True
+    # full-pipeline render check: brightness + spatial structure (the
+    # carrier-corruption failure mode renders uniform speckle that no
+    # kernel-level check catches)
+    state = integ.init_state(64, 64)
+    seeds = jnp.asarray(np.arange(4, dtype=np.uint32) + 5)
+    offs = jnp.asarray(np.full((4, 2), 0.5, np.float32))
+    # DIRECT: structure-dominant at low spp (PT at 1spp is firefly-noisy
+    # enough to blur the cluster metric)
+    kw = dict(width=64, height=64, is_persp=True, direct_only=True,
+              steps=4, alpha_rounds=r._alpha_rounds)
+    st = integ.render_steps(r.scene, state, seeds, offs, jnp.asarray(c2w),
+                            jnp.asarray(s2c), **kw)
+    acc = np.stack([integ.to_image_np(st.accum[i], 64, 64)
+                    for i in range(3)], -1)
+    cnt = integ.to_image_np(st.count, 64, 64)[..., None]
+    lum = (acc / np.maximum(cnt, 1)).mean(-1)
+    bright = lum > np.percentile(lum, 80)
+    clustered = (bright[1:, :] & bright[:-1, :]).mean() / max(
+        bright.mean(), 1e-9)
+    print(f"render: per-launch mean {lum.mean():.5f}  cluster {clustered:.2f}")
+    if lum.mean() < 8e-4 or clustered < 0.35:
+        print("render check FAILED (black or structureless)")
+        failed = True
+
     print("FAIL" if failed else "OK")
     sys.exit(1 if failed else 0)
 
