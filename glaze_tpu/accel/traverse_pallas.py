@@ -1340,9 +1340,10 @@ def _sub_scratch(nodes16, tri8):
 
 
 def _ww_scratch(nodes16, tri8, tri_res, queue=False):
-    # queue (windowed) kernels carry TWO ttile banks + per-bank DMA sems
-    # for the double-buffered streamed drain
-    ttile_rows = (2 if queue else 1) * PACKET_ROWS
+    # queue (windowed) kernels in STREAMED mode carry TWO ttile banks +
+    # per-bank DMA sems for the double-buffered drain; resident mode never
+    # runs it, so it keeps the single bank (VMEM headroom)
+    ttile_rows = (2 if queue and not tri_res else 1) * PACKET_ROWS
     return [
         pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),
         pltpu.VMEM(tri8.shape if tri_res else (8, 128), jnp.float32),

@@ -33,16 +33,24 @@ _PLY_SIZES = {
 
 
 def _parse_ply_header(data):
-    end = data.find(b"end_header")
-    if not data.startswith(b"ply") or end < 0:
+    if not data.startswith(b"ply"):
         raise ValueError("not a PLY file")
-    body_off = data.find(b"\n", end) + 1
+    # line-by-line until a line that IS "end_header" (a substring search
+    # would trip on comments mentioning it)
     fmt = None
     elements = []  # (name, count, [prop])  prop = ("scalar",t,name)|("list",ct,it,name)
-    for raw in data[:end].decode("ascii", "replace").splitlines():
-        tok = raw.split()
-        if not tok:
+    off = 0
+    while True:
+        nl = data.find(b"\n", off)
+        if nl < 0:
+            raise ValueError("PLY header has no end_header")
+        line = data[off:nl].strip()
+        off = nl + 1
+        tok = line.decode("ascii", "replace").split()
+        if not tok or tok[0] == "comment":
             continue
+        if tok[0] == "end_header":
+            break
         if tok[0] == "format":
             fmt = tok[1]
         elif tok[0] == "element":
@@ -55,7 +63,7 @@ def _parse_ply_header(data):
     if fmt not in ("ascii", "binary_little_endian"):
         raise ValueError(f"unsupported PLY format {fmt!r} "
                          "(ascii / binary_little_endian)")
-    return fmt, elements, body_off
+    return fmt, elements, off
 
 
 def _read_ply(data):
@@ -117,7 +125,6 @@ def import_ply(path):
     """PLY -> (vertices, meshes, materials, textures, lights)."""
     from glaze_tpu.converter import _generate_normals
     from glaze_tpu.core import Texture
-    from glaze_tpu.parser.v1 import vertex_to_bytes
 
     with open(path, "rb") as fh:
         data = fh.read()
@@ -136,6 +143,9 @@ def import_ply(path):
     for poly in idx_col:
         for k in range(1, len(poly) - 1):  # fan triangulation
             faces.append((poly[0], poly[k], poly[k + 1]))
+    if not faces:
+        raise ValueError(
+            "PLY has no faces (point clouds cannot become render geometry)")
     if has_n:
         nrm = np.stack([np.asarray(vx[c], np.float32)
                         for c in ("nx", "ny", "nz")], axis=1)
@@ -148,27 +158,40 @@ def import_ply(path):
     else:
         uv = np.zeros((len(pos), 2), np.float32)
 
-    vertices, used, indices = [], {}, []
-    for tri in faces:
-        for vi in tri:
-            vert = Vertex(pos[vi], nrm[vi], uv[vi])
-            vb = vertex_to_bytes(vert)
-            j = used.get(vb)
-            if j is None:
-                j = len(vertices)
-                used[vb] = j
-                vertices.append(vert)
-            indices.append(j)
+    vertices, indices = _dedup_vertices(
+        Vertex(pos[vi], nrm[vi], uv[vi]) for tri in faces for vi in tri)
     materials = [Material(name="default")]
     meshes = [Mesh(0, indices, 0)]
     return vertices, meshes, materials, [Texture.default()], []
 
 
+def _dedup_vertices(vert_iter):
+    """Byte-identical vertex dedup shared by the PLY/STL importers."""
+    from glaze_tpu.parser.v1 import vertex_to_bytes
+
+    vertices, used, indices = [], {}, []
+    for vert in vert_iter:
+        vb = vertex_to_bytes(vert)
+        j = used.get(vb)
+        if j is None:
+            j = len(vertices)
+            used[vb] = j
+            vertices.append(vert)
+        indices.append(j)
+    return vertices, indices
+
+
 def _read_stl(data):
     """Returns (normals (F,3), tris (F,3,3)) from ascii or binary STL."""
-    if len(data) >= 84:
+    # ascii STLs start with "solid" AND contain "facet" early; binary files
+    # may also start with "solid" in the comment header (the classic STL
+    # ambiguity), so both signals are required before choosing ascii
+    ascii_looking = (data.lstrip()[:5] == b"solid"
+                     and b"facet" in data[:4096])
+    if len(data) >= 84 and not ascii_looking:
         count = struct.unpack_from("<I", data, 80)[0]
-        if 84 + 50 * count == len(data):
+        # tolerate trailing bytes (some CAD tools append metadata)
+        if count > 0 and 84 + 50 * count <= len(data):
             rec = np.dtype([("n", "<3f4"), ("v", "<(3,3)f4"), ("attr", "<u2")])
             arr = np.frombuffer(data, dtype=rec, count=count, offset=84)
             return arr["n"].copy(), arr["v"].copy()
@@ -194,7 +217,6 @@ def _read_stl(data):
 def import_stl(path):
     """STL -> (vertices, meshes, materials, textures, lights)."""
     from glaze_tpu.core import Texture
-    from glaze_tpu.parser.v1 import vertex_to_bytes
 
     with open(path, "rb") as fh:
         data = fh.read()
@@ -209,17 +231,9 @@ def import_stl(path):
     lg = np.maximum(np.linalg.norm(geo, axis=1, keepdims=True), 1e-20)
     normals = np.where(ln > 1e-8, normals / np.maximum(ln, 1e-20), geo / lg)
     uv = np.asarray([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)], np.float32)
-    vertices, used, indices = [], {}, []
-    for f in range(len(tris)):
-        for i in range(3):
-            vert = Vertex(tris[f, i], normals[f], uv[i])
-            vb = vertex_to_bytes(vert)
-            j = used.get(vb)
-            if j is None:
-                j = len(vertices)
-                used[vb] = j
-                vertices.append(vert)
-            indices.append(j)
+    vertices, indices = _dedup_vertices(
+        Vertex(tris[f, i], normals[f], uv[i])
+        for f in range(len(tris)) for i in range(3))
     materials = [Material(name="default")]
     meshes = [Mesh(0, indices, 0)]
     return vertices, meshes, materials, [Texture.default()], []

@@ -271,11 +271,18 @@ def test_streamed_leaf_drain_mode():
     saved = tp.COMBINED_VMEM_BUDGET
     try:
         tp.COMBINED_VMEM_BUDGET = 0  # nodes stay resident; tris stream
+        # the residency decision is baked in at trace time: drop any
+        # cached trace for these shapes or this test silently re-runs
+        # the resident kernel
+        tp._closest_call.clear_cache()
+        tp._anyhit_call.clear_cache()
         res = tp.closest_hit_soa(bvh, o3, d3, interpret=True)
         ah = tp.any_hit_soa(bvh, o3, d3, jnp.full((R,), 4.0, jnp.float32),
                             interpret=True)
     finally:
         tp.COMBINED_VMEM_BUDGET = saved
+        tp._closest_call.clear_cache()
+        tp._anyhit_call.clear_cache()
     t = np.asarray(res["t"])
     tx = np.asarray(ref["t"])
     assert (np.isinf(t) == np.isinf(tx)).all()

@@ -73,7 +73,7 @@ def main():
 
     key = np.asarray(tp.sort_rays_key(scene.bvh, jnp.asarray(bo),
                                       jnp.asarray(bd)))
-    octant = key >> 15
+    octant = key >> 17  # 3 octant bits only (>>15 would keep dom-axis)
     orders = {
         "pixel": np.arange(p),
         "octant": np.argsort(octant, kind="stable"),
