@@ -560,6 +560,11 @@ WINDOW_STEPS = int(os.environ.get("GLAZE_WINDOW_STEPS", "4"))
 # closest-hit t pruning fresher (queued leaves haven't updated t yet);
 # larger amortizes the drain-round fixed cost over more rows.
 QUEUE_MAX = int(os.environ.get("GLAZE_QUEUE_MAX", "8"))
+# Any-hit can use a SHALLOWER queue: its blocked mask only updates at
+# drain time, so pending leaves mean blocked lanes keep inflating the
+# walk unions; a small queue trades drain frequency for mask freshness.
+QUEUE_MAX_ANY = int(os.environ.get("GLAZE_QUEUE_MAX_ANY",
+                                   os.environ.get("GLAZE_QUEUE_MAX", "8")))
 
 
 def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
@@ -872,7 +877,7 @@ def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         win = safe // 16
         blocked = hit_ref[:]
         for _ in range(WINDOW_STEPS):
-            inwin = ((p // 16) == win) & (p < n_nodes) & (qc - hc < QUEUE_MAX)
+            inwin = ((p // 16) == win) & (p < n_nodes) & (qc - hc < QUEUE_MAX_ANY)
             base = (p % 16) * 8
 
             def nf(f):
@@ -893,7 +898,7 @@ def _anyhit_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
             nxt = jnp.where(descend, p + 1, skip)
             p = jnp.where(inwin, nxt, p)
 
-        drain = jnp.any(qc - hc >= QUEUE_MAX) | jnp.logical_not(
+        drain = jnp.any(qc - hc >= QUEUE_MAX_ANY) | jnp.logical_not(
             jnp.any(p < n_nodes))
 
         @pl.when(drain & jnp.any(qc > hc))

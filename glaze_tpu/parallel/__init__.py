@@ -5,7 +5,9 @@ from glaze_tpu.parallel import distributed
 from glaze_tpu.parallel.mesh import (
     init_state_spp,
     make_mesh,
+    make_mesh_2d,
     reduce_spp,
+    render_steps_2d_sharded,
     render_steps_sharded,
     render_steps_spp_sharded,
     shard_state,
@@ -16,7 +18,9 @@ __all__ = [
     "distributed",
     "init_state_spp",
     "make_mesh",
+    "make_mesh_2d",
     "reduce_spp",
+    "render_steps_2d_sharded",
     "render_steps_sharded",
     "render_steps_spp_sharded",
     "shard_state",

@@ -189,3 +189,71 @@ def reduce_spp(state: integ.PathState) -> integ.PathState:
         accum=tuple(a.sum(axis=0) for a in state.accum),
         count=state.count.sum(axis=0),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D mesh: samples x pixels. The leading device axis of the spp state is
+# sharded over the "samples" mesh axis while every per-pixel axis is
+# sharded over "pixels" — tp/dp-style composition: a v5e-8 can run e.g.
+# 2 sample groups x 4 pixel shards. Same impl as the spp mode; GSPMD
+# partitions the vmap'd launch over both axes.
+# ---------------------------------------------------------------------------
+
+SPP_AXIS = "samples"
+
+
+def make_mesh_2d(n_samples: int, devices=None) -> Mesh:
+    """(samples, pixels) mesh using all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_samples:
+        raise ValueError(f"{n} devices not divisible by {n_samples} sample "
+                         "groups")
+    arr = np.asarray(devices).reshape(n_samples, n // n_samples)
+    return Mesh(arr, (SPP_AXIS, AXIS))
+
+
+def _spp2d_spec(x):
+    """Leading axis = sample groups, last axis = pixels (scalars whole)."""
+    if x.ndim == 0:
+        return P()
+    if x.ndim == 1:
+        return P(SPP_AXIS)
+    return P(SPP_AXIS, *([None] * (x.ndim - 2)), AXIS)
+
+
+def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
+                            screen2cam, mesh: Mesh, *, width, height,
+                            is_persp, direct_only, steps, alpha_rounds=0):
+    """``steps`` launches on a (samples, pixels) mesh.
+
+    ``state`` comes from :func:`init_state_spp` with n = the number of
+    SAMPLE groups; ``seeds``: (steps, n_samples). Each sample group owns a
+    full-image path state whose pixel axis is additionally sharded over
+    the pixel mesh axis. Display via :func:`reduce_spp` (the sum over the
+    sample axis lowers to a psum across that mesh dimension).
+    """
+    n_spp = mesh.shape[SPP_AXIS]
+    n_pix = mesh.shape[AXIS]
+    p = integ.pixel_count(width, height)
+    if p % n_pix:
+        raise ValueError(f"pixel count {p} not divisible by pixel axis "
+                         f"{n_pix}")
+    if seeds.shape != (steps, n_spp):
+        raise ValueError(f"seeds must be (steps, n_samples)="
+                         f"{steps, n_spp}, got {seeds.shape}")
+    px, py = integ.pixel_coords(width, height)
+    pix_sh = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+    px = jax.device_put(px, pix_sh)
+    py = jax.device_put(py, pix_sh)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, _spp2d_spec(x))),
+        state)
+    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    return _render_steps_spp_impl(
+        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+        width=width, height=height, is_persp=is_persp,
+        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+    )

@@ -441,3 +441,43 @@ def test_sorted_trace_equivalence():
     h1 = accel.any_hit_soa_auto(scene.bvh, o, d, t_max, active=act)
     h2 = integ._any_hit_sorted(scene, o, d, t_max, act)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_2d_mesh_matches_sequential():
+    """(samples x pixels) 2D mesh render == the sequential per-seed sum."""
+    from glaze_tpu import parallel as par
+    import __graft_entry__ as g2
+
+    scene, camera = g2._tiny_scene(16, 16)
+    w = h = 16
+    c2w, s2c = integ.camera_matrices(camera, w, h)
+    c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
+    steps, n_spp = 4, 2
+    seeds = np.arange(steps * n_spp, dtype=np.uint32).reshape(steps, n_spp)
+    offs = np.full((steps, 2), 0.5, np.float32)
+    kw = dict(width=w, height=h, is_persp=True, direct_only=False,
+              steps=steps, alpha_rounds=0)
+
+    mesh = par.make_mesh_2d(n_spp)
+    assert mesh.devices.shape == (2, 4)
+    st = par.init_state_spp(w, h, n_spp)
+    st = par.render_steps_2d_sharded(
+        scene, st, jnp.asarray(seeds), jnp.asarray(offs), c2w, s2c, mesh,
+        **kw)
+    red = par.reduce_spp(st)
+
+    # sequential reference: one unsharded run per sample group, summed
+    accum = [np.zeros(integ.pixel_count(w, h), np.float32) for _ in range(3)]
+    count = np.zeros(integ.pixel_count(w, h), np.float32)
+    for i in range(n_spp):
+        s0 = integ.init_state(w, h)
+        s1 = integ.render_steps(scene, s0, jnp.asarray(seeds[:, i]),
+                                jnp.asarray(offs), c2w, s2c, **kw)
+        for c in range(3):
+            accum[c] += np.asarray(s1.accum[c])
+        count += np.asarray(s1.count)
+
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(red.accum[c]), accum[c],
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(red.count), count)
