@@ -54,7 +54,10 @@ def main():
     c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
     kw = dict(width=WIDTH, height=HEIGHT, is_persp=True, direct_only=False,
               steps=STEPS, alpha_rounds=r._alpha_rounds)
-    rng = np.random.default_rng(7)
+    # fresh entropy per run: the TPU tunnel dedupes identical
+    # (executable, inputs) pairs ACROSS PROCESSES, so a fixed seed makes
+    # repeat runs of an unchanged build return cached results at ~0 ms
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     setup_s = time.perf_counter() - t_setup
 
     def run(state):
