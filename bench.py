@@ -76,6 +76,36 @@ def main():
         jax.block_until_ready(state.count)
         best = min(best, time.perf_counter() - t0)
 
+    # per-phase counters (VERDICT: one aggregate number hides where the
+    # next regression lands): primary-ray closest hit and incoherent
+    # any-hit, timed standalone on the same scene
+    phases = {}
+    if os.environ.get("GLAZE_BENCH_PHASES", "1") == "1":
+        from glaze_tpu import accel
+
+        px, py = integ.pixel_coords(WIDTH, HEIGHT)
+        ndc_x = -1.0 + 2.0 * (px + 0.5) / WIDTH
+        ndc_y = -1.0 + 2.0 * (py + 0.5) / HEIGHT
+        o, d = integ.camera_rays(ndc_x, ndc_y, c2w, s2c, True)
+
+        def timed_phase(fn):
+            jax.block_until_ready(fn(0.0))
+            t = float("inf")
+            for k in range(1, 3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(1e-5 * k))
+                t = min(t, time.perf_counter() - t0)
+            return t
+
+        t_closest = timed_phase(lambda eps: accel.closest_hit_soa_auto(
+            r.scene.bvh, tuple(c + eps for c in o), d)["t"])
+        t_any = timed_phase(lambda eps: accel.any_hit_soa_auto(
+            r.scene.bvh, tuple(c + eps for c in o), d, 100.0))
+        phases = {
+            "closest_primary_mrays": round(p / t_closest / 1e6, 2),
+            "anyhit_primary_mrays": round(p / t_any / 1e6, 2),
+        }
+
     rays = p * STEPS
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
@@ -92,6 +122,7 @@ def main():
         "launch_ms": round(launch_ms, 1),
         "time_to_256spp_s": round(tt256, 1),
         "setup_s": round(setup_s, 1),
+        **phases,
     }))
 
 
