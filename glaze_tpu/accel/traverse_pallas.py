@@ -554,8 +554,10 @@ def _closest_kernel_ww(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
 # In-window steps per load round in the windowed kernels. Simulated
 # (tools/sim_window.py, mattest bounce): per-row walks stay inside one
 # aligned 16-node row for 3.78 steps on average; lockstep load-rounds per
-# 2048-ray tile drop 678 (S=1) -> 249 (S=4) -> 211 (S=6).
-WINDOW_STEPS = int(os.environ.get("GLAZE_WINDOW_STEPS", "4"))
+# 2048-ray tile drop 678 (S=1) -> 249 (S=4) -> 211 (S=6). Full-bench
+# sweep on the Sponza-class 1080p workload: S=3 3725ms / S=4 3797 /
+# S=6 4184 -> default 3.
+WINDOW_STEPS = int(os.environ.get("GLAZE_WINDOW_STEPS", "3"))
 # Leaf-queue capacity before a drain phase triggers. Smaller keeps
 # closest-hit t pruning fresher (queued leaves haven't updated t yet);
 # larger amortizes the drain-round fixed cost over more rows.
