@@ -223,3 +223,35 @@ def test_atlas_wrap_repeat():
     a = np.asarray(tx.sample_rgb(atlas, jnp.asarray([0]), jnp.asarray([[0.25, 0.5]])))
     b = np.asarray(tx.sample_rgb(atlas, jnp.asarray([0]), jnp.asarray([[1.25, 0.5]])))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_atlas_bilinear_matches_numpy():
+    """Off-center samples exercise all four 2x2-quad taps (incl. the
+    down/down-right neighbors and y wrap) against a NumPy reference."""
+    from glaze_tpu.core.texture import TextureFormat
+
+    rng = np.random.default_rng(12)
+    h, w = 4, 8
+    img = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+    atlas = _atlas_from_arrays([img], [TextureFormat.RgbaNorm])
+    uv = rng.random((64, 2)).astype(np.float32)
+    uv[:4] = [[0.99, 0.99], [0.01, 0.99], [0.5, 0.999], [0.0, 0.0]]
+
+    got = np.asarray(tx.sample_rgba_v(
+        atlas, jnp.zeros(64, jnp.int32),
+        jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1])))  # (4, 64)
+
+    tex = img.astype(np.float64) / 255.0
+    x = uv[:, 0] * w - 0.5
+    y = uv[:, 1] * h - 0.5
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    fx = x - x0
+    fy = y - y0
+    c00 = tex[y0 % h, x0 % w]
+    c10 = tex[y0 % h, (x0 + 1) % w]
+    c01 = tex[(y0 + 1) % h, x0 % w]
+    c11 = tex[(y0 + 1) % h, (x0 + 1) % w]
+    want = ((c00 * (1 - fx)[:, None] + c10 * fx[:, None]) * (1 - fy)[:, None]
+            + (c01 * (1 - fx)[:, None] + c11 * fx[:, None]) * fy[:, None])
+    np.testing.assert_allclose(np.stack(got, -1), want, atol=2e-3)
