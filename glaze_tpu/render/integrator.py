@@ -45,6 +45,12 @@ from glaze_tpu.render import lights as lights_mod
 from glaze_tpu.scene import flatten as fl
 
 PT_STEPS = 6  # raytrace_structures.rs:87
+
+# When a list is installed here (see tools/capture_rays.py), launch_step
+# appends the PRE-SORT inputs of each trace phase as dicts of arrays at
+# TRACE time, so a jitted wrapper can return them as outputs. None (the
+# default) is free: the checks are Python-level and trace away.
+_capture_sink = None
 RUSSIAN_ROULETTE = PT_STEPS // 2  # path_trace.rgen:11
 INV_2PI = jnp.float32(0.1591549)
 INV_PI = jnp.float32(0.3183099)
@@ -407,6 +413,11 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
     value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"], r_bsdf)
 
     usable = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
+    if _capture_sink is not None:
+        _capture_sink.append({
+            "phase": "anyhit_nee", "o": hit["point"], "d": wiw,
+            "tmax": dist - 1e-3, "active": active & usable,
+        })
     if alpha_rounds > 0:
         # alpha-tested occlusion: transparent surfaces don't shadow
         # (occlusion_tester + rahit semantics)
@@ -462,6 +473,11 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     direction = vec.where(regen, cam_dir, state.direction)
     importance = jnp.where(regen, spectra.one_t(p), state.importance)
 
+    if _capture_sink is not None:
+        _capture_sink.append({
+            "phase": "closest", "o": origin, "d": direction,
+            "bounce": state.bounce, "regen": regen,
+        })
     hit = trace_alpha_sorted(scene, origin, direction,
                              alpha_rounds=alpha_rounds)
     missed = hit["tri"] < 0

@@ -608,6 +608,12 @@ def flatten_scene(parsed):
 
     dev = DeviceScene(
         bvh=bvh,
+        # static specialization sets from the HOST copies: computing them
+        # in __init__ would np.asarray device arrays, and the FIRST
+        # device->host transfer through the axon tunnel costs ~60-130 s of
+        # connection warm-up (measured; later downloads are ~33 ms)
+        mat_families=tuple(sorted({int(x) for x in mats["mat_bsdf"]})),
+        light_kinds=tuple(sorted({int(x) for x in lts["light_type"]})),
         tri_attr=jnp.asarray(attr.T.copy()),
         tri_material=jnp.asarray(tri_mat_bvh),
         tri_pos_orig=jnp.asarray(tri_pos.reshape(tri_pos.shape[0], 9)),
