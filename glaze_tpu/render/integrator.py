@@ -28,6 +28,7 @@ stream aligned. This changes sample positions, not distributions.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -259,18 +260,55 @@ def _hit_alpha(scene, hit):
 
 
 def _octant_perm(direction):
-    """Stable permutation grouping rays by direction octant. Stability
-    preserves pixel-tile (origin) coherence within each octant bucket, so
-    traversal packets become octant-pure without losing spatial locality —
-    measured 1.5-1.9x fewer packet-union visits on bounce-heavy launches
-    (tools/sim_partition.py; a full morton sort measured WORSE because it
-    scattered origins). The machinery (argsort + 1D gathers/scatters)
-    costs well under a millisecond on-chip (tools/bench_sort.py)."""
+    """Stable permutation grouping rays by direction octant (see
+    _trace_perm for the stronger key used on the trace paths)."""
     key = (
         (direction[0] >= 0).astype(jnp.int32)
         | ((direction[1] >= 0).astype(jnp.int32) << 1)
         | ((direction[2] >= 0).astype(jnp.int32) << 2)
     )
+    return jnp.argsort(key, stable=True)
+
+
+def _spread3(x):
+    """Spreads 5-bit ints so bits land 3 apart (Morton interleave)."""
+    x = (x | (x << 8)) & 0x100F
+    x = (x | (x << 4)) & 0x10C3
+    x = (x | (x << 2)) & 0x1249
+    return x
+
+
+# "octant" = direction-octant only (stable, keeps pixel-tile order);
+# "morton" = octant + 15-bit origin Morton. Replayed REAL bench-scene ray
+# buffers through the exact kernel schedule (tools/sim_fatleaf.py on
+# tools/capture_rays.py captures): morton cuts closest-phase walk rounds
+# 2.7x and drain pairs 2.8x vs octant on incoherent bounce mixes; the
+# round-2 "sorting ceiling 1.25x" memo was a mattest artifact.
+SORT_MODE = os.environ.get("GLAZE_SORT", "morton")
+
+
+def _trace_perm(scene, origin, direction, active=None):
+    """Stable coherence sort for a trace phase: [inactive-last |
+    direction octant | origin Morton]. Stability preserves pixel-tile
+    order within equal keys. Inactive lanes (shadow rays whose NEE sample
+    is unusable) compact to the tail so whole 128-lane rows retire
+    instead of idling inside mixed rows."""
+    key = (
+        (direction[0] >= 0).astype(jnp.int32)
+        | ((direction[1] >= 0).astype(jnp.int32) << 1)
+        | ((direction[2] >= 0).astype(jnp.int32) << 2)
+    )
+    if SORT_MODE == "morton":
+        lo = scene.scene_centre - scene.scene_radius
+        inv = 31.0 / jnp.maximum(2.0 * scene.scene_radius, 1e-20)
+        m = jnp.int32(0)
+        for i in range(3):
+            q = jnp.clip(((origin[i] - lo[i]) * inv).astype(jnp.int32),
+                         0, 31)
+            m = m | (_spread3(q) << i)
+        key = (key << 15) | m
+    if active is not None:
+        key = key | jnp.where(active, 0, jnp.int32(1) << 19)
     return jnp.argsort(key, stable=True)
 
 
@@ -312,12 +350,15 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
     (.at[].set) fuse into multi-ms serial ops on TPU, gathers don't —
     and both directions pack all arrays into one row gather each
     (:func:`_perm_rows`)."""
-    perm = _octant_perm(direction)
-    inv = jnp.argsort(perm)
     ins = list(origin) + list(direction)
+    act = None
     if t_max is not None:
-        ins.append(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                                    origin[0].shape))
+        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               origin[0].shape)
+        ins.append(cap)
+        act = cap > 0.0  # negative cap = lane culled by the caller
+    perm = _trace_perm(scene, origin, direction, active=act)
+    inv = jnp.argsort(perm)
     s = _perm_rows(perm, ins)
     o, d = tuple(s[0:3]), tuple(s[3:6])
     cap = s[6] if t_max is not None else None
@@ -328,9 +369,10 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
 
 
 def _any_hit_sorted(scene, origin, direction, t_max, active):
-    """Shadow trace with octant-partitioned packets (sky/light-sampled
-    directions are incoherent in pixel order)."""
-    perm = _octant_perm(direction)
+    """Shadow trace with coherence-sorted packets (sky/light-sampled
+    directions are incoherent in pixel order); inactive lanes compact to
+    the tail so their rows retire immediately."""
+    perm = _trace_perm(scene, origin, direction, active=active)
     inv = jnp.argsort(perm)
     cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            origin[0].shape)

@@ -46,6 +46,8 @@ def capture(width=1920, height=1080, warm_steps=4, seed=3):
         steps=warm_steps, **kw)
     jax.block_until_ready(state.count)
 
+    phase_names = []  # filled at TRACE time (deterministic order)
+
     def step_capture(scene, st, seed, offset):
         sink = []
         integ._capture_sink = sink
@@ -54,6 +56,8 @@ def capture(width=1920, height=1080, warm_steps=4, seed=3):
                                        px, py, size, **kw)
         finally:
             integ._capture_sink = None
+        del phase_names[:]
+        phase_names.extend(rec.pop("phase") for rec in sink)
         return new_st, sink
 
     fn = jax.jit(step_capture)
@@ -64,10 +68,8 @@ def capture(width=1920, height=1080, warm_steps=4, seed=3):
 
     out = {}
     for i, rec in enumerate(sink):
-        tag = f"{i:02d}_{rec['phase']}"
+        tag = f"{i:02d}_{phase_names[i]}"
         for k, v in rec.items():
-            if k == "phase":
-                continue
             if isinstance(v, tuple):
                 out[f"{tag}.{k}"] = np.stack(
                     [np.asarray(jax.device_get(c)) for c in v], -1)
