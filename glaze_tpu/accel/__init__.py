@@ -13,6 +13,8 @@ trace the chunks sequentially, carrying the best-t cap / blocked mask so
 later chunks prune early.
 """
 
+import os
+
 from glaze_tpu.accel.bvh import (
     BVH,
     ChunkedBVH,
@@ -21,6 +23,38 @@ from glaze_tpu.accel.bvh import (
     closest_hit,
     any_hit,
 )
+from glaze_tpu.accel.fat import (
+    FatBVH,
+    build_bvh_fat,
+    closest_hit_fat,
+    any_hit_fat,
+)
+
+# Fat-leaf MXU traversal (accel/fat.py): opt-in while the drain engine
+# is tuned (GLAZE_FATLEAF=1; the v1 per-pair drain measured slower than
+# classic+Morton on the bench — see tools/bench_fat_ab.py). The classic
+# LEAF_SIZE=8 VPU path stays the default everywhere.
+_FAT_NODES_BUDGET = 12 * 1024 * 1024
+
+
+def use_fat_default() -> bool:
+    v = os.environ.get("GLAZE_FATLEAF", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return False
+
+
+def build_bvh_auto(tri_verts, leaf_size=None):
+    """Builds the traversal structure the current backend prefers:
+    FatBVH (MXU drains) on TPU, classic (possibly chunked) elsewhere.
+    Falls back to classic chunking when the fat node slab would exceed
+    the VMEM budget. Returns (bvh, tri_order) [build_bvh contract]."""
+    if use_fat_default():
+        bvh, order = build_bvh_fat(tri_verts, leaf_size)
+        slab = (bvh.nodes16.shape[0] // 8) * 128 * 4
+        if slab <= _FAT_NODES_BUDGET:
+            return bvh, order
+    return build_bvh_chunked(tri_verts)
 
 
 def _on_tpu() -> bool:
@@ -75,6 +109,12 @@ def closest_hit_auto(bvh, origin, direction, t_max=None):
         return _chunked_closest(
             bvh, lambda c, cap: closest_hit_auto(c, origin, direction, cap),
             t_max)
+    if isinstance(bvh, FatBVH):
+        if _on_tpu():
+            from glaze_tpu.accel.traverse_fat import closest_hit_fat_pallas
+
+            return closest_hit_fat_pallas(bvh, origin, direction, t_max)
+        return closest_hit_fat(bvh, origin, direction, t_max)
     if _on_tpu():
         from glaze_tpu.accel.traverse_pallas import closest_hit_pallas
 
@@ -89,6 +129,14 @@ def any_hit_auto(bvh, origin, direction, t_max, t_min=1e-3, active=None):
             lambda c, a: any_hit_auto(c, origin, direction, t_max,
                                       t_min=t_min, active=a),
             active)
+    if isinstance(bvh, FatBVH):
+        if _on_tpu():
+            from glaze_tpu.accel.traverse_fat import any_hit_fat_pallas
+
+            return any_hit_fat_pallas(bvh, origin, direction, t_max,
+                                      t_min=t_min, active=active)
+        return any_hit_fat(bvh, origin, direction, t_max, t_min=t_min,
+                           active=active)
     if _on_tpu():
         from glaze_tpu.accel.traverse_pallas import any_hit_pallas
 
@@ -104,6 +152,15 @@ def closest_hit_soa_auto(bvh, origin3, direction3, t_max=None):
             bvh,
             lambda c, cap: closest_hit_soa_auto(c, origin3, direction3, cap),
             t_max)
+    if isinstance(bvh, FatBVH):
+        if _on_tpu():
+            from glaze_tpu.accel.traverse_fat import closest_hit_fat_soa
+
+            return closest_hit_fat_soa(bvh, origin3, direction3, t_max)
+        import jax.numpy as jnp
+
+        return closest_hit_fat(bvh, jnp.stack(origin3, -1),
+                               jnp.stack(direction3, -1), t_max)
     if _on_tpu():
         from glaze_tpu.accel.traverse_pallas import closest_hit_soa
 
@@ -121,6 +178,17 @@ def any_hit_soa_auto(bvh, origin3, direction3, t_max, t_min=1e-3, active=None):
             lambda c, a: any_hit_soa_auto(c, origin3, direction3, t_max,
                                           t_min=t_min, active=a),
             active)
+    if isinstance(bvh, FatBVH):
+        if _on_tpu():
+            from glaze_tpu.accel.traverse_fat import any_hit_fat_soa
+
+            return any_hit_fat_soa(bvh, origin3, direction3, t_max,
+                                   t_min=t_min, active=active)
+        import jax.numpy as jnp
+
+        return any_hit_fat(bvh, jnp.stack(origin3, -1),
+                           jnp.stack(direction3, -1), t_max, t_min=t_min,
+                           active=active)
     if _on_tpu():
         from glaze_tpu.accel.traverse_pallas import any_hit_soa
 
@@ -133,8 +201,9 @@ def any_hit_soa_auto(bvh, origin3, direction3, t_max, t_min=1e-3, active=None):
 
 
 __all__ = [
-    "BVH", "ChunkedBVH", "build_bvh", "build_bvh_chunked",
-    "closest_hit", "any_hit",
+    "BVH", "ChunkedBVH", "FatBVH", "build_bvh", "build_bvh_chunked",
+    "build_bvh_fat", "build_bvh_auto",
+    "closest_hit", "any_hit", "closest_hit_fat", "any_hit_fat",
     "closest_hit_auto", "any_hit_auto",
     "closest_hit_soa_auto", "any_hit_soa_auto",
 ]

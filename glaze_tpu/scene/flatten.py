@@ -554,9 +554,12 @@ def flatten_scene(parsed):
         tri_uv[:, 0], tri_uv[:, 1], tri_uv[:, 2],
     )
 
-    # chunked when the triangle table would exceed the VMEM budget
-    # (the reference's <=512MB BLAS chunking, acceleration.rs:199-277)
-    bvh, order = build_bvh_chunked(tri_pos)
+    # fat-leaf MXU tree on TPU; classic (chunked when beyond the VMEM
+    # budget — the reference's <=512MB BLAS chunking,
+    # acceleration.rs:199-277) elsewhere
+    from glaze_tpu.accel import build_bvh_auto
+
+    bvh, order = build_bvh_auto(tri_pos)
     # the order is leaf-aligned and padded; sentinel entries are padding
     # whose attribute rows must be zeroed (their triangles are degenerate)
     from glaze_tpu.accel.bvh import SENTINEL

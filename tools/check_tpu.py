@@ -26,12 +26,24 @@ def main():
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import RayTraceRenderer
     from glaze_tpu.render import integrator as integ
-    from glaze_tpu.accel.traverse_pallas import closest_hit_soa, any_hit_soa
-    from glaze_tpu.accel.bvh import closest_hit, any_hit
+    from glaze_tpu.accel import FatBVH
 
     parsed = parse("/root/reference/resources/mattest.glaze")
     r = RayTraceRenderer(parsed, width=64, height=64, seed=3)
     scene = r.scene
+    if isinstance(scene.bvh, FatBVH):
+        from glaze_tpu.accel.traverse_fat import (
+            closest_hit_fat_soa as closest_hit_soa,
+            any_hit_fat_soa as any_hit_soa)
+        from glaze_tpu.accel import (closest_hit_fat as _ch,
+                                     any_hit_fat as _ah)
+        closest_hit, any_hit = _ch, _ah
+        print("checking FAT kernels (leaf_size",
+              scene.bvh.leaf_size, ")")
+    else:
+        from glaze_tpu.accel.traverse_pallas import (closest_hit_soa,
+                                                     any_hit_soa)
+        from glaze_tpu.accel.bvh import closest_hit, any_hit
     c2w, s2c = integ.camera_matrices(r.camera, 64, 64)
     px, py = integ.pixel_coords(64, 64)
     ndc_x = -1.0 + 2.0 * (px + 0.5) / 64
