@@ -106,6 +106,51 @@ def main():
             "anyhit_primary_mrays": round(p / t_any / 1e6, 2),
         }
 
+        # The DOMINANT phases (round-2 cost model: bounce drains ~60% of
+        # a launch): re-trace the REAL trace-phase buffers of a
+        # steady-state launch, captured via integrator._capture_sink
+        # (tools/capture_rays.py mechanism), through the production
+        # sorted trace paths. These are the numbers round-over-round
+        # kernel work must move (VERDICT r2 weak #4).
+        px_, py_ = px, py
+        size = jnp.asarray([WIDTH, HEIGHT], jnp.float32)
+        ckw = dict(is_persp=True, direct_only=False,
+                   alpha_rounds=r._alpha_rounds)
+
+        names = []  # filled at trace time (strings can't ride jit outputs)
+
+        def step_capture(scene, st, seed, offset):
+            sink = []
+            integ._capture_sink = sink
+            try:
+                integ.launch_step(scene, st, seed, offset, c2w, s2c,
+                                  px_, py_, size, **ckw)
+            finally:
+                integ._capture_sink = None
+            del names[:]
+            names.extend(rec.pop("phase") for rec in sink)
+            return sink
+
+        sink = jax.jit(step_capture)(
+            r.scene, state, jnp.uint32(rng.integers(0, 2**32)),
+            jnp.asarray(rng.random(2, np.float32)))
+        jax.block_until_ready(sink)
+        bufs = dict(zip(names, sink))
+        bo = bufs["closest"]
+        t_bounce = timed_phase(lambda eps: integ.trace_alpha_sorted(
+            r.scene, tuple(c + eps for c in bo["o"]), bo["d"],
+            alpha_rounds=r._alpha_rounds)["t"])
+        phases["closest_bounce_mrays"] = round(p / t_bounce / 1e6, 2)
+        if "anyhit_nee" in bufs:
+            bs = bufs["anyhit_nee"]
+            t_shadow = timed_phase(
+                lambda eps: integ._any_hit_sorted(
+                    r.scene, tuple(c + eps for c in bs["o"]), bs["d"],
+                    bs["tmax"], bs["active"]).astype(jnp.float32))
+            phases["anyhit_shadow_mrays"] = round(p / t_shadow / 1e6, 2)
+            phases["shadow_active_frac"] = round(
+                float(jnp.mean(bs["active"].astype(jnp.float32))), 3)
+
     rays = p * STEPS
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
