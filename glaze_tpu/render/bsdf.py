@@ -137,7 +137,16 @@ def _alpha(mat, rough):
 
 
 def _oren_nayar_term(wo, wi, roughness):
-    """Oren-Nayar diffuse term (mat_uber_value.rcall:57-76)."""
+    """Oren-Nayar diffuse term (mat_uber_value.rcall:57-76).
+
+    Documented deviation (bug fix): the reference's
+    ``mix(sinto, sinti, step(|wo.z|, |wi.z|))`` picks the sin of the
+    SMALLER incidence angle for sin(alpha) (and mismatched tan(beta)) —
+    the arms of its mix() are swapped relative to the standard
+    Oren-Nayar definition (alpha = larger angle, beta = smaller; pbrt
+    9.4.1). This port keeps the correct orientation: when |wi.z| >=
+    |wo.z|, wo has the larger angle, so sin(alpha)=sin(theta_o) and
+    tan(beta)=sin(theta_i)/|wi.z|. Found by tests/oracle.py."""
     sigma = roughness * 0.5
     sigma2 = sigma * sigma
     a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
