@@ -151,6 +151,51 @@ def main():
             phases["shadow_active_frac"] = round(
                 float(jnp.mean(bs["active"].astype(jnp.float32))), 3)
 
+    # Sharded path on the real device set (n=1 on a single chip — still
+    # proves the GSPMD executable compiles AND runs on TPU hardware,
+    # which the CPU multichip dryrun cannot; VERDICT r2 next #8).
+    # --mesh pix|spp selects the sharding mode; default pix.
+    sharded = {}
+    if os.environ.get("GLAZE_BENCH_SHARDED", "1") == "1":
+        from glaze_tpu.parallel import mesh as pmesh
+
+        mode = "pix"
+        for a in sys.argv[1:]:
+            if a.startswith("--mesh"):
+                mode = (a.split("=", 1)[1] if "=" in a else "pix")
+        try:
+            m = pmesh.make_mesh()
+            n_dev = int(m.devices.size)
+            if mode == "spp":
+                st = pmesh.init_state_spp(WIDTH, HEIGHT, n_dev)
+                fn = pmesh.render_steps_spp_sharded
+            else:
+                st = integ.init_state(WIDTH, HEIGHT)
+                fn = pmesh.render_steps_sharded
+
+            def run_sh(st):
+                shape = (STEPS, n_dev) if mode == "spp" else (STEPS,)
+                seeds = jnp.asarray(
+                    rng.integers(0, 2**32, shape, dtype=np.uint32))
+                offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
+                return fn(r.scene, st, seeds, offs, c2w, s2c, m, **kw)
+
+            st = run_sh(st)  # compile + warm
+            jax.block_until_ready(st.count)
+            t0 = time.perf_counter()
+            st = run_sh(st)
+            jax.block_until_ready(st.count)
+            dt = time.perf_counter() - t0
+            rays_sh = p * STEPS * (n_dev if mode == "spp" else 1)
+            sharded = {
+                "sharded_ok": True,
+                "sharded_mode": mode,
+                "sharded_devices": n_dev,
+                "sharded_mrays": round(rays_sh / dt / 1e6, 3),
+            }
+        except Exception as e:  # never fail the headline number
+            sharded = {"sharded_ok": False, "sharded_error": str(e)[:200]}
+
     rays = p * STEPS
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
@@ -168,6 +213,7 @@ def main():
         "time_to_256spp_s": round(tt256, 1),
         "setup_s": round(setup_s, 1),
         **phases,
+        **sharded,
     }))
 
 

@@ -217,17 +217,23 @@ def import_fbx(path):
     if objects is None:
         raise ValueError("FBX file has no Objects section")
 
-    # connection maps: child id -> parent ids
+    # connection maps: child id -> parent ids; OP keeps the property slot
+    # name (texture -> material attachment point, e.g. "DiffuseColor")
     oo = {}
+    op = []
     if conns is not None:
         for c in conns.find("C"):
             if len(c.props) >= 3 and c.props[0] == "OO":
                 oo.setdefault(c.props[1], []).append(c.props[2])
+            elif len(c.props) >= 4 and c.props[0] == "OP":
+                op.append((c.props[1], c.props[2], str(c.props[3])))
 
     geoms = {}
     models = {}
     fbx_mats = {}
     lights_attr = {}
+    fbx_texs = {}
+    fbx_videos = {}
     for obj in objects.children:
         if not obj.props:
             continue
@@ -240,6 +246,10 @@ def import_fbx(path):
             fbx_mats[oid] = obj
         elif obj.name == "NodeAttribute":
             lights_attr[oid] = obj
+        elif obj.name == "Texture":
+            fbx_texs[oid] = obj
+        elif obj.name == "Video":
+            fbx_videos[oid] = obj
 
     materials = [Material()]
     mat_id_of = {}
@@ -396,6 +406,97 @@ def import_fbx(path):
                 fovx=math.radians(float(fov[0]) if fov else 40.0),
             )))
 
+    # Textures: Texture objects attached to materials via OP connections
+    # (attachment slot names the material channel), image data from a
+    # relative/absolute filename or a Video object's embedded Content
+    # (the reference's assimp path loads these for FBX too,
+    # converter/src/main.rs:411-491).
     textures = [Texture.default()]
+    tex_cache = {}
+
+    def _tex_file(node):
+        for key in ("RelativeFilename", "FileName", "Filename"):
+            fn = node.first(key)
+            if fn is not None and fn.props and isinstance(fn.props[0], str):
+                v = fn.props[0].split("\x00")[0]
+                if v:
+                    return v
+        return None
+
+    def _load_fbx_texture(tex_oid, fmt):
+        from glaze_tpu.core import TextureFormat, TextureInfo
+        from glaze_tpu.utils import get_logger
+
+        key = (tex_oid, fmt)
+        if key in tex_cache:
+            return tex_cache[key]
+        node = fbx_texs[tex_oid]
+        raw = None
+        name = _tex_file(node) or f"tex{tex_oid}"
+        # embedded Video content wins (OO connection video -> texture)
+        for vid, v in fbx_videos.items():
+            if tex_oid in oo.get(vid, ()):
+                content = v.first("Content")
+                if content is not None and content.props and \
+                        isinstance(content.props[0], (bytes, bytearray)):
+                    raw = bytes(content.props[0])
+                name = _tex_file(v) or name
+        import io
+        import os as _os
+
+        from PIL import Image
+
+        try:
+            if raw is not None:
+                img = Image.open(io.BytesIO(raw))
+            else:
+                p = name.replace("\\", "/")
+                if not _os.path.isabs(p):
+                    p = _os.path.join(
+                        _os.path.dirname(_os.path.abspath(path)), p)
+                if not _os.path.exists(p):
+                    # assimp also retries on the basename next to the file
+                    p2 = _os.path.join(
+                        _os.path.dirname(_os.path.abspath(path)),
+                        _os.path.basename(name.replace("\\", "/")))
+                    p = p2 if _os.path.exists(p2) else p
+                img = Image.open(p)
+        except Exception as e:
+            get_logger("converter").warning(
+                "FBX texture %s not loadable: %s", name, e)
+            tex_cache[key] = 0
+            return 0
+        if fmt == TextureFormat.Gray:
+            arr = np.asarray(img.convert("L"), np.uint8)
+        else:
+            arr = np.asarray(img.convert("RGBA"), np.uint8)
+        info = TextureInfo(_os.path.basename(name.replace("\\", "/")),
+                           img.width, img.height, fmt)
+        tid = len(textures)
+        textures.append(Texture(info, [arr]))
+        tex_cache[key] = tid
+        return tid
+
+    from glaze_tpu.core import TextureFormat
+
+    for child, parent, slot in op:
+        if child not in fbx_texs or parent not in mat_id_of:
+            continue
+        mat = materials[mat_id_of[parent]]
+        if "DiffuseColor" in slot:
+            tid = _load_fbx_texture(child, TextureFormat.RgbaSrgb)
+            if tid:
+                mat.diffuse = tid
+                # assimp keeps the multiplier white once a map is bound
+                mat.diffuse_mul = (255, 255, 255)
+        elif "TransparentColor" in slot or "Opacity" in slot:
+            tid = _load_fbx_texture(child, TextureFormat.Gray)
+            if tid:
+                mat.opacity = tid
+        elif "NormalMap" in slot or "Bump" in slot:
+            tid = _load_fbx_texture(child, TextureFormat.Rgba)
+            if tid:
+                mat.normal = tid
+
     return (vertices, meshes, materials, textures, lights, cameras,
             transforms, instances)
