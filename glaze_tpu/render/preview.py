@@ -27,16 +27,36 @@ from glaze_tpu.scene import flatten as fl
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "is_persp"))
+                   static_argnames=("width", "height", "is_persp",
+                                    "alpha_rounds"))
 def flat_pass(scene, cam2world, screen2cam, exposure, *, width, height,
-              is_persp):
-    """One flat-shaded frame: (P', 3) uint8 channels (tile-swizzled)."""
+              is_persp, alpha_rounds=0):
+    """One flat-shaded frame: (P', 3) uint8 channels (tile-swizzled).
+
+    Per-material preview looks (the reference keys one raster pipeline
+    per material, renderer.rs:587-588 + scene.rs:547-549; its fragment
+    set is flat.frag for everything and flat_twosided.frag's
+    opacity-discard for INTERNAL_FLAT_2SIDED — here the one launch
+    additionally styles each family so they are visually distinct):
+
+    * FLAT / INTERNAL_FLAT_2SIDED — unlit diffuse (flat.frag parity)
+    * LAMBERT / UBER / FROSTED — headlight n.v diffuse
+    * METAL / MIRROR — normal-incidence conductor-fresnel tint with a
+      view-dependent highlight
+    * GLASS — fresnel rim (bright silhouette, dark facing)
+    * opacity maps discard like flat_twosided.frag via alpha re-trace
+      rounds (``alpha_rounds`` > 0 when the scene has opacity textures)
+    """
     px, py = integ.pixel_coords(width, height)
     ndc_x = -1.0 + 2.0 * (px + 0.5) / width
     ndc_y = -1.0 + 2.0 * (py + 0.5) / height
     origin, direction = integ.camera_rays(ndc_x, ndc_y, cam2world,
                                           screen2cam, is_persp)
-    hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
+    if alpha_rounds > 0:
+        hit = integ.trace_alpha(scene, origin, direction,
+                                alpha_rounds=alpha_rounds)
+    else:
+        hit = accel.closest_hit_soa_auto(scene.bvh, origin, direction)
     missed = hit["tri"] < 0
 
     surf = integ._interpolate_hit(scene, hit)
@@ -47,11 +67,35 @@ def flat_pass(scene, cam2world, screen2cam, exposure, *, width, height,
     r = r * s[:, fl.MS_DIFFUSE_R]
     g = g * s[:, fl.MS_DIFFUSE_G]
     b = b * s[:, fl.MS_DIFFUSE_B]
-    # headlight shading (flat.frag's lambert term toward the viewer),
-    # two-sided like flat_twosided.frag
+
+    mtype = s[:, fl.MS_MTYPE].astype(jnp.int32)
+    family = s[:, fl.MS_BSDF].astype(jnp.int32)
     ndotv = jnp.abs(vec.dot(surf["shading_normal"], vec.neg(direction)))
-    shade = 0.25 + 0.75 * ndotv
-    r, g, b = r * shade, g * shade, b * shade
+    headlight = 0.25 + 0.75 * ndotv
+
+    # metal/mirror: F0 tint (conductor fresnel at normal incidence)
+    from glaze_tpu.ops import fresnel as fr
+    from glaze_tpu.ops import spectra
+
+    f0 = fr.fresnel_conductor_t(jnp.ones_like(ndotv),
+                                scene.mat_metal_ior[mat_id].T,
+                                scene.mat_metal_fresnel[mat_id].T)
+    f0r, f0g, f0b = spectra.to_rgb_t(f0)
+    glint = 0.35 + 0.65 * jnp.exp(8.0 * (ndotv - 1.0))
+    rim = 0.08 + 0.92 * (1.0 - ndotv) ** 2
+
+    is_unlit = (mtype == 0) | (mtype == 7)  # FLAT / INTERNAL_FLAT_2SIDED
+    is_metal = (family == 1) | (family == 3)  # MIRROR / METAL
+    is_glass = family == 2
+
+    def style(c, f0c):
+        out = jnp.where(is_unlit, c, c * headlight)
+        out = jnp.where(is_metal, jnp.clip(f0c, 0.0, 1.0) * glint, out)
+        return jnp.where(is_glass, rim, out)
+
+    r = style(r, f0r)
+    g = style(g, f0g)
+    b = style(b, f0b)
 
     # skydome background (skydome.frag), black when the scene has no sky
     sr, sg, sb = integ._sky_radiance(scene, direction)
@@ -82,6 +126,11 @@ class FlatPreviewRenderer:
         self.exposure = None
         self._frame = None
         self._request_new_frame = True
+        # opacity-discard parity with flat_twosided.frag (static arg, so
+        # decided once per scene like renderer._refresh_alpha_rounds)
+        has_opacity = bool(
+            np.asarray(scene.mat_tex[:, fl.MT_OPACITY] != 0).any())
+        self._alpha_rounds = 4 if has_opacity else 0
 
     def update_camera(self, camera):
         self.camera = camera
@@ -103,6 +152,7 @@ class FlatPreviewRenderer:
             self.scene, jnp.asarray(c2w), jnp.asarray(s2c), exposure,
             width=self.width, height=self.height,
             is_persp=self.camera.is_perspective,
+            alpha_rounds=self._alpha_rounds,
         )
         self._request_new_frame = False
 

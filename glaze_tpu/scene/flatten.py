@@ -70,7 +70,8 @@ MS_DIFFUSE_R = 5
 MS_DIFFUSE_G = 6
 MS_DIFFUSE_B = 7
 MS_BSDF = 8  # bsdf family as float — rides the mat_scalars row gather
-MS_ROWS = 9
+MS_MTYPE = 9  # raw MaterialType (preview look selection: FLAT vs LAMBERT)
+MS_ROWS = 10
 
 # Rows of the material texture-id table ``mat_tex`` (5, M) int32
 MT_DIFFUSE = 0
@@ -271,6 +272,7 @@ def flatten_materials(materials):
         tex[MT_OPACITY, i] = mat.opacity
         tex[MT_NORMAL, i] = mat.normal
         scalars[MS_BSDF, i] = float(mat.mtype.bsdf_family())
+        scalars[MS_MTYPE, i] = float(int(mat.mtype))
         metal_ior[:, i] = ior
         metal_fresnel[:, i] = ior * ior + k * k
     return {

@@ -184,3 +184,15 @@ def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP):
                       for c in r._state.accum], -1)
     count = np.asarray(jax.device_get(r._state.count))
     return accum, count, img
+
+
+def render_preview_golden():
+    """Renders the flat-preview frame of the golden scene (per-material
+    styled looks, render/preview.py); returns (H, W, 3) uint8."""
+    from glaze_tpu.render.preview import FlatPreviewRenderer
+    from glaze_tpu.scene import flatten_scene
+
+    scene, camera, host = flatten_scene(MatRowScene())
+    r = FlatPreviewRenderer(scene, camera=camera, width=GOLDEN_W,
+                            height=GOLDEN_H, host=host)
+    return r.get_image()

@@ -34,6 +34,12 @@ def main():
 
     Image.fromarray(img).save(out.replace(".npz", ".png"))
 
+    frame = gs.render_preview_golden()
+    pout = os.path.join(os.path.dirname(out), "preview.npz")
+    np.savez_compressed(pout, frame=frame)
+    Image.fromarray(frame).save(pout.replace(".npz", ".png"))
+    print(f"wrote {pout}: frame {frame.shape}, mean {frame.mean():.1f}")
+
 
 if __name__ == "__main__":
     main()
