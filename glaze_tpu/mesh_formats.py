@@ -183,12 +183,11 @@ def _dedup_vertices(vert_iter):
 
 def _read_stl(data):
     """Returns (normals (F,3), tris (F,3,3)) from ascii or binary STL."""
-    # ascii STLs start with "solid" AND contain "facet" early; binary files
-    # may also start with "solid" in the comment header (the classic STL
-    # ambiguity), so both signals are required before choosing ascii
-    ascii_looking = (data.lstrip()[:5] == b"solid"
-                     and b"facet" in data[:4096])
-    if len(data) >= 84 and not ascii_looking:
+    # binary detection first, by the size formula (84 + 50*count): a
+    # binary file whose 80-byte comment header happens to start with
+    # "solid" and mention "facet" (the classic STL ambiguity) must still
+    # import as binary, so the text heuristic is only a fallback
+    if len(data) >= 84:
         count = struct.unpack_from("<I", data, 80)[0]
         # tolerate trailing bytes (some CAD tools append metadata)
         if count > 0 and 84 + 50 * count <= len(data):

@@ -363,9 +363,8 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
     o, d = tuple(s[0:3]), tuple(s[3:6])
     cap = s[6] if t_max is not None else None
     hit = trace_alpha(scene, o, d, cap, alpha_rounds)
-    t, tri, u, v = _perm_rows(inv, [hit["t"], hit["tri"], hit["u"],
-                                    hit["v"]])
-    return {"t": t, "tri": tri, "u": u, "v": v}
+    keys = list(hit)  # keys drive the unsort: new hit fields ride along
+    return dict(zip(keys, _perm_rows(inv, [hit[k] for k in keys])))
 
 
 def _any_hit_sorted(scene, origin, direction, t_max, active):
@@ -377,7 +376,8 @@ def _any_hit_sorted(scene, origin, direction, t_max, active):
     cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            origin[0].shape)
     s = _perm_rows(perm, list(origin) + list(direction) + [cap, active])
-    hit = accel.any_hit_soa_auto(scene.bvh, tuple(s[0:3]), tuple(s[3:6]),
+    tree = scene.bvh_any if scene.bvh_any is not None else scene.bvh
+    hit = accel.any_hit_soa_auto(tree, tuple(s[0:3]), tuple(s[3:6]),
                                  s[6], active=s[7])
     return hit[inv]
 

@@ -466,3 +466,14 @@ endsolid t
     out2 = tmp_path / "tri2.glaze"
     convert(str(stl2), str(out2))
     assert len(parse(str(out2)).vertices()) == 3
+
+    # the classic ambiguity: a BINARY stl whose 80-byte comment header
+    # starts with "solid" and mentions "facet" must still import as
+    # binary (size-formula detection wins over the text heuristic)
+    stl3 = tmp_path / "tri3.stl"
+    header = b"solid exported facet mesh".ljust(80, b" ")
+    with open(stl3, "wb") as f:
+        f.write(header + struct.pack("<I", 1) + payload)
+    out3 = tmp_path / "tri3.glaze"
+    convert(str(stl3), str(out3))
+    assert len(parse(str(out3)).vertices()) == 3
