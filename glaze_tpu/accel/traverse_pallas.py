@@ -43,9 +43,16 @@ LANES = 128
 # rows are DMA'd from HBM per leaf phase — so node budget is generous and
 # triangles become resident only when both fit together. Scenes whose
 # NODE slab exceeds the budget should be CHUNKED (build_bvh_chunked).
-NODES_VMEM_BUDGET = 12 * 1024 * 1024
-TRI_VMEM_BUDGET = 12 * 1024 * 1024
-COMBINED_VMEM_BUDGET = 14 * 1024 * 1024
+# env overrides exist so tools/check_tpu.py can force the streamed
+# (tri_resident=False) kernels on a scene that normally fits, and diff
+# them against the resident kernels ON HARDWARE (Mosaic DMA/semaphore
+# scheduling is not exercised by interpret-mode CPU tests)
+NODES_VMEM_BUDGET = int(os.environ.get("GLAZE_NODES_VMEM_BUDGET",
+                                       12 * 1024 * 1024))
+TRI_VMEM_BUDGET = int(os.environ.get("GLAZE_TRI_VMEM_BUDGET",
+                                     12 * 1024 * 1024))
+COMBINED_VMEM_BUDGET = int(os.environ.get("GLAZE_COMBINED_VMEM_BUDGET",
+                                          14 * 1024 * 1024))
 
 def _load_fields(table_ref, item, per_row, stride):
     """Loads one packed item; returns an (8, 128) value whose lane f holds

@@ -44,6 +44,14 @@ def main():
         from glaze_tpu.accel.traverse_pallas import (closest_hit_soa,
                                                      any_hit_soa)
         from glaze_tpu.accel.bvh import closest_hit, any_hit
+    # in hybrid mode the classic any-hit tree serves the NEE shadow
+    # phase — check its Pallas kernel against the XLA walker too
+    any_tree = scene.bvh
+    if scene.bvh_any is not None:
+        from glaze_tpu.accel.traverse_pallas import (
+            any_hit_soa as any_hit_soa_classic)
+        from glaze_tpu.accel.bvh import any_hit as any_hit_classic
+        print("hybrid: classic any-hit tree present")
     c2w, s2c = integ.camera_matrices(r.camera, 64, 64)
     px, py = integ.pixel_coords(64, 64)
     ndc_x = -1.0 + 2.0 * (px + 0.5) / 64
@@ -84,6 +92,78 @@ def main():
               f"(pallas {ap.mean():.3f} ref {ar.mean():.3f})")
         if (ap != ar).mean() > 0.001:
             failed = True
+        if scene.bvh_any is not None:
+            ap2 = np.asarray(any_hit_soa_classic(scene.bvh_any, o3, d3, 2.0))
+            ar2 = np.asarray(any_hit_classic(
+                scene.bvh_any, jnp.asarray(O), jnp.asarray(D), 2.0))
+            print(f"{name} anyhit(hybrid classic): mismatch "
+                  f"{(ap2 != ar2).mean():.5f}")
+            if (ap2 != ar2).mean() > 0.001:
+                failed = True
+    # streamed-mode check (classic kernels only): force tri_resident=False
+    # via the budget env override in a SUBPROCESS and diff against the
+    # resident results above. Real Mosaic DMA/semaphore scheduling in the
+    # double-buffered drain is exercised only here — interpret-mode CPU
+    # tests compile none of it. In hybrid mode the classic tree is
+    # scene.bvh_any; only a fat-everything run has no classic tree.
+    classic_tree = (scene.bvh_any if scene.bvh_any is not None
+                    else (None if isinstance(scene.bvh, FatBVH)
+                          else scene.bvh))
+    if classic_tree is not None:
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            rays = os.path.join(td, "rays.npz")
+            outp = os.path.join(td, "streamed.npz")
+            np.savez(rays, om=om, dm=dm, bo=bo, bd=bd)
+            code = (
+                "import sys, numpy as np, jax.numpy as jnp;"
+                f"sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))});"
+                "from glaze_tpu.parser import parse;"
+                "from glaze_tpu.render.renderer import RayTraceRenderer;"
+                "from glaze_tpu.accel.traverse_pallas import closest_hit_soa, any_hit_soa;"
+                "r = RayTraceRenderer(parse('/root/reference/resources/mattest.glaze'), width=64, height=64, seed=3);"
+                f"z = np.load({repr(rays)}); out = {{}};\n"
+                "for name in ('primary', 'random'):\n"
+                "    O, D = (z['om'], z['dm']) if name == 'primary' else (z['bo'], z['bd'])\n"
+                "    o3 = tuple(jnp.asarray(O[:, i]) for i in range(3))\n"
+                "    d3 = tuple(jnp.asarray(D[:, i]) for i in range(3))\n"
+                "    h = closest_hit_soa(r.scene.bvh, o3, d3)\n"
+                "    out[name + '_t'] = np.asarray(h['t'])\n"
+                "    out[name + '_tri'] = np.asarray(h['tri'])\n"
+                "    out[name + '_any'] = np.asarray(any_hit_soa(r.scene.bvh, o3, d3, 2.0))\n"
+                f"np.savez({repr(outp)}, **out)\n"
+            )
+            env = dict(os.environ, GLAZE_COMBINED_VMEM_BUDGET="1",
+                       GLAZE_TREE="classic")
+            res = subprocess.run([sys.executable, "-c", code], env=env,
+                                 capture_output=True, text=True, timeout=900)
+            if res.returncode != 0:
+                print("streamed subprocess FAILED:\n" + res.stderr[-2000:])
+                failed = True
+            else:
+                s = np.load(outp)
+                for name, (O, D) in {"primary": (om, dm),
+                                     "random": (bo, bd)}.items():
+                    o3 = tuple(jnp.asarray(O[:, i]) for i in range(3))
+                    d3 = tuple(jnp.asarray(D[:, i]) for i in range(3))
+                    from glaze_tpu.accel.traverse_pallas import (
+                        closest_hit_soa as _cls_closest,
+                        any_hit_soa as _cls_any)
+                    h = _cls_closest(classic_tree, o3, d3)
+                    bad_t = ~np.isclose(
+                        np.nan_to_num(s[name + "_t"], posinf=1e30),
+                        np.nan_to_num(np.asarray(h["t"]), posinf=1e30),
+                        rtol=1e-4, atol=1e-5)
+                    any_m = (s[name + "_any"]
+                             != np.asarray(_cls_any(classic_tree, o3, d3,
+                                                    2.0)))
+                    print(f"{name} streamed-vs-resident: t mismatch "
+                          f"{bad_t.mean():.5f}  anyhit {any_m.mean():.5f}")
+                    if bad_t.mean() > 0.001 or any_m.mean() > 0.001:
+                        failed = True
+
     # full-pipeline render check: brightness + spatial structure (the
     # carrier-corruption failure mode renders uniform speckle that no
     # kernel-level check catches)
