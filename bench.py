@@ -97,10 +97,12 @@ def main():
                 t = min(t, time.perf_counter() - t0)
             return t
 
+        any_tree = (r.scene.bvh_any if r.scene.bvh_any is not None
+                    else r.scene.bvh)
         t_closest = timed_phase(lambda eps: accel.closest_hit_soa_auto(
             r.scene.bvh, tuple(c + eps for c in o), d)["t"])
         t_any = timed_phase(lambda eps: accel.any_hit_soa_auto(
-            r.scene.bvh, tuple(c + eps for c in o), d, 100.0))
+            any_tree, tuple(c + eps for c in o), d, 100.0))
         phases = {
             "closest_primary_mrays": round(p / t_closest / 1e6, 2),
             "anyhit_primary_mrays": round(p / t_any / 1e6, 2),
@@ -172,20 +174,25 @@ def main():
             else:
                 st = integ.init_state(WIDTH, HEIGHT)
                 fn = pmesh.render_steps_sharded
+            # place the replicated scene ONCE (an unconditional per-call
+            # device_put measured ~250 ms/call, tools/bench_sharded_gap)
+            scene_sh = pmesh.place_replicated(r.scene, m)
 
             def run_sh(st):
                 shape = (STEPS, n_dev) if mode == "spp" else (STEPS,)
                 seeds = jnp.asarray(
                     rng.integers(0, 2**32, shape, dtype=np.uint32))
                 offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
-                return fn(r.scene, st, seeds, offs, c2w, s2c, m, **kw)
+                return fn(scene_sh, st, seeds, offs, c2w, s2c, m, **kw)
 
             st = run_sh(st)  # compile + warm
             jax.block_until_ready(st.count)
-            t0 = time.perf_counter()
-            st = run_sh(st)
-            jax.block_until_ready(st.count)
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                st = run_sh(st)
+                jax.block_until_ready(st.count)
+                dt = min(dt, time.perf_counter() - t0)
             rays_sh = p * STEPS * (n_dev if mode == "spp" else 1)
             sharded = {
                 "sharded_ok": True,

@@ -30,31 +30,63 @@ from glaze_tpu.accel.fat import (
     any_hit_fat,
 )
 
-# Fat-leaf MXU traversal (accel/fat.py): opt-in while the drain engine
-# is tuned (GLAZE_FATLEAF=1; the v1 per-pair drain measured slower than
-# classic+Morton on the bench — see tools/bench_fat_ab.py). The classic
-# LEAF_SIZE=8 VPU path stays the default everywhere.
+# Tree selection. The fat-leaf MXU drain was measured to TIE the classic
+# VPU drain on the real workload, so CLASSIC is the default everywhere.
+# The full evidence chain (Sponza-class 1080p bench, captured bounce
+# rays, tools/bench_fat_ab.py + bench.py r3):
+#   * 512k MOST-coherent rays (head of the Morton sort): fat 138 ms vs
+#     classic 171 ms — the subset that motivated a hybrid attempt.
+#   * FULL 2.09M-ray bounce mix: fat 864.8 ms vs classic 864.9 — a tie;
+#     the fat win exists only on the coherent head.
+#   * e2e hybrid launch 1932 ms vs classic 1801 (bounce-phase counter
+#     1.59 vs 1.81 Mrays/s) — a 7% net LOSS.
+#   * why: at K=16 the (16,4T)@(16,128) contraction runs at ~0.19
+#     cy/tri-lane-test — the VPU drain's measured 0.18. In-situ pricing
+#     (GLAZE_FAT_DOT2 epsilon-dot) shows the dot dominating the drain,
+#     and its cost scales with OUTPUT SIZE: batching Q slabs into one
+#     wide dot is 3x slower (413 ms), DEFAULT precision loses hits and
+#     inflates traversal (235 ms). No MXU formulation lever is left:
+#     M=4T outputs and K=16 features are intrinsic to Moller-Trumbore.
+# GLAZE_TREE=classic|fat|hybrid overrides for re-testing on future
+# toolchains; legacy GLAZE_FATLEAF=0/1 maps to classic/fat.
 _FAT_NODES_BUDGET = 12 * 1024 * 1024
 
 
+def tree_mode() -> str:
+    v = os.environ.get("GLAZE_TREE", "")
+    if v in ("classic", "fat", "hybrid"):
+        return v
+    legacy = os.environ.get("GLAZE_FATLEAF", "")
+    if legacy == "1":
+        return "fat"
+    if legacy == "0":
+        return "classic"
+    return "classic"
+
+
 def use_fat_default() -> bool:
-    v = os.environ.get("GLAZE_FATLEAF", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    return False
+    return tree_mode() in ("fat", "hybrid")
 
 
 def build_bvh_auto(tri_verts, leaf_size=None):
-    """Builds the traversal structure the current backend prefers:
-    FatBVH (MXU drains) on TPU, classic (possibly chunked) elsewhere.
-    Falls back to classic chunking when the fat node slab would exceed
-    the VMEM budget. Returns (bvh, tri_order) [build_bvh contract]."""
-    if use_fat_default():
+    """Builds the traversal structure(s) the current backend prefers.
+
+    Returns ``(bvh, tri_order, bvh_any)``: ``bvh`` serves closest-hit
+    traces and defines the triangle order [build_bvh contract];
+    ``bvh_any`` is the classic any-hit tree in hybrid mode, else None.
+    Falls back to classic-only when the fat node slab would exceed the
+    VMEM budget."""
+    mode = tree_mode()
+    if mode in ("fat", "hybrid"):
         bvh, order = build_bvh_fat(tri_verts, leaf_size)
         slab = (bvh.nodes16.shape[0] // 8) * 128 * 4
         if slab <= _FAT_NODES_BUDGET:
-            return bvh, order
-    return build_bvh_chunked(tri_verts)
+            if mode == "hybrid":
+                any_tree, _ = build_bvh_chunked(tri_verts)
+                return bvh, order, any_tree
+            return bvh, order, None
+    b, order = build_bvh_chunked(tri_verts)
+    return b, order, None
 
 
 def _on_tpu() -> bool:

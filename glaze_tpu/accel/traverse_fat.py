@@ -63,8 +63,25 @@ QUEUE_MAX_ANY_FAT = int(os.environ.get("GLAZE_FAT_QUEUE_MAX_ANY", "8"))
 _DOT_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,  # timing A/B only: loses hits
 }[os.environ.get("GLAZE_FAT_PRECISION", "highest")]
 _DN = (((0,), (0,)), ((), ()))
+# measurement knob: skip winner u/v/tri extraction in the closest resolve
+# (output WRONG — timing only; see _pair)
+_DEFER_UV = os.environ.get("GLAZE_FAT_DEFER_UV", "0") == "1"
+# batched drain: one (F, 4T*Q) @ (F, 128) dot per busy row per drain
+# call instead of Q separate (F, 4T) dots (see drain_batched). Measured
+# 3x SLOWER on the bench bounce phase (413 vs 138 ms / 512k rays): the
+# dot's cost scales with its OUTPUT size, not a per-dot fixed overhead,
+# so widening the dot buys nothing and loses VMEM locality. Kept for
+# the record + re-testing on future toolchains.
+_BATCHED = os.environ.get("GLAZE_FAT_BATCHED", "0") == "1"
+# measurement knob: add an epsilon-weighted second dot per pair (timing)
+_DOT2 = {
+    "": None,
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("GLAZE_FAT_DOT2", "")]
 
 
 def _walk_and_drain(kind, oct_ref, nodes_hbm, leafmat_hbm,
@@ -110,12 +127,6 @@ def _walk_and_drain(kind, oct_ref, nodes_hbm, leafmat_hbm,
     lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)
 
-    def _queue_rows(qc, hcv):
-        has = qc > hcv
-        lm = jnp.take_along_axis(queue_ref[:], hcv % LANES, axis=1)
-        lidx = jnp.clip(jnp.where(has, lm, 0), 0, n_leaves - 1)
-        return has, lidx
-
     def _issue(lidx_r, bank):
         pltpu.make_async_copy(
             leafmat_hbm.at[pl.ds(lidx_r * F, F), :],
@@ -123,21 +134,10 @@ def _walk_and_drain(kind, oct_ref, nodes_hbm, leafmat_hbm,
             mat_sems.at[bank],
         ).start()
 
-    def _pair(r, bank):
-        """Drain one (row, leaf) pair: dot, resolve, update. ``r`` is a
-        Python int (the drain row loop is unrolled), so the feature
-        slice is static. The leaf's base tri index rides in slab row 10
-        (leaf_matrices), so no queue-ring extraction happens here."""
-        pltpu.make_async_copy(
-            leafmat_hbm.at[pl.ds(0, F), :],
-            mat_ref.at[pl.ds(bank * F, F), :],
-            mat_sems.at[bank],
-        ).wait()
-        mat = mat_ref[pl.ds(bank * F, F), :]
-        feat = feat_ref[r * F:(r + 1) * F, :]
-        out = jax.lax.dot_general(mat, feat, _DN,
-                                  precision=_DOT_PRECISION,
-                                  preferred_element_type=jnp.float32)
+    def _resolve(r, out, tri_base):
+        """Resolve one (row, leaf) test block ``out`` (4T, 128) against
+        row ``r``'s best-hit state. ``r`` is a Python int (the drain row
+        loop is unrolled), so the ref slices are static."""
         det = out[0 * T:1 * T]
         ud = out[1 * T:2 * T]
         vd = out[2 * T:3 * T]
@@ -152,22 +152,27 @@ def _walk_and_drain(kind, oct_ref, nodes_hbm, leafmat_hbm,
             valid = base_valid & (t > T_MIN) & (t < tb)
             tt = jnp.where(valid, t, jnp.inf)
             tmin = jnp.min(tt, axis=0, keepdims=True)
-            widx = jnp.min(jnp.where(tt <= tmin, iota_t, T), axis=0,
-                           keepdims=True)
-            onehot = iota_t == widx
-            uw = jnp.sum(jnp.where(onehot, ud * inv, 0.0), axis=0,
-                         keepdims=True)
-            vw = jnp.sum(jnp.where(onehot, vd * inv, 0.0), axis=0,
-                         keepdims=True)
             better = tmin < tb
-            tri_base = mat[10, 0].astype(jnp.int32)
             t_ref[pl.ds(r, 1), :] = jnp.where(better, tmin, tb)
-            tri_out_ref[pl.ds(r, 1), :] = jnp.where(
-                better, tri_base + widx, tri_out_ref[pl.ds(r, 1), :])
-            u_ref[pl.ds(r, 1), :] = jnp.where(better, uw,
-                                              u_ref[pl.ds(r, 1), :])
-            v_ref[pl.ds(r, 1), :] = jnp.where(better, vw,
-                                              v_ref[pl.ds(r, 1), :])
+            if _DEFER_UV:
+                # measurement mode: skip the winner extraction (widx /
+                # onehot / u / v) to price it; tri is WRONG (base only)
+                tri_out_ref[pl.ds(r, 1), :] = jnp.where(
+                    better, tri_base, tri_out_ref[pl.ds(r, 1), :])
+            else:
+                widx = jnp.min(jnp.where(tt <= tmin, iota_t, T), axis=0,
+                               keepdims=True)
+                onehot = iota_t == widx
+                uw = jnp.sum(jnp.where(onehot, ud * inv, 0.0), axis=0,
+                             keepdims=True)
+                vw = jnp.sum(jnp.where(onehot, vd * inv, 0.0), axis=0,
+                             keepdims=True)
+                tri_out_ref[pl.ds(r, 1), :] = jnp.where(
+                    better, tri_base + widx, tri_out_ref[pl.ds(r, 1), :])
+                u_ref[pl.ds(r, 1), :] = jnp.where(better, uw,
+                                                  u_ref[pl.ds(r, 1), :])
+                v_ref[pl.ds(r, 1), :] = jnp.where(better, vw,
+                                                  v_ref[pl.ds(r, 1), :])
         else:
             cap = tmax_ref[pl.ds(r, 1), :]
             valid = base_valid & (t > t_min) & (t < cap)
@@ -175,42 +180,112 @@ def _walk_and_drain(kind, oct_ref, nodes_hbm, leafmat_hbm,
             hit_ref[pl.ds(r, 1), :] = jnp.maximum(
                 hit_ref[pl.ds(r, 1), :], new)
 
-    def _interrogate(qc_, hc_, bankset):
-        """Extracts this iteration's busy flags and issues every busy
-        row's slab DMA into bank set ``bankset`` (0/1); leaf-id scalars
-        are only extracted for busy rows. Returns the busy mask."""
-        has, lidx = _queue_rows(qc_, hc_)
-        hasv = has.astype(jnp.int32)
-        hs = [hasv[r, 0] for r in range(PACKET_ROWS)]
+    def _pair(r, bank):
+        """Drain one (row, leaf) pair: wait slab DMA, dot, resolve. The
+        leaf's base tri index rides in slab row 10 (leaf_matrices), so
+        no queue-ring extraction happens here."""
+        pltpu.make_async_copy(
+            leafmat_hbm.at[pl.ds(0, F), :],
+            mat_ref.at[pl.ds(bank * F, F), :],
+            mat_sems.at[bank],
+        ).wait()
+        mat = mat_ref[pl.ds(bank * F, F), :]
+        feat = feat_ref[r * F:(r + 1) * F, :]
+        out = jax.lax.dot_general(mat, feat, _DN,
+                                  precision=_DOT_PRECISION,
+                                  preferred_element_type=jnp.float32)
+        if _DOT2 is not None:
+            # measurement knob: a second, epsilon-weighted dot prices the
+            # marginal in-situ cost of one dot at the given precision
+            out = out + 1e-35 * jax.lax.dot_general(
+                mat, feat, _DN, precision=_DOT2,
+                preferred_element_type=jnp.float32)
+        _resolve(r, out, mat[10, 0].astype(jnp.int32))
+
+    def drain_batched(qc, hc):
+        # ONE dot per busy row per drain call: the row's queued slabs
+        # are DMA'd side-by-side into a (F, 4T*Q) bank and tested with a
+        # single (F, 4T*Q) @ (F, 128) contraction. In-situ pricing (the
+        # _DOT2 epsilon-dot experiment) showed the per-dot cost, not the
+        # resolve or queue bookkeeping, dominates the drain — batching
+        # amortizes the MXU pass overhead over up to Q leaves.
+        W = 4 * T
+        d = qc - hc
+        cnt = [d[r, 0] for r in range(PACKET_ROWS)]
+        for q in range(queue_max):
+            idsq = jnp.take_along_axis(queue_ref[:], (hc + q) % LANES,
+                                       axis=1)
+            for r in range(PACKET_ROWS):
+                @pl.when(cnt[r] > q)
+                def _(r=r, q=q, idsq=idsq):
+                    pltpu.make_async_copy(
+                        leafmat_hbm.at[pl.ds(idsq[r, 0] * F, F), :],
+                        mat_ref.at[pl.ds(r * F, F), pl.ds(q * W, W)],
+                        mat_sems.at[r * queue_max + q],
+                    ).start()
         for r in range(PACKET_ROWS):
-            @pl.when(hs[r] > 0)
+            @pl.when(cnt[r] > 0)
             def _(r=r):
-                _issue(lidx[r, 0], bankset * PACKET_ROWS + r)
-        return hasv
+                for q in range(queue_max):
+                    @pl.when(cnt[r] > q)
+                    def _(q=q):
+                        pltpu.make_async_copy(
+                            leafmat_hbm.at[pl.ds(0, F), :],
+                            mat_ref.at[pl.ds(r * F, F), pl.ds(q * W, W)],
+                            mat_sems.at[r * queue_max + q],
+                        ).wait()
+                mat = mat_ref[pl.ds(r * F, F), :]
+                feat = feat_ref[r * F:(r + 1) * F, :]
+                out = jax.lax.dot_general(
+                    mat, feat, _DN, precision=_DOT_PRECISION,
+                    preferred_element_type=jnp.float32)
+                for q in range(queue_max):
+                    @pl.when(cnt[r] > q)
+                    def _(q=q):
+                        # stale (un-DMA'd) slots are never resolved, and
+                        # their garbage affects only their own out rows
+                        _resolve(r, out[q * W:(q + 1) * W],
+                                 mat[10, q * W].astype(jnp.int32))
 
     def drain(qc, hc):
-        # software-pipelined: iteration i+1's queue interrogation + slab
-        # DMAs happen (other bank set) before iteration i's pairs compute,
-        # so the HBM copy latency is paid once per drain CALL, and each
-        # iteration interrogates the queue ring exactly once
-        has0 = _interrogate(qc, hc, 0)
+        if _BATCHED:
+            drain_batched(qc, hc)
+            return
+        # statically-unrolled round-robin drain: per-row pair counts are
+        # extracted ONCE as scalars (the old design re-interrogated the
+        # (16,128) queue ring with a vector gather + 16 vector->scalar
+        # extracts and paid a vector-reduce while_loop cond on EVERY
+        # pair round — measured ~900 cy/pair of overhead). Rounds are
+        # unrolled to queue_max with scalar predicates; round i+1's slab
+        # DMAs (other bank set) are issued before round i's pairs
+        # compute, so HBM copy latency is paid once per drain call and
+        # rows still pipeline against each other within a round.
+        d = qc - hc
+        cnt = [d[r, 0] for r in range(PACKET_ROWS)]
 
-        def cond(c):
-            _, hc_, _ = c
-            return jnp.any(qc > hc_)
+        def ids_at(i):
+            # row-uniform lane gather: every lane of row r holds
+            # queue[r, (hc_r + i) % 128], so the lane-0 extract is exact
+            return jnp.take_along_axis(queue_ref[:], (hc + i) % LANES,
+                                       axis=1)
 
-        def body(c):
-            parity, hc_, hasv = c
-            hc_n = jnp.where(hasv > 0, hc_ + 1, hc_)
-            has_n = _interrogate(qc, hc_n, (parity + 1) % 2)
-            hs = [hasv[r, 0] for r in range(PACKET_ROWS)]
+        ids0 = ids_at(0)
+        for r in range(PACKET_ROWS):
+            @pl.when(cnt[r] > 0)
+            def _(r=r):
+                _issue(ids0[r, 0], r)
+        for i in range(queue_max):
+            bank = i % 2
+            if i + 1 < queue_max:
+                nxt = ids_at(i + 1)
+                for r in range(PACKET_ROWS):
+                    @pl.when(cnt[r] > i + 1)
+                    def _(r=r):
+                        _issue(nxt[r, 0], ((i + 1) % 2) * PACKET_ROWS + r)
             for r in range(PACKET_ROWS):
-                @pl.when(hs[r] > 0)
-                def _(r=r):
-                    _pair(r, (parity % 2) * PACKET_ROWS + r)
-            return (parity + 1) % 2, hc_n, has_n
-
-        jax.lax.while_loop(cond, body, (jnp.int32(0), hc, has0))
+                @pl.when(cnt[r] > i)
+                def _(r=r, bank=bank):
+                    _pair(r, bank * PACKET_ROWS + r)
 
     def cond(c):
         p, qc, hc = c
@@ -303,15 +378,24 @@ def _anyhit_kernel_fat(oct_ref, nodes_hbm, leafmat_hbm,
         queue_max=QUEUE_MAX_ANY_FAT)
 
 
-def _fat_scratch(nodes16, leaf_size):
+def _fat_scratch(nodes16, leaf_size, queue_max):
+    if _BATCHED:
+        # one (F, 4T*Q) bank per row (side-by-side slabs, one dot each)
+        mat_bank = pltpu.VMEM(
+            (PACKET_ROWS * F, 4 * leaf_size * queue_max), jnp.float32)
+        mat_sems = pltpu.SemaphoreType.DMA((PACKET_ROWS * queue_max,))
+    else:
+        mat_bank = pltpu.VMEM(
+            (2 * PACKET_ROWS * F, 4 * leaf_size), jnp.float32)
+        mat_sems = pltpu.SemaphoreType.DMA((2 * PACKET_ROWS,))
     return [
         pltpu.VMEM((nodes16.shape[0] // 8, 128), jnp.float32),  # node slab
         pltpu.VMEM((PACKET_ROWS, LANES), jnp.float32),  # ntile
         pltpu.VMEM((PACKET_ROWS * F, LANES), jnp.float32),  # features
-        pltpu.VMEM((2 * PACKET_ROWS * F, 4 * leaf_size), jnp.float32),  # banks
+        mat_bank,
         pltpu.VMEM((PACKET_ROWS, LANES), jnp.int32),  # queue ring
         pltpu.SemaphoreType.DMA((2,)),  # node table copy
-        pltpu.SemaphoreType.DMA((2 * PACKET_ROWS,)),  # mat banks
+        mat_sems,
     ]
 
 
@@ -329,7 +413,7 @@ def _closest_call_fat(nodes16, leafmat, ox, oy, oz, dx, dy, dz, tmax, *,
         in_specs=[_hbm(nodes16), _hbm(leafmat)]
         + [_ray_blk() for _ in range(7)],
         out_specs=[_ray_blk() for _ in range(4)],
-        scratch_shapes=_fat_scratch(nodes16, leaf_size),
+        scratch_shapes=_fat_scratch(nodes16, leaf_size, QUEUE_MAX_FAT),
     )
     return pl.pallas_call(
         kernel,
@@ -361,7 +445,7 @@ def _anyhit_call_fat(nodes16, leafmat, ox, oy, oz, dx, dy, dz, tmax,
         in_specs=[_hbm(nodes16), _hbm(leafmat)]
         + [_ray_blk() for _ in range(8)],
         out_specs=_ray_blk(),
-        scratch_shapes=_fat_scratch(nodes16, leaf_size),
+        scratch_shapes=_fat_scratch(nodes16, leaf_size, QUEUE_MAX_ANY_FAT),
     )
     return pl.pallas_call(
         kernel,

@@ -83,7 +83,10 @@ MT_NORMAL = 4
 
 _SCENE_FIELDS = (
     # geometry + BVH (triangles in BVH order)
-    "bvh",  # BVH
+    "bvh",  # BVH | FatBVH | ChunkedBVH: every closest-hit trace
+    "bvh_any",  # classic BVH for any-hit traces in hybrid mode, else
+    #             None (any-hit returns only booleans, so its tree may
+    #             order triangles differently with no id remapping)
     "tri_attr",  # (N, 33) fused shading attributes, see ATTR_*
     "tri_material",  # (N,) int32
     # geometry in original (pre-BVH) order, for area-light sampling
@@ -556,12 +559,14 @@ def flatten_scene(parsed):
         tri_uv[:, 0], tri_uv[:, 1], tri_uv[:, 2],
     )
 
-    # fat-leaf MXU tree on TPU; classic (chunked when beyond the VMEM
+    # hybrid trees on TPU (fat-leaf MXU tree for closest hit + classic
+    # tree for any-hit — each wins its phase on the bench, see
+    # accel/__init__.py); classic only (chunked when beyond the VMEM
     # budget — the reference's <=512MB BLAS chunking,
     # acceleration.rs:199-277) elsewhere
     from glaze_tpu.accel import build_bvh_auto
 
-    bvh, order = build_bvh_auto(tri_pos)
+    bvh, order, bvh_any = build_bvh_auto(tri_pos)
     # the order is leaf-aligned and padded; sentinel entries are padding
     # whose attribute rows must be zeroed (their triangles are degenerate)
     from glaze_tpu.accel.bvh import SENTINEL
@@ -613,6 +618,7 @@ def flatten_scene(parsed):
 
     dev = DeviceScene(
         bvh=bvh,
+        bvh_any=bvh_any,
         # static specialization sets from the HOST copies: computing them
         # in __init__ would np.asarray device arrays, and the FIRST
         # device->host transfer through the axon tunnel costs ~60-130 s of

@@ -170,3 +170,36 @@ def test_fat_scene_renders_like_classic():
         np.testing.assert_allclose(np.asarray(a.accum[i]),
                                    np.asarray(b.accum[i]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_scene_renders_like_classic():
+    """GLAZE_TREE=hybrid builds a fat closest tree + a classic any-hit
+    tree (accel.build_bvh_auto) and accumulates the same radiance."""
+    import os
+
+    import __graft_entry__ as graft
+    from glaze_tpu.render import integrator as integ
+
+    scene, camera = graft._tiny_scene(16, 16)
+    assert scene.bvh_any is None  # CPU default is classic-only
+    os.environ["GLAZE_TREE"] = "hybrid"
+    try:
+        scene_h, camera_h = graft._tiny_scene(16, 16)
+    finally:
+        del os.environ["GLAZE_TREE"]
+    assert isinstance(scene_h.bvh, FatBVH)
+    assert scene_h.bvh_any is not None
+    assert not isinstance(scene_h.bvh_any, FatBVH)
+
+    c2w, s2c = integ.camera_matrices(camera, 16, 16)
+    seeds = jnp.asarray(np.asarray([3, 5], np.uint32))
+    offsets = jnp.asarray(np.full((2, 2), 0.5, np.float32))
+    kw = dict(width=16, height=16, is_persp=True, direct_only=False, steps=2)
+    a = integ.render_steps(scene, integ.init_state(16, 16), seeds, offsets,
+                           jnp.asarray(c2w), jnp.asarray(s2c), **kw)
+    b = integ.render_steps(scene_h, integ.init_state(16, 16), seeds, offsets,
+                           jnp.asarray(c2w), jnp.asarray(s2c), **kw)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(a.accum[i]),
+                                   np.asarray(b.accum[i]),
+                                   rtol=1e-4, atol=1e-4)
