@@ -1,0 +1,286 @@
+"""Live-updating browser viewer: MJPEG over HTTP around RealtimeRenderer.
+
+The reference's core interactive UX is a continuously-refreshing winit
+window with mouse-look + WASD camera driving (app/src/viewport.rs:81-247)
+and an imgui settings overlay (app/src/ui.rs). On a headless TPU host the
+equivalent is a tiny self-hosted web viewer:
+
+* ``GET /``        — a control page: the live image, keyboard bindings
+  (w/a/s/d/q/e move, arrows look — viewport.rs:157-205), drag-look,
+  render-scale / integrator / exposure controls (ui.rs settings window).
+* ``GET /stream``  — ``multipart/x-mixed-replace`` MJPEG: every finished
+  progressive launch is pushed as a JPEG part, so the browser shows the
+  accumulation refining in place, exactly like the reference's redraw
+  loop (viewport.rs:120-155).
+* ``GET /frame``   — one JPEG frame (scripting / tests).
+* ``POST /control``— JSON camera/settings commands; any edit restarts
+  progressive accumulation (RealtimeRenderer semantics).
+* ``GET /stats``   — JSON fps / spp counters (ui.rs stats window).
+
+Rendering stays on ONE background thread (JAX dispatch is not
+thread-safe across traces); HTTP threads only consume the latest encoded
+frame under a condition variable. Start with::
+
+    python -m glaze_tpu.viewer scene.glaze [--port 8000] [--scale 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>glaze viewer</title><style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:1em }
+ img { image-rendering:pixelated; border:1px solid #444; max-width:95vw }
+ #hud { margin:0.5em 0 }
+ button { background:#222; color:#ddd; border:1px solid #555; margin:2px }
+</style></head><body>
+<div id="hud">
+ <b>glaze</b>
+ <button onclick="ctl('mode','toggle')">raytrace on/off</button>
+ <button onclick="ctl('scale',0.25)">scale .25</button>
+ <button onclick="ctl('scale',0.5)">scale .5</button>
+ <button onclick="ctl('scale',1.0)">scale 1</button>
+ <span id="stats"></span>
+</div>
+<img id="view" src="/stream">
+<p>keys: w/a/s/d move, q/e up/down, arrows look, drag to look</p>
+<script>
+function ctl(action, value) {
+  fetch('/control', {method:'POST', body:JSON.stringify({action, value})});
+}
+const KEYS = {w:['advance',1], s:['advance',-1], a:['strafe',-1],
+              d:['strafe',1], q:['elevate',-1], e:['elevate',1],
+              ArrowLeft:['look',[-5,0]], ArrowRight:['look',[5,0]],
+              ArrowUp:['look',[0,-5]], ArrowDown:['look',[0,5]]};
+document.addEventListener('keydown', ev => {
+  const k = KEYS[ev.key];
+  if (k) { ctl(k[0], k[1]); ev.preventDefault(); }
+});
+let drag = null;
+const img = document.getElementById('view');
+img.addEventListener('mousedown', ev => drag = [ev.clientX, ev.clientY]);
+window.addEventListener('mouseup', () => drag = null);
+window.addEventListener('mousemove', ev => {
+  if (!drag) return;
+  const dx = ev.clientX - drag[0], dy = ev.clientY - drag[1];
+  drag = [ev.clientX, ev.clientY];
+  ctl('look', [dx * 0.3, dy * 0.3]);
+});
+setInterval(async () => {
+  const r = await fetch('/stats'); const s = await r.json();
+  document.getElementById('stats').textContent =
+    ` ${s.fps.toFixed(1)} fps  spp ${s.spp}  ${s.mode}`;
+}, 1000);
+</script></body></html>"""
+
+
+class ViewerState:
+    """Latest-frame mailbox + control queue shared between the render
+    thread and HTTP handler threads."""
+
+    def __init__(self, rt):
+        self.rt = rt
+        self.cond = threading.Condition()
+        self.jpeg = None
+        self.seq = 0
+        self.commands = []
+        self.running = True
+
+    # -- render-thread side --------------------------------------------------
+    def publish(self, frame: np.ndarray):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, "JPEG", quality=90)
+        with self.cond:
+            self.jpeg = buf.getvalue()
+            self.seq += 1
+            self.cond.notify_all()
+
+    def apply_commands(self):
+        with self.cond:
+            cmds, self.commands = self.commands, []
+        for c in cmds:
+            try:
+                self._apply(c)
+            except Exception as e:  # bad command: keep serving
+                print(f"viewer: command {c} failed: {e}")
+
+    def _apply(self, c):
+        rt = self.rt
+        act, val = c.get("action"), c.get("value")
+        step = float(np.asarray(rt._rt.scene.scene_radius)) * 0.05
+        if act == "advance":
+            rt.advance(step * float(val))
+        elif act == "strafe":
+            rt.strafe(step * float(val))
+        elif act == "elevate":
+            rt.elevate(step * float(val))
+        elif act == "look":
+            dx, dy = val
+            rt.look_around(float(dx) * np.pi / 180.0,
+                           float(dy) * np.pi / 180.0)
+        elif act == "scale":
+            rt.set_render_scale(float(val))
+        elif act == "mode":
+            rt.use_raytracer = (not rt.use_raytracer if val == "toggle"
+                                else bool(val))
+        elif act == "exposure":
+            rt._rt.set_exposure(float(val))
+        else:
+            raise ValueError(f"unknown action {act!r}")
+
+    # -- HTTP side -----------------------------------------------------------
+    def enqueue(self, cmd: dict):
+        with self.cond:
+            self.commands.append(cmd)
+
+    def wait_frame(self, last_seq, timeout=120.0):
+        with self.cond:
+            self.cond.wait_for(
+                lambda: (self.jpeg is not None and self.seq != last_seq)
+                or not self.running,
+                timeout=timeout)
+            return self.jpeg, self.seq
+
+    def stats(self):
+        rt = self.rt
+        spp = 0
+        try:
+            count = np.asarray(rt._rt._state.count)
+            spp = int(count.max()) // rt._rt.integrator.steps_per_sample
+        except Exception:
+            pass
+        return {"fps": rt.stats.fps, "spp": spp,
+                "mode": "pt" if rt.use_raytracer else "preview",
+                "scale": rt.render_scale}
+
+
+def render_loop(state: ViewerState):
+    """The progressive redraw loop (viewport.rs:120-155): apply queued
+    edits, advance one launch, publish the frame."""
+    while state.running:
+        state.apply_commands()
+        frame = state.rt.draw_frame(pipelined=True)
+        state.publish(frame)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: ViewerState = None  # set by serve()
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/":
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/frame":
+            jpeg, _ = self.state.wait_frame(-1)
+            if jpeg is None:
+                self.send_error(503, "no frame yet")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(jpeg)))
+            self.end_headers()
+            self.wfile.write(jpeg)
+        elif self.path == "/stats":
+            body = json.dumps(self.state.stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/stream":
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "multipart/x-mixed-replace; boundary=glazeframe")
+            self.end_headers()
+            seq = -1
+            try:
+                while self.state.running:
+                    jpeg, seq = self.state.wait_frame(seq)
+                    if jpeg is None:
+                        continue
+                    self.wfile.write(b"--glazeframe\r\n")
+                    self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                    self.wfile.write(
+                        f"Content-Length: {len(jpeg)}\r\n\r\n".encode())
+                    self.wfile.write(jpeg)
+                    self.wfile.write(b"\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+        else:
+            self.send_error(404)
+
+    def do_POST(self):
+        if self.path != "/control":
+            self.send_error(404)
+            return
+        n = int(self.headers.get("Content-Length", 0))
+        try:
+            cmd = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError:
+            self.send_error(400, "bad json")
+            return
+        self.state.enqueue(cmd)
+        self.send_response(204)
+        self.end_headers()
+
+
+def serve(rt, host="127.0.0.1", port=8000):
+    """Starts the HTTP server + render thread; returns
+    (server, state, render_thread). Caller joins/shuts down."""
+    state = ViewerState(rt)
+    handler = type("Handler", (_Handler,), {"state": state})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=render_loop, args=(state,), daemon=True)
+    t.start()
+    return srv, state, t
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="glaze-viewer", description="Live browser viewer (MJPEG)")
+    p.add_argument("scene")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--res", default="512x384")
+    p.add_argument("--scale", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    from glaze_tpu.parser import parse
+    from glaze_tpu.render.realtime import RealtimeRenderer
+    from glaze_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = (int(v) for v in args.res.split("x"))
+    rt = RealtimeRenderer(parse(args.scene), width=w, height=h,
+                          render_scale=args.scale)
+    srv, state, t = serve(rt, host=args.host, port=args.port)
+    print(f"glaze viewer on http://{args.host}:{srv.server_address[1]}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.running = False
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

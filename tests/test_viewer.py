@@ -1,0 +1,98 @@
+"""Live MJPEG viewer (glaze_tpu/viewer.py) — the headless equivalent of
+the reference's winit redraw loop + camera controls
+(app/src/viewport.rs:81-247)."""
+
+import json
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    import glaze_tpu
+    from glaze_tpu.render.realtime import RealtimeRenderer
+    from glaze_tpu import viewer
+
+    parsed = glaze_tpu.parse("/root/reference/resources/mattest.glaze")
+    rt = RealtimeRenderer(parsed, width=64, height=48, render_scale=1.0)
+    srv, state, t = viewer.serve(rt, host="127.0.0.1", port=0)
+    import threading
+
+    st = threading.Thread(target=srv.serve_forever, daemon=True)
+    st.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield url, state, rt
+    state.running = False
+    with state.cond:
+        state.cond.notify_all()
+    srv.shutdown()
+
+
+def _get(url, timeout=120):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def test_frame_is_jpeg(server):
+    url, state, rt = server
+    status, ctype, body = _get(url + "/frame")
+    assert status == 200 and ctype == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"  # JPEG SOI
+    from PIL import Image
+    import io
+
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    assert img.shape == (48, 64, 3)
+
+
+def test_index_page(server):
+    url, state, rt = server
+    status, ctype, body = _get(url + "/")
+    assert status == 200 and "text/html" in ctype
+    assert b"/stream" in body and b"advance" in body
+
+
+def test_stats_and_progression(server):
+    url, state, rt = server
+    s0 = json.loads(_get(url + "/stats")[2])
+    assert s0["mode"] == "pt"
+    # wait for more launches to land
+    _, seq = state.wait_frame(-1)
+    state.wait_frame(seq, timeout=120)
+    s1 = json.loads(_get(url + "/stats")[2])
+    assert s1["spp"] >= s0["spp"]
+
+
+def test_control_moves_camera(server):
+    url, state, rt = server
+    import glaze_tpu
+
+    before = np.asarray(rt.camera().inner.position, float).copy()
+    req = urllib.request.Request(
+        url + "/control",
+        data=json.dumps({"action": "advance", "value": 1}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+    # the render thread applies queued commands before the next launch
+    _, seq = state.wait_frame(-1)
+    state.wait_frame(seq, timeout=120)
+    state.wait_frame(state.seq, timeout=120)
+    after = np.asarray(rt.camera().inner.position, float)
+    assert not np.allclose(before, after)
+
+
+def test_stream_yields_parts(server):
+    url, state, rt = server
+    req = urllib.request.Request(url + "/stream")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert "multipart/x-mixed-replace" in r.headers.get("Content-Type")
+        data = b""
+        while data.count(b"--glazeframe") < 2:
+            chunk = r.read(4096)
+            assert chunk, "stream ended early"
+            data += chunk
+    assert b"Content-Type: image/jpeg" in data
