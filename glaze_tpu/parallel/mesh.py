@@ -41,6 +41,27 @@ def _pixel_spec(x):
     return P(*([None] * (x.ndim - 1)), AXIS)
 
 
+def _put_once(x, sh):
+    """device_put that skips already-equivalently-placed arrays.
+
+    An unconditional device_put re-copies the whole replicated scene
+    (hundreds of MB) on EVERY sharded render call — measured ~250 ms per
+    call on the bench scene (tools/bench_sharded_gap.py); with the skip,
+    repeat calls on persistently-placed pytrees are free."""
+    cur = getattr(x, "sharding", None)
+    if cur is not None and cur.is_equivalent_to(sh, x.ndim):
+        return x
+    return jax.device_put(x, sh)
+
+
+def place_replicated(tree, mesh: Mesh):
+    """Places a pytree (e.g. the DeviceScene) replicated over ``mesh``
+    ONCE — pass the result into the sharded render calls so their
+    internal ``_put_once`` placement is a no-op on every call."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: _put_once(x, repl), tree)
+
+
 def shard_state(state: integ.PathState, mesh: Mesh) -> integ.PathState:
     """Places the path state sharded over the pixel axis."""
     def put(x):
@@ -93,12 +114,12 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     px, py = integ.pixel_coords(width, height)
     pix_sh = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
-    px = jax.device_put(px, pix_sh)
-    py = jax.device_put(py, pix_sh)
+    px = _put_once(px, pix_sh)
+    py = _put_once(py, pix_sh)
     state = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, _pixel_spec(x))), state
+        lambda x: _put_once(x, NamedSharding(mesh, _pixel_spec(x))), state
     )
-    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     return _render_steps_impl(
         scene, state, seeds, offsets, cam2world, screen2cam, px, py,
         width=width, height=height, is_persp=is_persp,
@@ -169,9 +190,9 @@ def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
     px, py = integ.pixel_coords(width, height)
     repl = NamedSharding(mesh, P())
     state = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, _spp_spec(x))), state
+        lambda x: _put_once(x, NamedSharding(mesh, _spp_spec(x))), state
     )
-    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     return _render_steps_spp_impl(
         scene, state, seeds, offsets, cam2world, screen2cam, px, py,
         width=width, height=height, is_persp=is_persp,
@@ -246,12 +267,12 @@ def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
     px, py = integ.pixel_coords(width, height)
     pix_sh = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
-    px = jax.device_put(px, pix_sh)
-    py = jax.device_put(py, pix_sh)
+    px = _put_once(px, pix_sh)
+    py = _put_once(py, pix_sh)
     state = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, _spp2d_spec(x))),
+        lambda x: _put_once(x, NamedSharding(mesh, _spp2d_spec(x))),
         state)
-    scene = jax.tree.map(lambda x: jax.device_put(x, repl), scene)
+    scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     return _render_steps_spp_impl(
         scene, state, seeds, offsets, cam2world, screen2cam, px, py,
         width=width, height=height, is_persp=is_persp,
