@@ -27,7 +27,10 @@ def main():
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
 
     parsed = build_scene()
-    for scale in (0.25, 0.5, 1.0):
+    import os as _os
+    scales = tuple(float(v) for v in _os.environ.get(
+        "GLAZE_BENCH_SCALES", "0.2,0.25,0.5,1.0").split(","))
+    for scale in scales:
         rr = RealtimeRenderer(parsed, width=width, height=height,
                               render_scale=scale, seed=5)
         rr.draw_frame(pipelined=True)  # compile
