@@ -107,16 +107,26 @@ def _tex_memo(mat, uv, key, fn):
 
 
 def _diffuse_texel(scene, mat, uv):
-    """diffuse texture * diffuse_mul -> (r, g, b) each (R,)."""
+    """diffuse texture * diffuse_mul -> (r, g, b) each (R,).
+
+    Texture-slot gates: when NO material in the scene assigns a texture
+    to a slot (scene.tex_slots, static jit aux), the fetch is the
+    multiplier alone — sampling texture 0 (the 1x1 white default) always
+    yields 1.0, and the skipped atlas row-gather costs ~40 ms/launch at
+    1080p (op-overhead-bound at ~20 ns/row; xplane-profiled)."""
     def fetch():
+        s = mat["scalars"]
+        if MT_DIFFUSE not in scene.tex_slots:
+            return s[MS_DIFFUSE_R], s[MS_DIFFUSE_G], s[MS_DIFFUSE_B]
         r, g, b = tx.sample_rgb_v(scene.atlas, mat["tex"][MT_DIFFUSE],
                                   uv[0], uv[1])
-        s = mat["scalars"]
         return r * s[MS_DIFFUSE_R], g * s[MS_DIFFUSE_G], b * s[MS_DIFFUSE_B]
     return _tex_memo(mat, uv, "diffuse", fetch)
 
 
 def _roughness(scene, mat, uv):
+    if MT_ROUGHNESS not in scene.tex_slots:
+        return mat["scalars"][MS_ROUGHNESS_MUL]
     return _tex_memo(mat, uv, "rough", lambda: (
         tx.sample_r_v(scene.atlas, mat["tex"][MT_ROUGHNESS], uv[0], uv[1])
         * mat["scalars"][MS_ROUGHNESS_MUL]
@@ -124,6 +134,8 @@ def _roughness(scene, mat, uv):
 
 
 def _metalness(scene, mat, uv):
+    if MT_METALNESS not in scene.tex_slots:
+        return mat["scalars"][MS_METALNESS_MUL]
     return _tex_memo(mat, uv, "metal", lambda: (
         tx.sample_r_v(scene.atlas, mat["tex"][MT_METALNESS], uv[0], uv[1])
         * mat["scalars"][MS_METALNESS_MUL]

@@ -216,20 +216,23 @@ def _interpolate_hit(scene, hit):
     dpdu = v3_at(fl.ATTR_DPDU)
     mat_id = a[:, fl.ATTR_MAT].astype(jnp.int32)
 
-    # normal mapping (rchit:55-64)
-    normal_tex = scene.mat_tex[mat_id][:, fl.MT_NORMAL]
-    has_nm = normal_tex != 0
-    tr, tg, tb = tx.sample_rgb_v(scene.atlas, normal_tex, u, v)
-    s_old = vec.normalize(dpdu)
-    t_old = vec.normalize(vec.cross(shading_n, s_old))
-    nx, ny, nz = tr * 2.0 - 1.0, tg * 2.0 - 1.0, tb * 2.0 - 1.0
-    mapped = vec.normalize((
-        s_old[0] * nx + t_old[0] * ny + shading_n[0] * nz,
-        s_old[1] * nx + t_old[1] * ny + shading_n[1] * nz,
-        s_old[2] * nx + t_old[2] * ny + shading_n[2] * nz,
-    ))
-    mapped = vec.scale(mapped, jnp.sign(vec.dot(geom_n, mapped)))
-    shading_n = vec.where(has_nm, mapped, shading_n)
+    # normal mapping (rchit:55-64); skipped entirely when no material in
+    # the scene has a normal map (scene.tex_slots static specialization —
+    # the atlas row-gather alone costs ~40 ms/launch at 1080p)
+    if fl.MT_NORMAL in scene.tex_slots:
+        normal_tex = scene.mat_tex[mat_id][:, fl.MT_NORMAL]
+        has_nm = normal_tex != 0
+        tr, tg, tb = tx.sample_rgb_v(scene.atlas, normal_tex, u, v)
+        s_old = vec.normalize(dpdu)
+        t_old = vec.normalize(vec.cross(shading_n, s_old))
+        nx, ny, nz = tr * 2.0 - 1.0, tg * 2.0 - 1.0, tb * 2.0 - 1.0
+        mapped = vec.normalize((
+            s_old[0] * nx + t_old[0] * ny + shading_n[0] * nz,
+            s_old[1] * nx + t_old[1] * ny + shading_n[1] * nz,
+            s_old[2] * nx + t_old[2] * ny + shading_n[2] * nz,
+        ))
+        mapped = vec.scale(mapped, jnp.sign(vec.dot(geom_n, mapped)))
+        shading_n = vec.where(has_nm, mapped, shading_n)
 
     return {
         "point": point,

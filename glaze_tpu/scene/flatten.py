@@ -158,9 +158,11 @@ class DeviceScene:
     light edits), which retriggers jit specialization like the reference's
     pipeline rebuild."""
 
-    __slots__ = _SCENE_FIELDS + ("mat_families", "light_kinds")
+    __slots__ = _SCENE_FIELDS + ("mat_families", "light_kinds",
+                                 "tex_slots")
 
-    def __init__(self, *, mat_families=None, light_kinds=None, **fields):
+    def __init__(self, *, mat_families=None, light_kinds=None,
+                 tex_slots=None, **fields):
         for name in _SCENE_FIELDS:
             setattr(self, name, fields.pop(name))
         if fields:
@@ -173,19 +175,26 @@ class DeviceScene:
             light_kinds = tuple(
                 sorted({int(x) for x in np.asarray(self.light_type)})
             )
+        if tex_slots is None:
+            mt = np.asarray(self.mat_tex)
+            tex_slots = tuple(
+                s for s in range(mt.shape[1]) if (mt[:, s] != 0).any()
+            )
         self.mat_families = tuple(mat_families)
         self.light_kinds = tuple(light_kinds)
+        self.tex_slots = tuple(tex_slots)
 
     def tree_flatten(self):
         children = tuple(getattr(self, n) for n in _SCENE_FIELDS)
-        return children, (self.mat_families, self.light_kinds)
+        return children, (self.mat_families, self.light_kinds,
+                          self.tex_slots)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         for name, child in zip(_SCENE_FIELDS, children):
             setattr(obj, name, child)
-        obj.mat_families, obj.light_kinds = aux
+        obj.mat_families, obj.light_kinds, obj.tex_slots = aux
         return obj
 
     def _replace(self, **updates):
@@ -194,11 +203,13 @@ class DeviceScene:
         recompute in __init__)."""
         mat_families = (None if "mat_bsdf" in updates else self.mat_families)
         light_kinds = (None if "light_type" in updates else self.light_kinds)
+        tex_slots = (None if "mat_tex" in updates else self.tex_slots)
         fields = {n: updates.pop(n, getattr(self, n)) for n in _SCENE_FIELDS}
         if updates:
             raise TypeError(f"unknown DeviceScene fields: {sorted(updates)}")
         return DeviceScene(mat_families=mat_families,
-                           light_kinds=light_kinds, **fields)
+                           light_kinds=light_kinds, tex_slots=tex_slots,
+                           **fields)
 
 
 def _normal_matrix(m4: np.ndarray) -> np.ndarray:
@@ -625,6 +636,9 @@ def flatten_scene(parsed):
         # connection warm-up (measured; later downloads are ~33 ms)
         mat_families=tuple(sorted({int(x) for x in mats["mat_bsdf"]})),
         light_kinds=tuple(sorted({int(x) for x in lts["light_type"]})),
+        tex_slots=tuple(
+            s for s in range(mats["mat_tex"].shape[1])
+            if (mats["mat_tex"][:, s] != 0).any()),
         tri_attr=jnp.asarray(attr.T.copy()),
         tri_material=jnp.asarray(tri_mat_bvh),
         tri_pos_orig=jnp.asarray(tri_pos.reshape(tri_pos.shape[0], 9)),
