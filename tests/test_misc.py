@@ -290,3 +290,36 @@ def test_streamed_leaf_drain_mode():
     np.testing.assert_allclose(t[m], tx[m], rtol=1e-4)
     assert np.array_equal(np.asarray(res["tri"]), np.asarray(ref["tri"]))
     assert np.array_equal(np.asarray(ah), np.asarray(aref))
+
+
+def test_tex_slots_specialization():
+    """scene.tex_slots (static jit aux) names exactly the texture slots
+    any material uses; the roughness fetch compiles away when unused and
+    material edits recompute the set (render/bsdf.py gates)."""
+    import jax.numpy as jnp
+
+    import golden_scenes as gs
+    from glaze_tpu.scene import flatten_scene
+    from glaze_tpu.scene import flatten as fl
+
+    scene, camera, host = flatten_scene(gs.MatRowScene())
+    # the golden scene assigns diffuse + opacity + normal textures but no
+    # roughness/metalness maps
+    assert fl.MT_DIFFUSE in scene.tex_slots
+    assert fl.MT_ROUGHNESS not in scene.tex_slots
+
+    # an edit that assigns a roughness texture must recompute the set
+    mt = np.asarray(scene.mat_tex).copy()
+    mt[1, fl.MT_ROUGHNESS] = 1
+    scene2 = scene._replace(mat_tex=jnp.asarray(mt))
+    assert fl.MT_ROUGHNESS in scene2.tex_slots
+
+    # the gated fetch returns the multiplier alone when the slot is
+    # unused, identical to sampling the default texture
+    from glaze_tpu.render import bsdf
+
+    mat = {"scalars": jnp.ones((fl.MS_ROWS, 4), jnp.float32) * 0.5,
+           "tex": jnp.zeros((5, 4), jnp.int32)}
+    uv = (jnp.zeros(4), jnp.zeros(4))
+    r = bsdf._roughness(scene, mat, uv)
+    np.testing.assert_allclose(np.asarray(r), 0.5)
