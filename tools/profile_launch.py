@@ -112,11 +112,14 @@ def main():
         print(f"  {ps / 1e9 / steps:9.2f} ms  {k[:100]}")
     total = sum(v for v in totals.values() if v > 0)
     print(f"total device time {total / 1e9:.1f} ms over {steps} launches")
-    for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:24]:
-        if ps <= 0:
-            continue
+    ranked = [kv for kv in sorted(totals.items(), key=lambda kv: -kv[1])
+              if kv[1] > 0]
+    for name, ps in ranked[:24]:
         print(f"  {ps / 1e9 / steps:9.2f} ms/launch  {100 * ps / total:5.1f}%"
               f"  {name[:90]}")
+    tail = sum(ps for _, ps in ranked[24:])
+    print(f"  {tail / 1e9 / steps:9.2f} ms/launch  {100 * tail / total:5.1f}%"
+          f"  <{len(ranked) - 24} ops below the top 24>")
 
 
 if __name__ == "__main__":
