@@ -64,10 +64,6 @@ def tree_mode() -> str:
     return "classic"
 
 
-def use_fat_default() -> bool:
-    return tree_mode() in ("fat", "hybrid")
-
-
 def build_bvh_auto(tri_verts, leaf_size=None):
     """Builds the traversal structure(s) the current backend prefers.
 

@@ -126,11 +126,15 @@ class FlatPreviewRenderer:
         self.exposure = None
         self._frame = None
         self._request_new_frame = True
-        # opacity-discard parity with flat_twosided.frag (static arg, so
-        # decided once per scene like renderer._refresh_alpha_rounds)
-        has_opacity = bool(
-            np.asarray(scene.mat_tex[:, fl.MT_OPACITY] != 0).any())
-        self._alpha_rounds = 4 if has_opacity else 0
+
+    @property
+    def _alpha_rounds(self) -> int:
+        # opacity-discard parity with flat_twosided.frag. Derived from
+        # scene.tex_slots (static jit aux) at every draw so live
+        # material/texture edits that swap self.scene track correctly,
+        # with no device->host read (the first transfer through the axon
+        # tunnel costs ~60-130 s of connection warm-up)
+        return 4 if fl.MT_OPACITY in self.scene.tex_slots else 0
 
     def update_camera(self, camera):
         self.camera = camera

@@ -93,6 +93,9 @@ class ViewerState:
         self.seq = 0
         self.commands = []
         self.running = True
+        # camera step per keypress: scene-constant, fetched once (a
+        # per-command device read would add ~33 ms to every keypress)
+        self.step = float(np.asarray(rt._rt.scene.scene_radius)) * 0.05
 
     # -- render-thread side --------------------------------------------------
     def publish(self, frame: np.ndarray):
@@ -117,7 +120,7 @@ class ViewerState:
     def _apply(self, c):
         rt = self.rt
         act, val = c.get("action"), c.get("value")
-        step = float(np.asarray(rt._rt.scene.scene_radius)) * 0.05
+        step = self.step
         if act == "advance":
             rt.advance(step * float(val))
         elif act == "strafe":
@@ -166,11 +169,20 @@ class ViewerState:
 
 def render_loop(state: ViewerState):
     """The progressive redraw loop (viewport.rs:120-155): apply queued
-    edits, advance one launch, publish the frame."""
-    while state.running:
-        state.apply_commands()
-        frame = state.rt.draw_frame(pipelined=True)
-        state.publish(frame)
+    edits, advance one launch, publish the frame. A crash here must not
+    leave HTTP clients blocking on a frame that will never come."""
+    try:
+        while state.running:
+            state.apply_commands()
+            frame = state.rt.draw_frame(pipelined=True)
+            state.publish(frame)
+    except Exception as e:
+        print(f"viewer: render loop died: {e!r}")
+        raise
+    finally:
+        with state.cond:
+            state.running = False
+            state.cond.notify_all()
 
 
 class _Handler(BaseHTTPRequestHandler):

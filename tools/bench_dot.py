@@ -107,8 +107,6 @@ def main():
         run_case(T, batch, "default", True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def run_resolve_case(T, reps=4096, div_free=False):
@@ -190,6 +188,9 @@ def run_resolve_case(T, reps=4096, div_free=False):
           f"{cyc:.0f} cyc/(row,leaf)")
 
 
-if os.environ.get("BENCH_RESOLVE"):
-    run_resolve_case(128)
-    run_resolve_case(64)
+if __name__ == "__main__":
+    if os.environ.get("BENCH_RESOLVE"):
+        run_resolve_case(128)
+        run_resolve_case(64)
+    else:
+        main()

@@ -46,7 +46,6 @@ def main():
         from glaze_tpu.accel.bvh import closest_hit, any_hit
     # in hybrid mode the classic any-hit tree serves the NEE shadow
     # phase — check its Pallas kernel against the XLA walker too
-    any_tree = scene.bvh
     if scene.bvh_any is not None:
         from glaze_tpu.accel.traverse_pallas import (
             any_hit_soa as any_hit_soa_classic)

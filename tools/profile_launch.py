@@ -117,9 +117,11 @@ def main():
     for name, ps in ranked[:24]:
         print(f"  {ps / 1e9 / steps:9.2f} ms/launch  {100 * ps / total:5.1f}%"
               f"  {name[:90]}")
-    tail = sum(ps for _, ps in ranked[24:])
-    print(f"  {tail / 1e9 / steps:9.2f} ms/launch  {100 * tail / total:5.1f}%"
-          f"  <{len(ranked) - 24} ops below the top 24>")
+    if len(ranked) > 24:
+        tail = sum(ps for _, ps in ranked[24:])
+        print(f"  {tail / 1e9 / steps:9.2f} ms/launch  "
+              f"{100 * tail / total:5.1f}%"
+              f"  <{len(ranked) - 24} ops below the top 24>")
 
 
 if __name__ == "__main__":
