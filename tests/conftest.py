@@ -7,6 +7,10 @@ import sys
 # alone is not enough — jax.config.update below reclaims the CPU backend.
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+# Isolate the BVH build-product disk cache: tests must exercise the real
+# builders, not whatever a previous run left in ~/.cache.
+os.environ["GLAZE_CACHE_DIR"] = "0"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402

@@ -230,3 +230,35 @@ def test_chunked_scene_renders_like_unchunked():
         np.testing.assert_allclose(np.asarray(a.accum[i]),
                                    np.asarray(b.accum[i]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_disk_cache_round_trip_bit_exact(tmp_path, monkeypatch):
+    """A cache-hit build must reproduce the direct build bit-for-bit
+    (nodes0 is reconstructed from the octant slab on load)."""
+    monkeypatch.setenv("GLAZE_CACHE_DIR", str(tmp_path))
+    tri, _ = _random_soup(777, seed=9)
+
+    direct, order_a = build_bvh(tri)  # cold: builds + stores
+    assert len(list(tmp_path.glob("bvh/*.npz"))) == 1
+    hit, order_b = build_bvh(tri)  # warm: loads
+
+    np.testing.assert_array_equal(np.asarray(order_a), np.asarray(order_b))
+    for field in ("nodes", "tri", "nodes16", "tri8"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(direct, field)),
+            np.asarray(getattr(hit, field)), err_msg=field)
+    assert (direct.n_nodes, direct.n_tris) == (hit.n_nodes, hit.n_tris)
+
+    # different soup -> different key, no false hit
+    tri2, _ = _random_soup(777, seed=10)
+    fresh, _ = build_bvh(tri2)
+    assert len(list(tmp_path.glob("bvh/*.npz"))) == 2
+    assert not np.array_equal(np.asarray(fresh.nodes),
+                              np.asarray(direct.nodes))
+
+
+def test_disk_cache_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("GLAZE_CACHE_DIR", "0")
+    tri, _ = _random_soup(64, seed=3)
+    build_bvh(tri)
+    assert list(tmp_path.glob("**/*.npz")) == []

@@ -383,3 +383,27 @@ def test_converted_file(tmp_path, mattest_path):
         f.write("hello world padding padding")
     assert not g.converted_file(other)
     assert not g.converted_file(str(tmp_path / "missing.bin"))
+
+
+def test_vertices_np_matches_object_path(tmp_path):
+    """Bulk vertices_np() must return exactly the arrays the per-object
+    vertices() path yields (flatten uses the bulk path when present)."""
+    import numpy as np
+
+    from glaze_tpu.core.mesh import Vertex
+    from glaze_tpu.parser import v1
+
+    rng = np.random.default_rng(5)
+    verts = [Vertex(rng.standard_normal(3), rng.standard_normal(3),
+                    rng.standard_normal(2)) for _ in range(57)]
+    data = v1.encode_vertices(verts)
+    vv, vn, vt = v1.decode_vertices_np(data)
+    objs = v1.decode_vertices(data)
+    np.testing.assert_array_equal(vv, np.stack([o.vv for o in objs]))
+    np.testing.assert_array_equal(vn, np.stack([o.vn for o in objs]))
+    np.testing.assert_array_equal(vt, np.stack([o.vt for o in objs]))
+    assert vv.dtype == vn.dtype == vt.dtype == np.float32
+
+    # empty chunk
+    vv0, vn0, vt0 = v1.decode_vertices_np(b"")
+    assert vv0.shape == (0, 3) and vt0.shape == (0, 2)

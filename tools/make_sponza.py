@@ -286,6 +286,9 @@ class SponzaScene:
         return [Vertex(p, n, t) for p, n, t in
                 zip(self._pos, self._nrm, self._uv)]
 
+    def vertices_np(self):
+        return self._pos, self._nrm, self._uv
+
     def meshes(self):
         return [Mesh(i, np.asarray(idx, np.uint32), mat)
                 for i, (mat, idx) in enumerate(sorted(self._idx.items()))]
