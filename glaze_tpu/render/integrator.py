@@ -102,6 +102,14 @@ def camera_matrices(camera, width: int, height: int):
 # render_image crops.
 TILE_W = 128
 TILE_H = 16
+if os.environ.get("GLAZE_TILE"):
+    # A/B knob: packets visit the union of their rays' nodes, so tile
+    # ASPECT trades lane-gather friendliness (wide) against union size
+    # (square) — squarer tiles matter most at small render scales where
+    # a 128x16 tile spans a third of the frame. Product must stay one
+    # packet (2048 rays).
+    TILE_W, TILE_H = (int(x) for x in os.environ["GLAZE_TILE"].split("x"))
+    assert TILE_W * TILE_H == 2048, "GLAZE_TILE must multiply to 2048"
 
 
 def padded_dims(width: int, height: int):

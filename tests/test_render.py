@@ -481,3 +481,29 @@ def test_2d_mesh_matches_sequential():
         np.testing.assert_allclose(np.asarray(red.accum[c]), accum[c],
                                    rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(red.count), count)
+
+
+def test_tile_shape_is_a_pure_perf_knob(monkeypatch):
+    """GLAZE_TILE reshapes the packet->pixel mapping only: the RNG is
+    keyed on pixel coords, so any 2048-ray tile shape must produce the
+    bit-identical image (squarer tiles are a coherence lever at small
+    render scales)."""
+    import __graft_entry__ as graft
+    from glaze_tpu.render import integrator as integ
+
+    def render(tw, th):
+        monkeypatch.setattr(integ, "TILE_W", tw)
+        monkeypatch.setattr(integ, "TILE_H", th)
+        scene, camera = graft._tiny_scene(64, 64)
+        c2w, s2c = integ.camera_matrices(camera, 64, 64)
+        seeds = jnp.asarray(np.asarray([3, 5], np.uint32))
+        offs = jnp.asarray(np.full((2, 2), 0.5, np.float32))
+        st = integ.render_steps(
+            scene, integ.init_state(64, 64), seeds, offs,
+            jnp.asarray(c2w), jnp.asarray(s2c), width=64, height=64,
+            is_persp=True, direct_only=False, steps=2)
+        return integ.render_image(st, 1.0, 64, 64)
+
+    a = render(128, 16)
+    b = render(64, 32)
+    np.testing.assert_array_equal(a, b)
