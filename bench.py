@@ -36,9 +36,34 @@ REPEATS = 3  # best-of over repeats; the tunnel carries ~20% timing noise,
 
 
 def main():
+    # The axon TPU plugin can hang indefinitely inside `import jax` /
+    # backend init when the tunnel is unreachable (observed outage
+    # 2026-08-18). Arm a watchdog for the init phase only, so a dead
+    # tunnel yields a parseable error line instead of an eternal hang;
+    # it is disarmed the moment the backend answers.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        limit = float(os.environ.get("GLAZE_BENCH_INIT_TIMEOUT", "900"))
+        if not init_done.wait(timeout=limit):
+            print(json.dumps({
+                "metric": "mrays_per_sec", "value": None, "unit": "Mrays/s",
+                "vs_baseline": None,
+                "error": f"jax backend init exceeded {limit:.0f} s "
+                         "(TPU tunnel unreachable?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    jax.devices()
+    init_done.set()
 
     from glaze_tpu.render import integrator as integ
     from glaze_tpu.render.renderer import RayTraceRenderer
