@@ -321,6 +321,11 @@ def convert(input_path, output_path, gen_mipmaps=False):
 
         (vertices, meshes, materials, textures, lights, cameras,
          transforms, instances) = import_fbx(input_path)
+    elif ext == ".dae":
+        from glaze_tpu.collada import import_dae
+
+        (vertices, meshes, materials, textures, lights, cameras,
+         transforms, instances) = import_dae(input_path)
     elif ext in (".ply", ".stl"):
         from glaze_tpu.mesh_formats import import_ply, import_stl
 
@@ -332,8 +337,8 @@ def convert(input_path, output_path, gen_mipmaps=False):
     else:
         raise SystemExit(
             f"Unsupported input format {ext!r}: this build imports OBJ, "
-            "glTF/GLB, binary FBX, PLY, and STL natively (assimp is not "
-            "available in the TPU image)."
+            "glTF/GLB, binary FBX, COLLADA (.dae), PLY, and STL natively "
+            "(assimp is not available in the TPU image)."
         )
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
     if not cameras:
