@@ -1,13 +1,16 @@
-"""Minimal binary-FBX importer (meshes, transforms, materials, lights).
+"""FBX importer, binary and ASCII (meshes, transforms, materials, lights).
 
 The reference converter reads FBX through assimp
 (/root/reference/converter/src/main.rs:86-102); this is a from-scratch
-reader of the binary FBX container (Kaydara 7.x node records, zlib array
-properties) covering the subset a .glaze scene needs: Geometry
-(Vertices/PolygonVertexIndex/Normals/UV with per-polygon-vertex or
-per-vertex mappings, polygon fan triangulation), Model local transforms
-(translation/rotation XYZ-euler/scaling), material diffuse colors, and
-point/directional lights. ASCII FBX files are rejected with a clear error.
+reader of both 7.x encodings — the binary container (Kaydara node
+records, zlib array properties) and the ASCII form (nested
+``Name: props {}`` records, ``*N { a: }`` arrays) — covering the subset
+a .glaze scene needs: Geometry (Vertices/PolygonVertexIndex/Normals/UV
+with per-polygon-vertex or per-vertex mappings, polygon fan
+triangulation), Model local transforms (translation/rotation XYZ-euler/
+scaling), material diffuse colors + diffuse textures, cameras, and
+point/directional lights. Pre-7.0 ASCII (object-name schema) is
+rejected with a clear error.
 """
 
 from __future__ import annotations
@@ -104,14 +107,136 @@ def _read_node(data, pos, big):
     return FbxNode(name, props, children), max(pos, end)
 
 
+def _ascii_value(kind, v):
+    if kind == "s":
+        # ASCII spells object names "Class::Name"; binary stores
+        # "Name\x00\x01Class". Normalize so downstream code (which
+        # splits on \x00) sees one encoding.
+        if "::" in v:
+            cls, name = v.split("::", 1)
+            return f"{name}\x00\x01{cls}"
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def _ascii_array(vals):
+    if any(("." in v) or ("e" in v) or ("E" in v) for v in vals):
+        return np.asarray(vals, np.float64)
+    return np.asarray(vals, np.int64)
+
+
+def _parse_ascii(text):
+    """ASCII FBX 7.x -> the same FbxNode tree the binary parser builds.
+
+    The grammar is a nested list of ``Name: prop, prop, ... { children }``
+    records; ``*N { a: ... }`` blocks are the array form (decoded to one
+    numpy prop, matching the binary f/d/i/l property types). The assimp
+    path of the reference converter accepts both encodings
+    (converter/src/main.rs:86-102).
+    """
+    toks = []
+    pos, n = 0, len(text)
+    while pos < n:
+        c = text[pos]
+        if c in " \t\r\n,":
+            pos += 1
+        elif c == ";":
+            nl = text.find("\n", pos)
+            pos = n if nl < 0 else nl + 1
+        elif c == '"':
+            j = text.find('"', pos + 1)
+            if j < 0:
+                raise ValueError("unterminated string in ASCII FBX")
+            toks.append(("s", text[pos + 1:j]))
+            pos = j + 1
+        elif c in "{}:":
+            toks.append((c, c))
+            pos += 1
+        else:
+            j = pos
+            while j < n and text[j] not in ' \t\r\n,{}:;"':
+                j += 1
+            toks.append(("a", text[pos:j]))
+            pos = j
+
+    i = 0
+
+    def parse_nodes():
+        nonlocal i
+        out = []
+        while i < len(toks) and toks[i][0] != "}":
+            if toks[i][0] != "a" or i + 1 >= len(toks) or \
+                    toks[i + 1][0] != ":":
+                raise ValueError(
+                    f"ASCII FBX parse error near {toks[i][1]!r}")
+            name = toks[i][1]
+            i += 2
+            props = []
+            if i < len(toks) and toks[i][0] == "a" and \
+                    toks[i][1].startswith("*"):
+                # array form: *N { a: v, v, ... }
+                i += 1
+                vals = []
+                if i < len(toks) and toks[i][0] == "{":
+                    i += 1
+                    if i + 1 < len(toks) and toks[i] == ("a", "a") and \
+                            toks[i + 1][0] == ":":
+                        i += 2
+                    while i < len(toks) and toks[i][0] != "}":
+                        vals.append(toks[i][1])
+                        i += 1
+                    i += 1  # }
+                props.append(_ascii_array(vals))
+                out.append(FbxNode(name, props, []))
+                continue
+            while i < len(toks):
+                t, v = toks[i]
+                if t in "{}":
+                    break
+                if t == "a" and i + 1 < len(toks) and \
+                        toks[i + 1][0] == ":":
+                    break  # start of the next record
+                props.append(_ascii_value(t, v))
+                i += 1
+            children = []
+            if i < len(toks) and toks[i][0] == "{":
+                i += 1
+                children = parse_nodes()
+                if i < len(toks) and toks[i][0] == "}":
+                    i += 1
+            out.append(FbxNode(name, props, children))
+        return out
+
+    root = FbxNode("", [], parse_nodes())
+    header = root.first("FBXHeaderExtension")
+    ver_node = header.first("FBXVersion") if header is not None else None
+    version = int(ver_node.props[0]) if ver_node is not None and \
+        ver_node.props else 0
+    return root, version
+
+
 def parse_fbx(path):
-    """Parses a binary FBX file into a root node."""
+    """Parses a binary or ASCII FBX file into a root node."""
     data = open(path, "rb").read()
     if not data.startswith(MAGIC):
-        raise ValueError(
-            "not a binary FBX file (ASCII FBX is not supported; re-export "
-            "as binary or convert via glTF)"
-        )
+        head = data[:4096]
+        if b"FBX" not in head or b"\x00" in head:
+            raise ValueError(
+                "not an FBX file (neither the binary magic nor an ASCII "
+                "FBX header found; re-export or convert via glTF)")
+        root, version = _parse_ascii(data.decode("utf-8", "replace"))
+        if version and version < 7000:
+            raise ValueError(
+                f"ASCII FBX {version} uses the pre-7.0 object-name "
+                "schema, which is not supported; re-export as FBX 7.x")
+        return root, version
     version = struct.unpack_from("<I", data, 23)[0]
     big = version >= 7500
     pos = 27
