@@ -269,3 +269,45 @@ def test_textured_dae_converts_end_to_end(tmp_path):
     mats = p.materials()
     mesh = p.meshes()[0]
     assert mats[mesh.material].diffuse == 1
+
+
+def test_instance_node_library(tmp_path):
+    """instance_node into library_nodes composes both transforms."""
+    body = _HEADER + """
+  <library_geometries>
+    <geometry id="tri">
+      <mesh>
+        <source id="s-pos">
+          <float_array id="s-pos-arr" count="9">0 0 0  1 0 0  0 1 0</float_array>
+          <technique_common><accessor source="#s-pos-arr" count="3" stride="3"/></technique_common>
+        </source>
+        <vertices id="s-verts"><input semantic="POSITION" source="#s-pos"/></vertices>
+        <triangles count="1">
+          <input semantic="VERTEX" source="#s-verts" offset="0"/>
+          <p>0 1 2</p>
+        </triangles>
+      </mesh>
+    </geometry>
+  </library_geometries>
+  <library_nodes>
+    <node id="proto">
+      <translate>0 0 7</translate>
+      <instance_geometry url="#tri"/>
+    </node>
+  </library_nodes>
+  <library_visual_scenes>
+    <visual_scene id="vs">
+      <node id="a"><translate>1 0 0</translate><instance_node url="#proto"/></node>
+      <node id="b"><translate>0 2 0</translate><instance_node url="#proto"/></node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+    path = _write(str(tmp_path), body, "inst.dae")
+    (vertices, meshes, materials, textures, lights, cameras,
+     transforms, instances) = import_dae(path)
+    assert len(meshes) == 1 and len(instances) == 2
+    offs = sorted(tuple(np.asarray(transforms[i.transform_id].m)[:3, 3])
+                  for i in instances)
+    assert offs == [(0.0, 2.0, 7.0), (1.0, 0.0, 7.0)]
