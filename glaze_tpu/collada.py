@@ -38,6 +38,7 @@ from glaze_tpu.core import (
     Material,
     Mesh,
     MeshInstance,
+    OrthographicCam,
     PerspectiveCam,
     Spectrum,
     Texture,
@@ -422,6 +423,19 @@ def import_dae(path):
         for inst in node_el.findall("instance_camera"):
             cam_el = dae.ref(inst.get("url", ""))
             if cam_el is None:
+                continue
+            ortho = cam_el.find("optics/technique_common/orthographic")
+            if ortho is not None:
+                xmag = ortho.findtext("xmag")
+                ymag = ortho.findtext("ymag")
+                mag = float(xmag if xmag is not None else (ymag or 1.0))
+                position = world[:3, 3]
+                fwd = -world[:3, 2]
+                cameras.append(Camera.Orthographic(OrthographicCam(
+                    position=position, target=position + fwd * 100.0,
+                    up=world[:3, 1], scale=mag,
+                    near=float(ortho.findtext("znear", "0.001") or 0.001),
+                    far=float(ortho.findtext("zfar", "1000") or 1000.0))))
                 continue
             persp = cam_el.find("optics/technique_common/perspective")
             if persp is None:

@@ -311,3 +311,29 @@ def test_instance_node_library(tmp_path):
     offs = sorted(tuple(np.asarray(transforms[i.transform_id].m)[:3, 3])
                   for i in instances)
     assert offs == [(0.0, 2.0, 7.0), (1.0, 0.0, 7.0)]
+
+
+def test_orthographic_camera(tmp_path):
+    body = _HEADER + """
+  <library_cameras>
+    <camera id="ocam"><optics><technique_common>
+      <orthographic><xmag>2.5</xmag><znear>0.5</znear><zfar>50</zfar></orthographic>
+    </technique_common></optics></camera>
+  </library_cameras>
+  <library_visual_scenes>
+    <visual_scene id="vs">
+      <node id="n"><translate>0 1 4</translate><instance_camera url="#ocam"/></node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+    path = _write(str(tmp_path), body, "ortho.dae")
+    *_, cameras, transforms, instances = import_dae(path)
+    assert len(cameras) == 1
+    cam = cameras[0].inner
+    from glaze_tpu.core import OrthographicCam
+
+    assert isinstance(cam, OrthographicCam)
+    assert cam.scale == 2.5 and cam.near == 0.5 and cam.far == 50.0
+    np.testing.assert_allclose(np.asarray(cam.position), [0, 1, 4])
