@@ -51,7 +51,12 @@ def gather_material(scene, mat_id):
     """Per-ray material record. Row gathers (the only fast TPU gather
     form), transposed to the (K, R) compute layout afterwards. The bsdf
     family rides the scalar row (a separate 1D gather fuses into a
-    multi-ms serial op)."""
+    multi-ms serial op).
+
+    CONTRACT: the returned dict must not outlive the jit trace that
+    called this — bsdf_value/bsdf_sample memoize traced texture fetches
+    inside it (``_texmemo``), so reusing it across traces would leak
+    tracers. Build it fresh per launch step (launch_step does)."""
     scalars = scene.mat_scalars[mat_id].T  # (MS_ROWS, R)
     tex = scene.mat_tex[mat_id].T  # (5, R)
     from glaze_tpu.scene.flatten import MS_BSDF
