@@ -3,8 +3,9 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-DEFAULT_IOR = jnp.float32(1.000293)  # constants.glsl:8
+DEFAULT_IOR = np.float32(1.000293)  # constants.glsl:8
 
 
 def fresnel_conductor(cosin, ior, ior2abs2):

@@ -11,9 +11,10 @@ All functions are batched: direction args are (..., 3), alphas (..., 2).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-PI = jnp.float32(3.1415926)
-TWO_PI = jnp.float32(6.2831853)
+PI = np.float32(3.1415926)
+TWO_PI = np.float32(6.2831853)
 
 
 def _checknan(x):

@@ -14,9 +14,15 @@ every call advances each lane independently, exactly like one GPU thread's
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-MANTISSA_MASK = jnp.uint32(0x007FFFFF)
-FLOAT_ONE = jnp.uint32(0x3F800000)
+# numpy scalars, NOT jnp: a module-level jnp constant commits device
+# buffers at import time, which initializes the JAX backend and breaks
+# jax.distributed.initialize() ordering for multi-host runs (it must be
+# called before any backend use). Mixed numpy-scalar/jnp-array uint32
+# ops preserve dtype, so these behave identically inside traces.
+MANTISSA_MASK = np.uint32(0x007FFFFF)
+FLOAT_ONE = np.uint32(0x3F800000)
 
 
 def hash_u32(seed):

@@ -16,18 +16,18 @@ import numpy as np
 from glaze_tpu.core import spectrum as _cpu
 
 SAMPLES = _cpu.SAMPLES
-INVY_SUM = jnp.float32(_cpu.INVY_SUM)
+INVY_SUM = np.float32(_cpu.INVY_SUM)
 
-CIE_X = jnp.asarray(_cpu.CIE_X)
-CIE_Y = jnp.asarray(_cpu.CIE_Y)
-CIE_Z = jnp.asarray(_cpu.CIE_Z)
-SURFACE_BASIS = jnp.asarray(_cpu.SURFACE_BASIS)  # (7, 16): white,c,m,y,r,g,b
-ILLUMINANT_BASIS = jnp.asarray(_cpu.ILLUMINANT_BASIS)
-SURFACE_SCALE = jnp.float32(_cpu.SURFACE_SCALE)
-ILLUMINANT_SCALE = jnp.float32(_cpu.ILLUMINANT_SCALE)
+CIE_X = np.asarray(_cpu.CIE_X)
+CIE_Y = np.asarray(_cpu.CIE_Y)
+CIE_Z = np.asarray(_cpu.CIE_Z)
+SURFACE_BASIS = np.asarray(_cpu.SURFACE_BASIS)  # (7, 16): white,c,m,y,r,g,b
+ILLUMINANT_BASIS = np.asarray(_cpu.ILLUMINANT_BASIS)
+SURFACE_SCALE = np.float32(_cpu.SURFACE_SCALE)
+ILLUMINANT_SCALE = np.float32(_cpu.ILLUMINANT_SCALE)
 
 # XYZ -> linear sRGB (spectrum.glsl:74-81)
-XYZ_TO_RGB = jnp.asarray(
+XYZ_TO_RGB = np.asarray(
     np.array(
         [
             [3.240479, -1.537150, -0.498535],

@@ -13,6 +13,7 @@ come pre-gathered per ray via :func:`gather_material`.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from glaze_tpu.ops import fresnel as fr
 from glaze_tpu.ops import microfacet as mf
@@ -35,9 +36,9 @@ from glaze_tpu.scene.flatten import (
     MT_ROUGHNESS,
 )
 
-PI = jnp.float32(3.1415926)
-INV_PI = jnp.float32(0.3183099)
-TWO_PI = jnp.float32(6.2831853)
+PI = np.float32(3.1415926)
+INV_PI = np.float32(0.3183099)
+TWO_PI = np.float32(6.2831853)
 
 FAMILY_LAMBERT = 0
 FAMILY_MIRROR = 1

@@ -53,8 +53,8 @@ PT_STEPS = 6  # raytrace_structures.rs:87
 # default) is free: the checks are Python-level and trace away.
 _capture_sink = None
 RUSSIAN_ROULETTE = PT_STEPS // 2  # path_trace.rgen:11
-INV_2PI = jnp.float32(0.1591549)
-INV_PI = jnp.float32(0.3183099)
+INV_2PI = np.float32(0.1591549)
+INV_PI = np.float32(0.3183099)
 
 
 class PathState(NamedTuple):

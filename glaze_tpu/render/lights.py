@@ -28,14 +28,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from glaze_tpu.ops import spectra
 from glaze_tpu.ops import texture as tx
 from glaze_tpu.ops import vec
 from glaze_tpu.scene.flatten import MS_DIFFUSE_B, MS_DIFFUSE_G, MS_DIFFUSE_R
 
-PI = jnp.float32(3.1415926)
-TWO_PI = jnp.float32(6.2831853)
+PI = np.float32(3.1415926)
+TWO_PI = np.float32(6.2831853)
 
 TYPE_OMNI = 0
 TYPE_SUN = 1
