@@ -23,9 +23,10 @@ run "bench cold" python bench.py
 run "bench warm" python bench.py
 
 # 3. interactive fps: tile-shape sweep at small scales (the >10 fps bar)
-GLAZE_BENCH_SCALES=0.2,0.25 run "fps tile 128x16" python tools/bench_interactive.py
-GLAZE_BENCH_SCALES=0.2,0.25 GLAZE_TILE=64x32 run "fps tile 64x32" python tools/bench_interactive.py
 GLAZE_BENCH_SCALES=0.2,0.25 GLAZE_TILE=32x64 run "fps tile 32x64" python tools/bench_interactive.py
+GLAZE_BENCH_SCALES=0.2,0.25 run "fps tile 128x16" python tools/bench_interactive.py
+GLAZE_BENCH_SCALES=0.2,0.25 GLAZE_TILE=16x128 run "fps tile 16x128" python tools/bench_interactive.py
+GLAZE_BENCH_SCALES=0.2,0.25 GLAZE_TILE=64x32 run "fps tile 64x32" python tools/bench_interactive.py
 
 # 3b. window/queue knobs at small frames (the 1080p plateau sweep may
 #     not hold when per-packet coherence collapses)
@@ -33,7 +34,7 @@ GLAZE_BENCH_SCALES=0.2 GLAZE_TILE=64x32 GLAZE_WINDOW_STEPS=2 run "fps 64x32 S2" 
 GLAZE_BENCH_SCALES=0.2 GLAZE_TILE=64x32 GLAZE_WINDOW_STEPS=4 run "fps 64x32 S4" python tools/bench_interactive.py
 
 # 4. 1080p tile A/B (make sure squarer tiles don't regress the headline)
-GLAZE_BENCH_PHASES=0 GLAZE_BENCH_SHARDED=0 GLAZE_TILE=64x32 run "bench 64x32" python bench.py
+GLAZE_BENCH_PHASES=0 GLAZE_BENCH_SHARDED=0 GLAZE_TILE=32x64 run "bench 32x64" python bench.py
 
 # 5. CLI time-to-first-pixel on mattest (VERDICT #3 done-criterion <20 s)
 run "cli mattest ttfp" bash -c 'time python -m glaze_tpu.cli /root/reference/resources/mattest.glaze /tmp/mt.png --res 512x512 --spp 1'
