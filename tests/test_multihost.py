@@ -19,3 +19,33 @@ def test_two_process_render_matches_single(tmp_path):
         env=env, capture_output=True, text=True, timeout=540)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multihost demo OK" in r.stdout
+
+
+def test_imports_do_not_initialize_backend():
+    """jax.distributed.initialize() must be callable after importing the
+    whole framework — module-level jnp constants would commit device
+    buffers at import and break multi-host init ordering (regression
+    guard for the ops/rng + ops/spectra fix)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax._src import xla_bridge\n"
+        "import glaze_tpu\n"
+        "from glaze_tpu.parallel import distributed, mesh\n"
+        "import glaze_tpu.render.integrator\n"
+        "import glaze_tpu.render.realtime\n"
+        "import glaze_tpu.render.preview\n"
+        "import glaze_tpu.converter\n"
+        "assert not xla_bridge.backends_are_initialized(), \\\n"
+        "    'an import committed device buffers'\n"
+        "print('import-pure')\n"
+    )
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=root,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "import-pure" in r.stdout, (
+        r.stdout[-1000:] + r.stderr[-1000:])
