@@ -96,7 +96,11 @@ def _mesh_sources(dae, mesh_el):
     for v in mesh_el.findall("vertices"):
         sem = {}
         for inp in v.findall("input"):
-            sem[inp.get("semantic")] = srcs.get(inp.get("source").lstrip("#"))
+            src = inp.get("source")
+            if src is None:
+                raise ValueError(
+                    "COLLADA <vertices> input lacks a source attribute")
+            sem[inp.get("semantic")] = srcs.get(src.lstrip("#"))
         verts[v.get("id")] = sem
     return srcs, verts
 
@@ -109,7 +113,11 @@ def _gather_inputs(prim_el, srcs, verts):
         off = int(inp.get("offset", "0"))
         max_off = max(max_off, off)
         sem = inp.get("semantic")
-        src_id = inp.get("source").lstrip("#")
+        src = inp.get("source")
+        if src is None:
+            raise ValueError(
+                f"COLLADA <input semantic={sem!r}> lacks a source attribute")
+        src_id = src.lstrip("#")
         if sem == "VERTEX":
             vsem = verts.get(src_id, {})
             inputs["POSITION"] = (off, vsem.get("POSITION"))
@@ -228,8 +236,11 @@ def import_dae(path):
     # ---- images
     image_files = {}  # image id -> abs path
     for img in root.iter("image"):
-        init = img.findtext("init_from") or img.findtext("init_from/ref") or ""
-        init = init.strip()
+        # 1.4: <init_from>path</init_from>; 1.5 wraps it in <ref> (the
+        # outer element then holds only whitespace, so strip BEFORE the
+        # fallback or 1.5 refs are silently dropped)
+        init = ((img.findtext("init_from") or "").strip()
+                or (img.findtext("init_from/ref") or "").strip())
         if init.startswith("file://"):
             init = init[7:]
         if init:
@@ -382,6 +393,7 @@ def import_dae(path):
     instances = []
     cameras = []
     mesh_material = {}  # mesh id -> material index (from bind_material)
+    mesh_clones = {}  # (mesh id, material index) -> cloned mesh id
 
     def bind_materials(inst_el):
         """material symbol -> material index for one instance_geometry."""
@@ -413,12 +425,16 @@ def import_dae(path):
                 if prev is None or prev == mat_id:
                     mesh_material[mid] = mat_id
                     use = mid
+                elif (mid, mat_id) in mesh_clones:
+                    use = mesh_clones[mid, mat_id]
                 else:
                     # same geometry bound to a different material:
-                    # clone the Mesh (ids are per-Mesh in .glaze)
+                    # clone the Mesh once per binding (ids are per-Mesh
+                    # in .glaze); later instances reuse the clone
                     use = len(meshes)
                     meshes.append(Mesh(use, meshes[mid].indices, mat_id))
                     mesh_material[use] = mat_id
+                    mesh_clones[mid, mat_id] = use
                 instances.append(MeshInstance(use, tf_id(world)))
         for inst in node_el.findall("instance_camera"):
             cam_el = dae.ref(inst.get("url", ""))

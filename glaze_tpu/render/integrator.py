@@ -109,7 +109,8 @@ if os.environ.get("GLAZE_TILE"):
     # a 128x16 tile spans a third of the frame. Product must stay one
     # packet (2048 rays).
     TILE_W, TILE_H = (int(x) for x in os.environ["GLAZE_TILE"].split("x"))
-    assert TILE_W * TILE_H == 2048, "GLAZE_TILE must multiply to 2048"
+    if TILE_W * TILE_H != 2048:  # not assert: must survive python -O
+        raise ValueError("GLAZE_TILE must multiply to 2048 (one packet)")
 
 
 def padded_dims(width: int, height: int):

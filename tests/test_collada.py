@@ -337,3 +337,101 @@ def test_orthographic_camera(tmp_path):
     assert isinstance(cam, OrthographicCam)
     assert cam.scale == 2.5 and cam.near == 0.5 and cam.far == 50.0
     np.testing.assert_allclose(np.asarray(cam.position), [0, 1, 4])
+
+
+def test_collada_15_ref_texture(tmp_path):
+    """1.5-style <init_from><ref>...</ref></init_from> image refs load."""
+    from PIL import Image
+
+    img = os.path.join(str(tmp_path), "t.png")
+    Image.fromarray(np.full((4, 4, 3), 200, np.uint8)).save(img)
+    body = _HEADER + """
+  <library_images>
+    <image id="img"><init_from>
+      <ref>t.png</ref>
+    </init_from></image>
+  </library_images>
+  <library_effects>
+    <effect id="fx"><profile_COMMON>
+      <newparam sid="surf"><surface type="2D"><init_from>img</init_from></surface></newparam>
+      <newparam sid="samp"><sampler2D><source>surf</source></sampler2D></newparam>
+      <technique sid="t"><lambert><diffuse><texture texture="samp" texcoord="UV"/></diffuse></lambert></technique>
+    </profile_COMMON></effect>
+  </library_effects>
+  <library_materials><material id="m"><instance_effect url="#fx"/></material></library_materials>
+  <library_geometries>
+    <geometry id="g"><mesh>
+      <source id="s"><float_array id="sa" count="9">0 0 0 1 0 0 0 1 0</float_array>
+        <technique_common><accessor source="#sa" count="3" stride="3"/></technique_common></source>
+      <vertices id="v"><input semantic="POSITION" source="#s"/></vertices>
+      <triangles material="M" count="1"><input semantic="VERTEX" source="#v" offset="0"/><p>0 1 2</p></triangles>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes><visual_scene id="vs">
+    <node id="n"><instance_geometry url="#g">
+      <bind_material><technique_common><instance_material symbol="M" target="#m"/></technique_common></bind_material>
+    </instance_geometry></node>
+  </visual_scene></library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+    path = _write(str(tmp_path), body, "v15.dae")
+    _, meshes, materials, textures, *_ = import_dae(path)
+    assert len(textures) == 2 and textures[1].info.width == 4
+    assert materials[meshes[0].material].diffuse == 1
+
+
+def test_clone_dedup_and_missing_source(tmp_path):
+    # same geometry instanced 3x with materials A, B, B -> exactly 2
+    # meshes (the B clone is reused, not duplicated)
+    body = _HEADER + """
+  <library_effects>
+    <effect id="fa"><profile_COMMON><technique sid="t"><lambert>
+      <diffuse><color>1 0 0 1</color></diffuse></lambert></technique></profile_COMMON></effect>
+    <effect id="fb"><profile_COMMON><technique sid="t"><lambert>
+      <diffuse><color>0 1 0 1</color></diffuse></lambert></technique></profile_COMMON></effect>
+  </library_effects>
+  <library_materials>
+    <material id="A"><instance_effect url="#fa"/></material>
+    <material id="B"><instance_effect url="#fb"/></material>
+  </library_materials>
+  <library_geometries>
+    <geometry id="g"><mesh>
+      <source id="s"><float_array id="sa" count="9">0 0 0 1 0 0 0 1 0</float_array>
+        <technique_common><accessor source="#sa" count="3" stride="3"/></technique_common></source>
+      <vertices id="v"><input semantic="POSITION" source="#s"/></vertices>
+      <triangles material="M" count="1"><input semantic="VERTEX" source="#v" offset="0"/><p>0 1 2</p></triangles>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes><visual_scene id="vs">
+    <node id="n1"><instance_geometry url="#g"><bind_material><technique_common>
+      <instance_material symbol="M" target="#A"/></technique_common></bind_material></instance_geometry></node>
+    <node id="n2"><translate>1 0 0</translate><instance_geometry url="#g"><bind_material><technique_common>
+      <instance_material symbol="M" target="#B"/></technique_common></bind_material></instance_geometry></node>
+    <node id="n3"><translate>2 0 0</translate><instance_geometry url="#g"><bind_material><technique_common>
+      <instance_material symbol="M" target="#B"/></technique_common></bind_material></instance_geometry></node>
+  </visual_scene></library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+    path = _write(str(tmp_path), body, "clones.dae")
+    _, meshes, materials, _, _, _, _, instances = import_dae(path)
+    assert len(meshes) == 2 and len(instances) == 3
+    used = sorted(meshes[i.mesh_id].material for i in instances)
+    assert len(set(used)) == 2 and used[1] == used[2]
+
+    # missing source attribute -> clean ValueError, not AttributeError
+    bad = _HEADER + """
+  <library_geometries><geometry id="g"><mesh>
+    <vertices id="v"><input semantic="POSITION" source="#s"/></vertices>
+    <triangles count="1"><input semantic="VERTEX"/><p>0 0 0</p></triangles>
+  </mesh></geometry></library_geometries>
+  <library_visual_scenes><visual_scene id="vs">
+    <node id="n"><instance_geometry url="#g"/></node>
+  </visual_scene></library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+    path2 = _write(str(tmp_path), bad, "bad.dae")
+    with pytest.raises(ValueError, match="source attribute"):
+        import_dae(path2)

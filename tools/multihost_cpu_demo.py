@@ -88,7 +88,28 @@ def main():
             [sys.executable, os.path.abspath(__file__)], env=env,
             stdout=None if rank == 0 else subprocess.DEVNULL,
             stderr=subprocess.STDOUT if rank == 0 else subprocess.DEVNULL))
-    rcs = [p.wait(timeout=600) for p in procs]
+    # If one worker dies early, its sibling would block forever inside
+    # a collective — poll and kill the survivors instead of leaking them.
+    import time
+
+    deadline = time.monotonic() + 540
+    rcs = [None] * NPROC
+    try:
+        while time.monotonic() < deadline:
+            for i, p in enumerate(procs):
+                rcs[i] = p.poll()
+            live = [r is None for r in rcs]
+            if not any(live):
+                break
+            if any(r not in (None, 0) for r in rcs):
+                break  # a worker failed; stop waiting for the rest
+            time.sleep(0.5)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
+    rcs = [p.poll() for p in procs]
     if any(rcs):
         raise SystemExit(f"worker exit codes: {rcs}")
 

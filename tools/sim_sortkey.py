@@ -19,17 +19,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _spread3(x):
-    x = x.astype(np.int64)
-    x = (x | (x << 8)) & 0x100F
-    x = (x | (x << 4)) & 0x10C3
-    x = (x | (x << 2)) & 0x1249
-    return x
+def _interleave(cols, bits):
+    """Bit-interleaves K quantized columns (each `bits` wide) into one
+    Morton key. Generic (works for any bits/K — the production kernel's
+    mask-based _spread3 only handles 5-bit inputs, which silently
+    aliased the first version of this sim's 7-bit and 6D candidates)."""
+    out = np.zeros(len(cols[0]), np.int64)
+    k = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            out |= ((c.astype(np.int64) >> b) & 1) << (k * b + i)
+    return out
 
 
-def _morton3(q):
-    """(N, 3) quantized ints -> interleaved Morton."""
-    return _spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1) | (_spread3(q[:, 2]) << 2)
+def _morton3(q, bits):
+    return _interleave([q[:, 0], q[:, 1], q[:, 2]], bits)
 
 
 def _quant(v, lo, extent, bits):
@@ -70,15 +74,17 @@ def main():
               | ((bd[:, 1] >= 0).astype(np.int64) << 1)
               | ((bd[:, 2] >= 0).astype(np.int64) << 2))
 
+    def qo(bits):
+        return [_quant(bo[:, i], lo[i], ext, bits) for i in range(3)]
+
+    def qd(bits):
+        return [_quant(bd[:, i], -1.0, 2.0, bits) for i in range(3)]
+
     def key_origin(bits):
-        q = np.stack([_quant(bo[:, i], lo[i], ext, bits)
-                      for i in range(3)], -1)
-        return _morton3(q)
+        return _interleave(qo(bits), bits)
 
     def key_dir(bits):
-        q = np.stack([_quant(bd[:, i], -1.0, 2.0, bits)
-                      for i in range(3)], -1)
-        return _morton3(q)
+        return _interleave(qd(bits), bits)
 
     cands = {
         "octant only": octant,
@@ -90,7 +96,7 @@ def main():
         "oct + dir3 + origin3":
             (octant << 18) | (key_dir(3) << 9) | key_origin(3),
         "oct + 6D interleave o5/d5":
-            (octant << 30) | (key_origin(5) << 1) | key_dir(5),
+            (octant << 30) | _interleave(qo(5) + qd(5), 5),
         "oct + origin7/axis":
             (octant << 21) | key_origin(7),
     }
