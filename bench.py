@@ -245,6 +245,10 @@ def main():
         "launch_ms": round(launch_ms, 1),
         "time_to_256spp_s": round(tt256, 1),
         "setup_s": round(setup_s, 1),
+        # active perf knobs, so cross-round JSONs are self-describing
+        "tile": f"{integ.TILE_W}x{integ.TILE_H}",
+        "sort": integ.SORT_MODE,
+        "tree": os.environ.get("GLAZE_TREE", "classic"),
         **phases,
         **sharded,
     }))
