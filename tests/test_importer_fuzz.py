@@ -96,3 +96,22 @@ def test_convert_rejects_bad_extension(tmp_path):
     open(p, "w").write("nope")
     with pytest.raises(SystemExit):
         convert(p, os.path.join(str(tmp_path), "x.glaze"))
+
+
+def test_fuzz_x3d(tmp_path):
+    from glaze_tpu.x3d import import_x3d
+
+    cases = [
+        "<X3D/>",
+        "<X3D><Scene><Shape><IndexedFaceSet coordIndex='0 1 2 -1'/>"
+        "</Shape></Scene></X3D>",
+        "<X3D><Scene><Shape><IndexedFaceSet coordIndex='5 6 7 -1'>"
+        "<Coordinate point='0 0 0'/></IndexedFaceSet></Shape></Scene></X3D>",
+        "<X3D><Scene",
+        "",
+    ]
+    for i, body in enumerate(cases):
+        p = os.path.join(str(tmp_path), f"x{i}.x3d")
+        with open(p, "w") as f:
+            f.write(body)
+        _try(p, import_x3d)
