@@ -331,6 +331,11 @@ def convert(input_path, output_path, gen_mipmaps=False):
 
         (vertices, meshes, materials, textures, lights, cameras,
          transforms, instances) = import_x3d(input_path)
+    elif ext == ".wrl":
+        from glaze_tpu.vrml import import_wrl
+
+        (vertices, meshes, materials, textures, lights, cameras,
+         transforms, instances) = import_wrl(input_path)
     elif ext in (".ply", ".stl"):
         from glaze_tpu.mesh_formats import import_ply, import_stl
 
@@ -342,8 +347,9 @@ def convert(input_path, output_path, gen_mipmaps=False):
     else:
         raise SystemExit(
             f"Unsupported input format {ext!r}: this build imports OBJ, "
-            "glTF/GLB, FBX (binary+ASCII), COLLADA (.dae), X3D, PLY, and "
-            "STL natively (assimp is not available in the TPU image)."
+            "glTF/GLB, FBX (binary+ASCII), COLLADA (.dae), X3D, VRML97 "
+            "(.wrl), PLY, and STL natively (assimp is not available in "
+            "the TPU image)."
         )
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
     if not cameras:

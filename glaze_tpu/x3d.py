@@ -123,8 +123,14 @@ def _faces_to_tris(idx):
 def import_x3d(path):
     """X3D -> (vertices, meshes, materials, textures, lights, cameras,
     transforms, instances) — the common importer contract."""
-    root = ET.parse(path).getroot()
-    base = os.path.dirname(os.path.abspath(path))
+    return import_x3d_tree(ET.parse(path).getroot(),
+                           os.path.dirname(os.path.abspath(path)))
+
+
+def import_x3d_tree(root, base):
+    """Same contract over a parsed element tree (the VRML97 importer
+    feeds its classic-encoding parse through here — VRML is the same
+    scene graph in a different syntax)."""
     scene = root.find("Scene")
     if scene is None:
         scene = root.find(".//Scene")

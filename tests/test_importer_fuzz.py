@@ -115,3 +115,21 @@ def test_fuzz_x3d(tmp_path):
         with open(p, "w") as f:
             f.write(body)
         _try(p, import_x3d)
+
+
+def test_fuzz_wrl(tmp_path):
+    from glaze_tpu.vrml import import_wrl
+
+    cases = [
+        "#VRML V2.0 utf8\nShape {",
+        "#VRML V2.0 utf8\nShape { geometry IndexedFaceSet { coordIndex [ 0 1 ] } }",
+        "#VRML V2.0 utf8\n{ } } ] [",
+        "#VRML V2.0 utf8\nTransform { translation }",
+        "plain text",
+        "",
+    ]
+    for i, body in enumerate(cases):
+        p = os.path.join(str(tmp_path), f"w{i}.wrl")
+        with open(p, "w") as f:
+            f.write(body)
+        _try(p, import_wrl)
