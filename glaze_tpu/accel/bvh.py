@@ -296,6 +296,7 @@ def _pack_octant_nodes(oct_tables: dict, m: int) -> np.ndarray:
 # build is seconds of host work per scene). Keyed by content hash; bump
 # _CACHE_VERSION whenever the node packing or builder output changes.
 _CACHE_VERSION = 1
+CACHE_MIN_TRIS = 4096  # below this a direct build beats the file IO
 
 
 def _cache_dir():
@@ -402,7 +403,9 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
             ),
             np.zeros(0, np.uint32),
         )
-    cached = _cache_load(tri_verts, leaf_size)
+    # tiny scenes build in <10 ms — the hash + file IO would cost more
+    use_cache = n >= CACHE_MIN_TRIS
+    cached = _cache_load(tri_verts, leaf_size) if use_cache else None
     if cached is not None:
         nodes16_oct, m, order = cached
         # octant 0 occupies the first ceil(m/16) (pre-8-row-pad) rows of
@@ -413,7 +416,8 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE):
         m = oct_tables["bmin"].shape[1]
         order = oct_tables["tri_order"]
         nodes16_oct, nodes0 = _pack_octant_nodes(oct_tables, m)
-        _cache_store(tri_verts, leaf_size, nodes16_oct, m, order)
+        if use_cache:
+            _cache_store(tri_verts, leaf_size, nodes16_oct, m, order)
     sent = order == SENTINEL
     safe = np.where(sent, 0, order).astype(np.int64)
     tri_sorted = tri_verts[safe]

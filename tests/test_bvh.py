@@ -236,6 +236,7 @@ def test_disk_cache_round_trip_bit_exact(tmp_path, monkeypatch):
     """A cache-hit build must reproduce the direct build bit-for-bit
     (nodes0 is reconstructed from the octant slab on load)."""
     monkeypatch.setenv("GLAZE_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(bvh_mod, "CACHE_MIN_TRIS", 0)
     tri, _ = _random_soup(777, seed=9)
 
     direct, order_a = build_bvh(tri)  # cold: builds + stores
