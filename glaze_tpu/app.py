@@ -95,7 +95,9 @@ def main(argv=None):
     init_logging()
     enable_compilation_cache()
     w, h = (int(v) for v in args.res.lower().split("x"))
-    parsed = parse(args.scene)
+    from glaze_tpu.converter import ensure_glaze
+
+    parsed = parse(ensure_glaze(args.scene))
     rr = RealtimeRenderer(parsed, width=w, height=h, render_scale=args.scale)
     print(f"loaded {args.scene}: {len(rr.materials())} materials, "
           f"{len(rr.lights())} lights", file=sys.stderr)

@@ -69,7 +69,9 @@ def main(argv=None):
               file=sys.stderr)
 
     timer = Timer()
-    parsed = parse(args.input)
+    from glaze_tpu.converter import ensure_glaze
+
+    parsed = parse(ensure_glaze(args.input))
     timer.mark("parse")
     width, height = args.res
     integrator = Integrator.DIRECT if args.integrator == "direct" else Integrator.PATH_TRACE

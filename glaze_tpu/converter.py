@@ -304,6 +304,33 @@ def default_camera(radius):
     )
 
 
+MESH_EXTENSIONS = (".obj", ".gltf", ".glb", ".fbx", ".dae", ".x3d",
+                   ".wrl", ".ply", ".stl")
+
+
+def ensure_glaze(path):
+    """Returns a .glaze path for ``path``, converting importable mesh
+    formats to a cached temp .glaze first (so cli/app/viewer can open
+    any supported format directly). .glaze paths pass through."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in MESH_EXTENSIONS:
+        return path  # .glaze (or unknown: let the parser error clearly)
+    import hashlib
+    import tempfile
+
+    st = os.stat(path)
+    key = hashlib.blake2b(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode(),
+        digest_size=8).hexdigest()
+    out = os.path.join(tempfile.gettempdir(), f"glaze_conv_{key}.glaze")
+    if not os.path.exists(out):
+        import sys as _sys
+
+        print(f"converting {path} -> {out}", file=_sys.stderr)
+        convert(path, out)
+    return out
+
+
 def convert(input_path, output_path, gen_mipmaps=False):
     ext = os.path.splitext(input_path)[1].lower()
     if ext == ".obj":

@@ -281,7 +281,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     w, h = (int(v) for v in args.res.split("x"))
-    rt = RealtimeRenderer(parse(args.scene), width=w, height=h,
+    from glaze_tpu.converter import ensure_glaze
+
+    rt = RealtimeRenderer(parse(ensure_glaze(args.scene)), width=w, height=h,
                           render_scale=args.scale)
     srv, state, t = serve(rt, host=args.host, port=args.port)
     print(f"glaze viewer on http://{args.host}:{srv.server_address[1]}/")

@@ -477,3 +477,25 @@ endsolid t
     out3 = tmp_path / "tri3.glaze"
     convert(str(stl3), str(out3))
     assert len(parse(str(out3)).vertices()) == 3
+
+
+def test_cli_opens_mesh_formats_directly(tmp_path, capsys):
+    """cli/app/viewer accept any importable format via auto-conversion
+    (ensure_glaze caches the converted temp by path+mtime)."""
+    import os
+    import sys
+
+    from glaze_tpu import cli
+    from glaze_tpu.converter import ensure_glaze
+
+    out = os.path.join(str(tmp_path), "o.png")
+    cli.main(["/root/reference/resources/cube.obj", out,
+              "--res", "32x32", "--spp", "1"])
+    assert os.path.exists(out)
+
+    # second resolve hits the cached temp file (same path returned)
+    a = ensure_glaze("/root/reference/resources/cube.obj")
+    b = ensure_glaze("/root/reference/resources/cube.obj")
+    assert a == b and a.endswith(".glaze") and os.path.exists(a)
+    # .glaze passes through untouched
+    assert ensure_glaze("/x/y.glaze") == "/x/y.glaze"
