@@ -562,9 +562,18 @@ def import_fbx(path):
         for vid, v in fbx_videos.items():
             if tex_oid in oo.get(vid, ()):
                 content = v.first("Content")
-                if content is not None and content.props and \
-                        isinstance(content.props[0], (bytes, bytearray)):
-                    raw = bytes(content.props[0])
+                if content is not None and content.props:
+                    c = content.props[0]
+                    if isinstance(c, (bytes, bytearray)):
+                        raw = bytes(c)
+                    elif isinstance(c, str) and len(c) > 16:
+                        # ASCII FBX embeds Content as base64 text
+                        import base64
+
+                        try:
+                            raw = base64.b64decode(c, validate=True)
+                        except Exception:
+                            raw = None
                 name = _tex_file(v) or name
         import io
         import os as _os

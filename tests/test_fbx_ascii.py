@@ -120,3 +120,26 @@ def test_garbage_rejected(tmp_path):
         f.write(b"\x89PNG not an fbx at all")
     with pytest.raises(ValueError, match="not an FBX"):
         parse_fbx(path)
+
+
+def test_ascii_embedded_video_texture(tmp_path):
+    """ASCII FBX embeds Video Content as base64 text."""
+    import base64
+
+    png, img = _checker_png_bytes()
+    b64 = base64.b64encode(png).decode()
+    body = _ASCII_QUAD.replace(
+        '\tTexture: 4, "Texture::check", "" {\n'
+        '\t\tRelativeFilename: "checker.png"\n\t}',
+        '\tTexture: 4, "Texture::check", "" {\n\t}\n'
+        '\tVideo: 5, "Video::check", "Clip" {\n'
+        f'\t\tContent: "{b64}"\n\t}}').replace(
+        'Connections:  {',
+        'Connections:  {\n\tC: "OO",5,4')
+    path = str(tmp_path / "emb.fbx")
+    with open(path, "w") as f:
+        f.write(body)
+    # no checker.png on disk: the embedded bytes must carry the image
+    _, meshes, mats, texs, *_ = import_fbx(path)
+    assert len(texs) == 2 and texs[1].info.width == 16
+    assert mats[meshes[0].material].diffuse == 1
