@@ -305,7 +305,7 @@ def default_camera(radius):
 
 
 MESH_EXTENSIONS = (".obj", ".gltf", ".glb", ".fbx", ".dae", ".x3d",
-                   ".wrl", ".ply", ".stl")
+                   ".wrl", ".3ds", ".ply", ".stl")
 
 
 def ensure_glaze(path):
@@ -363,6 +363,11 @@ def convert(input_path, output_path, gen_mipmaps=False):
 
         (vertices, meshes, materials, textures, lights, cameras,
          transforms, instances) = import_wrl(input_path)
+    elif ext == ".3ds":
+        from glaze_tpu.tds import import_3ds
+
+        (vertices, meshes, materials, textures, lights, cameras,
+         transforms, instances) = import_3ds(input_path)
     elif ext in (".ply", ".stl"):
         from glaze_tpu.mesh_formats import import_ply, import_stl
 
@@ -375,8 +380,8 @@ def convert(input_path, output_path, gen_mipmaps=False):
         raise SystemExit(
             f"Unsupported input format {ext!r}: this build imports OBJ, "
             "glTF/GLB, FBX (binary+ASCII), COLLADA (.dae), X3D, VRML97 "
-            "(.wrl), PLY, and STL natively (assimp is not available in "
-            "the TPU image)."
+            "(.wrl), 3DS, PLY, and STL natively (assimp is not available "
+            "in the TPU image)."
         )
     centre, radius = calc_scene_centre_radius(vertices, meshes, instances, transforms)
     if not cameras:

@@ -133,3 +133,14 @@ def test_fuzz_wrl(tmp_path):
         with open(p, "w") as f:
             f.write(body)
         _try(p, import_wrl)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_fuzz_3ds(tmp_path, seed):
+    from glaze_tpu.tds import import_3ds
+
+    for i, data in enumerate(_fuzz_cases(seed, 6)):
+        p = os.path.join(str(tmp_path), f"t{i}.3ds")
+        with open(p, "wb") as f:
+            f.write(struct.pack("<HI", 0x4D4D, 6 + len(data)) + data)
+        _try(p, import_3ds)
