@@ -327,7 +327,18 @@ def ensure_glaze(path):
         import sys as _sys
 
         print(f"converting {path} -> {out}", file=_sys.stderr)
-        convert(path, out)
+        # convert to a private temp then atomically rename, so two
+        # front-ends opening the same model concurrently never read a
+        # half-written file
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(),
+                                   suffix=".glaze")
+        os.close(fd)
+        try:
+            convert(path, tmp)
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return out
 
 
