@@ -31,6 +31,10 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
+from glaze_tpu.importer_util import (
+    VertexDedup,
+    area_weighted_normals as _area_weighted_normals,
+)
 from glaze_tpu.core import (
     Camera,
     Light,
@@ -45,7 +49,6 @@ from glaze_tpu.core import (
     TextureFormat,
     TextureInfo,
     Transform,
-    Vertex,
 )
 
 
@@ -129,15 +132,6 @@ def _gather_inputs(prim_el, srcs, verts):
                 continue
             inputs[sem] = (off, srcs.get(src_id))
     return inputs, max_off + 1
-
-
-def _area_weighted_normals(pos, tris):
-    nrm = np.zeros_like(pos)
-    fn = np.cross(pos[tris[:, 1]] - pos[tris[:, 0]],
-                  pos[tris[:, 2]] - pos[tris[:, 0]])
-    for k in range(3):
-        np.add.at(nrm, tris[:, k], fn)
-    return nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
 
 
 def _effect_color(technique, name):
@@ -316,10 +310,8 @@ def import_dae(path):
                                 resource_id=mid))
 
     # ---- geometries: one Mesh per triangles/polylist element
-    from glaze_tpu.parser.v1 import vertex_to_bytes
-
-    vertices = []
-    used_vert = {}
+    dedup = VertexDedup()
+    vertices = dedup.vertices
     meshes = []
     geo_meshes = {}  # geometry id -> [(mesh id, material symbol)]
 
@@ -327,17 +319,10 @@ def import_dae(path):
         """Dedup-append triangle vertices; one Mesh per primitive."""
         indices = []
         for pi, ni, ti in prim_idx:
-            p = pos[pi]
-            n = nrm[ni] if ni >= 0 else gen_nrm[pi]
-            t = uv[ti] if ti >= 0 else np.zeros(2, np.float32)
-            vert = Vertex(p, n, t)
-            vb = vertex_to_bytes(vert)
-            j = used_vert.get(vb)
-            if j is None:
-                j = len(vertices)
-                used_vert[vb] = j
-                vertices.append(vert)
-            indices.append(j)
+            indices.append(dedup.add(
+                pos[pi],
+                nrm[ni] if ni >= 0 else gen_nrm[pi],
+                uv[ti] if ti >= 0 else np.zeros(2, np.float32)))
         mid = len(meshes)
         meshes.append(Mesh(mid, indices, 0))  # material patched at bind
         out.append([mid, symbol])

@@ -21,6 +21,10 @@ import struct
 
 import numpy as np
 
+from glaze_tpu.importer_util import (
+    VertexDedup,
+    area_weighted_normals,
+)
 from glaze_tpu.core import (
     Camera,
     Light,
@@ -34,7 +38,6 @@ from glaze_tpu.core import (
     TextureFormat,
     TextureInfo,
     Transform,
-    Vertex,
 )
 
 MAIN = 0x4D4D
@@ -219,35 +222,21 @@ def import_3ds(path):
                         position=p, target=t, up=[0, 1, 0],
                         fovx=float(2.0 * np.arctan(18.0 / lens_mm)))))
 
-    from glaze_tpu.parser.v1 import vertex_to_bytes
-
-    vertices = []
-    used = {}
+    dedup = VertexDedup()
+    vertices = dedup.vertices
     meshes = []
     instances = []
     transforms = [Transform.identity()]
 
     def add_mesh(verts, faces, uvs, mat_id):
         pos = (verts @ _ZUP.T).astype(np.float32)
-        nrm = np.zeros_like(pos)
-        fn = np.cross(pos[faces[:, 1]] - pos[faces[:, 0]],
-                      pos[faces[:, 2]] - pos[faces[:, 0]])
-        for k in range(3):
-            np.add.at(nrm, faces[:, k], fn)
-        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+        nrm = area_weighted_normals(pos, faces)
         indices = []
         for f in faces:
             for pi in f:
                 uv = (uvs[pi] if uvs is not None and pi < len(uvs)
                       else np.zeros(2, np.float32))
-                vert = Vertex(pos[pi], nrm[pi], uv)
-                vb = vertex_to_bytes(vert)
-                j = used.get(vb)
-                if j is None:
-                    j = len(vertices)
-                    used[vb] = j
-                    vertices.append(vert)
-                indices.append(j)
+                indices.append(dedup.add(pos[pi], nrm[pi], uv))
         mid = len(meshes)
         meshes.append(Mesh(mid, indices, mat_id))
         instances.append(MeshInstance(mid, 0))

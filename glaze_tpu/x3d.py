@@ -25,6 +25,10 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
+from glaze_tpu.importer_util import (
+    VertexDedup,
+    area_weighted_normals as _area_weighted_normals,
+)
 from glaze_tpu.core import (
     Camera,
     Light,
@@ -38,7 +42,6 @@ from glaze_tpu.core import (
     TextureFormat,
     TextureInfo,
     Transform,
-    Vertex,
 )
 
 
@@ -93,15 +96,6 @@ def _transform_matrix(el):
     if len(s) == 3:
         sm[0, 0], sm[1, 1], sm[2, 2] = s
     return tm @ cm @ rm @ sm @ cmi
-
-
-def _area_weighted_normals(pos, tris):
-    nrm = np.zeros_like(pos)
-    fn = np.cross(pos[tris[:, 1]] - pos[tris[:, 0]],
-                  pos[tris[:, 2]] - pos[tris[:, 0]])
-    for k in range(3):
-        np.add.at(nrm, tris[:, k], fn)
-    return nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
 
 
 def _faces_to_tris(idx):
@@ -211,10 +205,8 @@ def import_x3d_tree(root, base):
                                 resource_id=mid))
         return mid
 
-    from glaze_tpu.parser.v1 import vertex_to_bytes
-
-    vertices = []
-    used_vert = {}
+    dedup = VertexDedup()
+    vertices = dedup.vertices
     meshes = []
     geo_cache = {}  # (id(geometry el), material idx) -> mesh id
 
@@ -260,14 +252,7 @@ def import_x3d_tree(root, base):
                 else:
                     ti = tidx_tris[f, k] if tidx_tris is not None else pi
                     t = uv[ti] if ti < len(uv) else np.zeros(2, np.float32)
-                vert = Vertex(pos[pi], n, t)
-                vb = vertex_to_bytes(vert)
-                j = used_vert.get(vb)
-                if j is None:
-                    j = len(vertices)
-                    used_vert[vb] = j
-                    vertices.append(vert)
-                indices.append(j)
+                indices.append(dedup.add(pos[pi], n, t))
         mid = len(meshes)
         meshes.append(Mesh(mid, indices, mat_id))
         geo_cache[key] = mid
