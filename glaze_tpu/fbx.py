@@ -332,9 +332,7 @@ def import_fbx(path):
         Spectrum,
         Texture,
         Transform,
-        Vertex,
     )
-    from glaze_tpu.parser.v1 import vertex_to_bytes
 
     root, _version = parse_fbx(path)
     objects = root.first("Objects")
@@ -392,8 +390,10 @@ def import_fbx(path):
         mat_id_of[oid] = len(materials)
         materials.append(mat)
 
-    vertices = []
-    vert_cache = {}
+    from glaze_tpu.importer_util import VertexDedup
+
+    dedup = VertexDedup()
+    vertices = dedup.vertices
     meshes = []
     transforms = [Transform.identity()]
     tf_cache = {Transform.identity().m.tobytes(): 0}
@@ -401,13 +401,9 @@ def import_fbx(path):
     lights = []
 
     def add_vertex(p, n, uv):
-        v = Vertex(np.asarray(p, np.float32), np.asarray(n, np.float32),
-                   np.asarray(uv, np.float32))
-        key = vertex_to_bytes(v)
-        if key not in vert_cache:
-            vert_cache[key] = len(vertices)
-            vertices.append(v)
-        return vert_cache[key]
+        return dedup.add(np.asarray(p, np.float32),
+                         np.asarray(n, np.float32),
+                         np.asarray(uv, np.float32))
 
     def add_transform(m4):
         t = Transform(m4.astype(np.float32))

@@ -34,7 +34,6 @@ from glaze_tpu.core import (
     TextureFormat,
     TextureInfo,
     Transform,
-    Vertex,
 )
 
 _COMPONENT = {
@@ -219,11 +218,12 @@ def import_gltf(path):
                                 resource_id=mat_id))
 
     # meshes: one Mesh per primitive; glTF mesh index -> our mesh id list
-    vertices = []
-    used_vert = {}
+    from glaze_tpu.importer_util import VertexDedup, area_weighted_normals
+
+    dedup = VertexDedup()
+    vertices = dedup.vertices
     meshes = []
     mesh_ids = []  # per glTF mesh: list of our mesh ids
-    from glaze_tpu.parser.v1 import vertex_to_bytes
 
     for gm in doc.get("meshes", []):
         ids = []
@@ -241,26 +241,10 @@ def import_gltf(path):
             else:
                 idx = np.arange(len(pos), dtype=np.int64)
             if nrm is None:
-                nrm = np.zeros_like(pos)
-                tris = idx.reshape(-1, 3)
-                fn = np.cross(pos[tris[:, 1]] - pos[tris[:, 0]],
-                              pos[tris[:, 2]] - pos[tris[:, 0]])
-                for k in range(3):
-                    np.add.at(nrm, tris[:, k], fn)
-                nrm /= np.maximum(
-                    np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+                nrm = area_weighted_normals(pos, idx.reshape(-1, 3))
             if uv is None:
                 uv = np.zeros((len(pos), 2), np.float32)
-            indices = []
-            for i in idx:
-                vert = Vertex(pos[i], nrm[i], uv[i])
-                vb = vertex_to_bytes(vert)
-                j = used_vert.get(vb)
-                if j is None:
-                    j = len(vertices)
-                    used_vert[vb] = j
-                    vertices.append(vert)
-                indices.append(j)
+            indices = [dedup.add(pos[i], nrm[i], uv[i]) for i in idx]
             mid = len(meshes)
             meshes.append(Mesh(mid, indices,
                                prim.get("material", -1) + 1))
