@@ -273,7 +273,17 @@ def import_gltf(path):
                 instances.append(MeshInstance(mid, tid))
         if "camera" in node:
             cam = doc["cameras"][node["camera"]]
-            if cam.get("type") == "perspective":
+            if cam.get("type") == "orthographic":
+                o = cam["orthographic"]
+                position = world[:3, 3]
+                fwd = -world[:3, 2]
+                from glaze_tpu.core import OrthographicCam
+
+                cameras.append(Camera.Orthographic(OrthographicCam(
+                    position=position, target=position + fwd * 100.0,
+                    up=world[:3, 1], scale=float(o.get("xmag", 1.0)),
+                    near=o.get("znear", 1e-3), far=o.get("zfar", 1e3))))
+            elif cam.get("type") == "perspective":
                 p = cam["perspective"]
                 aspect = p.get("aspectRatio", 16 / 9)
                 yfov = p["yfov"]

@@ -499,3 +499,28 @@ def test_cli_opens_mesh_formats_directly(tmp_path, capsys):
     assert a == b and a.endswith(".glaze") and os.path.exists(a)
     # .glaze passes through untouched
     assert ensure_glaze("/x/y.glaze") == "/x/y.glaze"
+
+
+def test_gltf_orthographic_camera(tmp_path):
+    import json
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"camera": 0, "translation": [0, 2, 9]}],
+        "cameras": [{"type": "orthographic",
+                     "orthographic": {"xmag": 3.5, "ymag": 2.0,
+                                      "znear": 0.25, "zfar": 80}}],
+    }
+    src = tmp_path / "cam.gltf"
+    src.write_text(json.dumps(gltf))
+    from glaze_tpu.core import OrthographicCam
+    from glaze_tpu.gltf import import_gltf
+
+    *_, cameras, tfs, insts = import_gltf(str(src))
+    assert len(cameras) == 1
+    cam = cameras[0].inner
+    assert isinstance(cam, OrthographicCam)
+    assert cam.scale == 3.5 and cam.near == 0.25 and cam.far == 80
+    np.testing.assert_allclose(np.asarray(cam.position), [0, 2, 9])
