@@ -229,6 +229,31 @@ def main():
         except Exception as e:  # never fail the headline number
             sharded = {"sharded_ok": False, "sharded_error": str(e)[:200]}
 
+    # Interactive fps (BASELINE's >10 fps progressive bar) measured on the
+    # same scene so the claim lives in the driver-recorded artifact, not
+    # just in docs. Progressive PT at render scale 0.2 + the flat raster
+    # preview at 0.25, pipelined frames (realtime.py draw path).
+    fps = {}
+    if os.environ.get("GLAZE_BENCH_FPS", "1") == "1":
+        from glaze_tpu.render.realtime import RealtimeRenderer
+
+        try:
+            def timed_fps(rr, n=12):
+                rr.draw_frame(pipelined=True)  # compile
+                rr.draw_frame(pipelined=True)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    rr.draw_frame(pipelined=True)
+                return n / (time.perf_counter() - t0)
+
+            rr = RealtimeRenderer(parsed, width=WIDTH, height=HEIGHT,
+                                  render_scale=0.2, seed=11)
+            fps["progressive_fps_scale02"] = round(timed_fps(rr), 2)
+            rr.use_raytracer = False
+            fps["flat_preview_fps_scale02"] = round(timed_fps(rr), 2)
+        except Exception as e:  # never fail the headline number
+            fps = {"fps_error": str(e)[:200]}
+
     rays = p * STEPS
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
@@ -251,6 +276,7 @@ def main():
         "tree": os.environ.get("GLAZE_TREE", "classic"),
         **phases,
         **sharded,
+        **fps,
     }))
 
 
