@@ -15,6 +15,13 @@ the TPU tunnel dedupes identical executions, so repeat-same-args timing
 lies). A launch = one path-tracing bounce for every pixel (camera ray or
 bounce ray + NEE shadow ray); the Mrays metric counts primary/bounce rays
 like the reference's traceRayEXT launches.
+
+Every timed interval ends with a 1-element host transfer of the result,
+NOT bare block_until_ready: after the 2026-08-18 tunnel restart,
+block_until_ready was observed returning in ~0.2 ms for 1080p launches
+that take ~1.6 s (the fps path, which fetches pixels, still showed the
+real rate). Bytes on the host cannot lie; the measured transfer-only
+round trip is subtracted from phase timings.
 """
 
 from __future__ import annotations
@@ -91,15 +98,27 @@ def main():
         offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
         return integ.render_steps(r.scene, state, seeds, offs, c2w, s2c, **kw)
 
+    def sync(x):
+        """Force REAL completion: fetch one element to the host.
+        (bare block_until_ready can return without waiting — see module
+        docstring.)"""
+        return np.asarray(jax.device_get(x[:1] if getattr(x, "ndim", 0)
+                                         else x))
+
     state = integ.init_state(WIDTH, HEIGHT)
     state = run(state)  # compile + warm
-    jax.block_until_ready(state.count)
+    sync(state.count)
+
+    # transfer-only round trip (subtracted from short phase timings)
+    t0 = time.perf_counter()
+    sync(state.count)
+    rtt = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         state = run(state)
-        jax.block_until_ready(state.count)
+        sync(state.count)
         best = min(best, time.perf_counter() - t0)
 
     # per-phase counters (VERDICT: one aggregate number hides where the
@@ -115,13 +134,17 @@ def main():
         o, d = integ.camera_rays(ndc_x, ndc_y, c2w, s2c, True)
 
         def timed_phase(fn):
-            jax.block_until_ready(fn(0.0))
+            # random per-call perturbation: a DETERMINISTIC eps (the old
+            # 1e-5*k) repeats across bench invocations, so the tunnel's
+            # cross-process dedup returns cached results at ~0 ms
+            sync(fn(1e-5 * float(rng.random())))
             t = float("inf")
-            for k in range(1, 3):
+            for _ in range(3):
+                eps = 1e-5 * float(rng.random())
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(1e-5 * k))
+                sync(fn(eps))
                 t = min(t, time.perf_counter() - t0)
-            return t
+            return max(t - rtt, 1e-9)
 
         any_tree = (r.scene.bvh_any if r.scene.bvh_any is not None
                     else r.scene.bvh)
@@ -212,12 +235,12 @@ def main():
                 return fn(scene_sh, st, seeds, offs, c2w, s2c, m, **kw)
 
             st = run_sh(st)  # compile + warm
-            jax.block_until_ready(st.count)
+            sync(st.count)
             dt = float("inf")
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
                 st = run_sh(st)
-                jax.block_until_ready(st.count)
+                sync(st.count)
                 dt = min(dt, time.perf_counter() - t0)
             rays_sh = p * STEPS * (n_dev if mode == "spp" else 1)
             sharded = {
