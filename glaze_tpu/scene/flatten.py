@@ -451,10 +451,26 @@ def build_sky_tables(lights, textures):
     # luminance of Spectrum::from_rgb(pixel, true) x sin(theta) per row
     # (calculate_skymap_distributions, scene.rs:2191-2210). Pixels are u8
     # ColorRGB, which converts via sRGB EOTF (color.rs From<[u8;3]>).
-    c = rgb.astype(np.float32) / 255.0
-    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
-    spec = rgb_to_spectrum_np(lin, is_light=True)
-    lum = np.clip((spec * CIE_Y).sum(-1) * np.float32(INVY_SUM), 0.0, 1.0)
+    # Chunked: one (H*W, 16) spectrum temp is ~64 MB for a 1k skymap, and
+    # every fresh >=32 MB numpy temp on this host goes through mmap and
+    # faults at ~6 MB/s (measured: one such np.where took 36 s of sys
+    # time) — small reused temps sidestep it entirely.
+    if rgb.dtype == np.uint8:
+        cv = np.arange(256, dtype=np.float32) / 255.0
+        lut = np.where(cv <= 0.04045, cv / 12.92,
+                       ((cv + 0.055) / 1.055) ** 2.4).astype(np.float32)
+        lin = lut[rgb]  # exact sRGB EOTF, 256-entry table
+    else:
+        c = rgb.astype(np.float32) / 255.0
+        lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    flat = lin.reshape(-1, 3)
+    lum = np.zeros(flat.shape[0], np.float32)  # calloc: fast first-touch
+    ciey = CIE_Y.astype(np.float32)
+    step = 65536
+    for s in range(0, flat.shape[0], step):
+        spec = rgb_to_spectrum_np(flat[s:s + step], is_light=True)
+        lum[s:s + step] = (spec * ciey).sum(-1)
+    lum = np.clip(lum.reshape(rgb.shape[:2]) * np.float32(INVY_SUM), 0.0, 1.0)
     sint = np.sin(np.pi * (np.arange(h, dtype=np.float32) + 0.5) / h)
     values = lum * sint[:, None]  # (H, W)
     dist = Distribution2D(values.reshape(-1), w)
