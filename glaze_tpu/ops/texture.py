@@ -45,36 +45,49 @@ def build_atlas(textures) -> TextureAtlas:
     """
     from glaze_tpu.core.texture import TextureFormat
 
-    texels = []
     offsets, widths, heights, srgbs = [], [], [], []
-    pos = 0
-    for tex in textures:
-        arr = tex.array(0)
-        h, w = arr.shape[0], arr.shape[1]
-        if tex.format() == TextureFormat.Gray:
-            a = arr.astype(np.uint32)
-            packed = a | (a << 8) | (a << 16) | np.uint32(255 << 24)
-        else:
-            a = arr.astype(np.uint32)
-            packed = a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16) | (a[..., 3] << 24)
-        right = np.roll(packed, -1, axis=1)
-        quad = np.stack(
-            [packed.reshape(-1), right.reshape(-1),
-             np.roll(packed, -1, axis=0).reshape(-1),
-             np.roll(right, -1, axis=0).reshape(-1)],
-            axis=1,
+    arrs = [tex.array(0) for tex in textures]
+    total = sum(a.shape[0] * a.shape[1] for a in arrs)
+    if not arrs:
+        return TextureAtlas(
+            texels=jnp.asarray(np.full((1, 4), 0xFFFFFFFF, np.uint32)),
+            offset=jnp.asarray(np.asarray([0], np.int32)),
+            width=jnp.asarray(np.asarray([1], np.int32)),
+            height=jnp.asarray(np.asarray([1], np.int32)),
+            srgb=jnp.asarray(np.asarray([0.0], np.float32)),
         )
-        texels.append(quad)
+    # One calloc'd slab filled in ~64k-texel row chunks: fresh >=32 MB numpy
+    # temps on this host fault in at ~6 MB/s, so the old per-texture
+    # astype/roll/stack/concat temps dominated setup for MB-scale textures.
+    out = np.zeros((total, 4), np.uint32)
+    pos = 0
+    for tex, arr in zip(textures, arrs):
+        h, w = arr.shape[0], arr.shape[1]
+        gray = tex.format() == TextureFormat.Gray
+        dst = out[pos:pos + h * w].reshape(h, w, 4)
+        step = max(1, 65536 // max(w, 1))
+        for s in range(0, h, step):
+            e = min(s + step, h)
+            rows = np.arange(s, e + 1)
+            rows[-1] %= h  # REPEAT wrap for the 'down' neighborhood row
+            blk = arr[rows]
+            a = blk.astype(np.uint32)
+            if gray:
+                packed = a | (a << 8) | (a << 16) | np.uint32(255 << 24)
+            else:
+                packed = a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16) | (a[..., 3] << 24)
+            right = np.concatenate([packed[:, 1:], packed[:, :1]], axis=1)
+            dst[s:e, :, 0] = packed[:-1]
+            dst[s:e, :, 1] = right[:-1]
+            dst[s:e, :, 2] = packed[1:]
+            dst[s:e, :, 3] = right[1:]
         offsets.append(pos)
         widths.append(w)
         heights.append(h)
         srgbs.append(1.0 if tex.format() == TextureFormat.RgbaSrgb else 0.0)
         pos += w * h
-    if not texels:
-        texels = [np.full((1, 4), 0xFFFFFFFF, np.uint32)]
-        offsets, widths, heights, srgbs = [0], [1], [1], [0.0]
     return TextureAtlas(
-        texels=jnp.asarray(np.concatenate(texels).astype(np.uint32)),
+        texels=jnp.asarray(out),
         offset=jnp.asarray(np.asarray(offsets, np.int32)),
         width=jnp.asarray(np.asarray(widths, np.int32)),
         height=jnp.asarray(np.asarray(heights, np.int32)),
