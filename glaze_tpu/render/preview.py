@@ -148,7 +148,7 @@ class FlatPreviewRenderer:
         self.width, self.height = int(width), int(height)
         self._request_new_frame = True
 
-    def draw_frame(self):
+    def draw_frame(self, return_image: bool = False):
         c2w, s2c = integ.camera_matrices(self.camera, self.width, self.height)
         exposure = (jnp.float32(self.exposure) if self.exposure is not None
                     else self.scene.exposure)
@@ -159,6 +159,8 @@ class FlatPreviewRenderer:
             alpha_rounds=self._alpha_rounds,
         )
         self._request_new_frame = False
+        if return_image:
+            return self._frame  # (P', 3) u8 device array, swizzled order
 
     def get_image(self) -> np.ndarray:
         if self._frame is None or self._request_new_frame:

