@@ -65,6 +65,20 @@ def main():
         print(f"  flat preview: {n / dt:6.2f} fps ({dt / n * 1e3:.0f} "
               f"ms/frame)")
 
+        # camera drag: accumulation restarts every frame, so each launch
+        # is all-primary (the viewport.rs mouse-look workload)
+        rr.use_raytracer = True
+        rr.look_around(1e-4, 0.0)
+        rr.draw_frame(pipelined=True)  # compile the restart path
+        rr.draw_frame(pipelined=True)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rr.look_around(1e-4, 0.0)
+            rr.draw_frame(pipelined=True)
+        dt = time.perf_counter() - t0
+        print(f"  camera drag (PT, restart/frame): {n / dt:6.2f} fps "
+              f"({dt / n * 1e3:.0f} ms/frame)")
+
 
 if __name__ == "__main__":
     main()

@@ -82,12 +82,15 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_rays.npz"
     width, height = 1920, 1080
     warm = 4
+    seed = 3
     for a in sys.argv[2:]:
         if a.startswith("--res"):
             width, height = map(int, a.split("=")[1].split("x"))
         elif a.startswith("--warm"):
             warm = int(a.split("=")[1])
-    data = capture(width, height, warm)
+        elif a.startswith("--seed"):
+            seed = int(a.split("=")[1])
+    data = capture(width, height, warm, seed)
     np.savez_compressed(out_path, **data)
     for k, v in sorted(data.items()):
         print(k, v.shape, v.dtype)
