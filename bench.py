@@ -85,8 +85,12 @@ def main():
     p = integ.pixel_count(WIDTH, HEIGHT)
     c2w, s2c = integ.camera_matrices(r.camera, WIDTH, HEIGHT)
     c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
+    # samples-in-flight (GLAZE_SIF): sif independent path states per
+    # pixel advance per launch — a denser Morton-sorted wavefront cuts
+    # the row-union factor (tools/bench_density.py measurements)
+    sif = int(os.environ.get("GLAZE_SIF", "1"))
     kw = dict(width=WIDTH, height=HEIGHT, is_persp=True, direct_only=False,
-              steps=STEPS, alpha_rounds=r._alpha_rounds)
+              steps=STEPS, alpha_rounds=r._alpha_rounds, sif=sif)
     # fresh entropy per run: the TPU tunnel dedupes identical
     # (executable, inputs) pairs ACROSS PROCESSES, so a fixed seed makes
     # repeat runs of an unchanged build return cached results at ~0 ms
@@ -95,7 +99,8 @@ def main():
 
     def run(state):
         seeds = jnp.asarray(rng.integers(0, 2**32, STEPS, dtype=np.uint32))
-        offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
+        oshape = (STEPS, 2) if sif == 1 else (STEPS, sif, 2)
+        offs = jnp.asarray(rng.random(oshape, np.float32))
         return integ.render_steps(r.scene, state, seeds, offs, c2w, s2c, **kw)
 
     def sync(x):
@@ -105,7 +110,7 @@ def main():
         return np.asarray(jax.device_get(x[:1] if getattr(x, "ndim", 0)
                                          else x))
 
-    state = integ.init_state(WIDTH, HEIGHT)
+    state = integ.init_state(WIDTH, HEIGHT, sif)
     state = run(state)  # compile + warm
     sync(state.count)
 
@@ -163,10 +168,19 @@ def main():
         # (tools/capture_rays.py mechanism), through the production
         # sorted trace paths. These are the numbers round-over-round
         # kernel work must move (VERDICT r2 weak #4).
-        px_, py_ = px, py
+        # mirror render_steps' sif lane layout so the capture runs on the
+        # same (sif-sized) steady state the timed loop produced
         size = jnp.asarray([WIDTH, HEIGHT], jnp.float32)
+        if sif > 1:
+            p1 = px.shape[0]
+            px_, py_ = jnp.tile(px, sif), jnp.tile(py, sif)
+            _, ph_pad = integ.padded_dims(WIDTH, HEIGHT)
+            rng_py = py_ + jnp.repeat(
+                jnp.arange(sif, dtype=jnp.float32) * ph_pad, p1)
+        else:
+            px_, py_, rng_py = px, py, None
         ckw = dict(is_persp=True, direct_only=False,
-                   alpha_rounds=r._alpha_rounds)
+                   alpha_rounds=r._alpha_rounds, rng_py=rng_py)
 
         names = []  # filled at trace time (strings can't ride jit outputs)
 
@@ -191,14 +205,15 @@ def main():
         t_bounce = timed_phase(lambda eps: integ.trace_alpha_sorted(
             r.scene, tuple(c + eps for c in bo["o"]), bo["d"],
             alpha_rounds=r._alpha_rounds)["t"])
-        phases["closest_bounce_mrays"] = round(p / t_bounce / 1e6, 2)
+        phases["closest_bounce_mrays"] = round(p * sif / t_bounce / 1e6, 2)
         if "anyhit_nee" in bufs:
             bs = bufs["anyhit_nee"]
             t_shadow = timed_phase(
                 lambda eps: integ._any_hit_sorted(
                     r.scene, tuple(c + eps for c in bs["o"]), bs["d"],
                     bs["tmax"], bs["active"]).astype(jnp.float32))
-            phases["anyhit_shadow_mrays"] = round(p / t_shadow / 1e6, 2)
+            phases["anyhit_shadow_mrays"] = round(
+                p * sif / t_shadow / 1e6, 2)
             phases["shadow_active_frac"] = round(
                 float(jnp.mean(bs["active"].astype(jnp.float32))), 3)
 
@@ -277,12 +292,12 @@ def main():
         except Exception as e:  # never fail the headline number
             fps = {"fps_error": str(e)[:200]}
 
-    rays = p * STEPS
+    rays = p * STEPS * sif
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
     # BASELINE's convergence metric, extrapolated from the launch rate
-    # (256 spp x PT_STEPS launches)
-    tt256 = SPP_TARGET * integ.PT_STEPS * launch_ms / 1e3
+    # (256 spp x PT_STEPS launches; each launch advances sif samples)
+    tt256 = SPP_TARGET * integ.PT_STEPS * launch_ms / sif / 1e3
     print(json.dumps({
         "metric": "mrays_per_sec",
         "value": round(mrays, 3),
@@ -295,6 +310,7 @@ def main():
         "setup_s": round(setup_s, 1),
         # active perf knobs, so cross-round JSONs are self-describing
         "tile": f"{integ.TILE_W}x{integ.TILE_H}",
+        "sif": sif,
         "sort": integ.SORT_MODE,
         "tree": os.environ.get("GLAZE_TREE", "classic"),
         **phases,

@@ -70,8 +70,14 @@ class PathState(NamedTuple):
     count: jnp.ndarray  # (P,) sample count
 
 
-def init_state(width: int, height: int) -> PathState:
-    p = pixel_count(width, height)
+def init_state(width: int, height: int, sif: int = 1) -> PathState:
+    """``sif`` samples-in-flight: the wavefront carries sif independent
+    path states per pixel (lane layout = sif copies of the swizzled
+    pixel grid back to back). A denser wavefront packs more
+    spatially-close rays into each Morton-sorted 128-lane row, cutting
+    the row-union factor (measured: 2x density = 1.11x closest / 1.43x
+    any-hit per-ray, tools/bench_density.py)."""
+    p = pixel_count(width, height) * sif
     z = lambda: jnp.zeros((p,), jnp.float32)
     return PathState(
         importance=jnp.zeros((16, p), jnp.float32),
@@ -498,13 +504,16 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
 def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
                 screen2cam, px, py, launch_size, *, is_persp: bool,
                 direct_only: bool = False,
-                alpha_rounds: int = 0) -> PathState:
+                alpha_rounds: int = 0, rng_py=None) -> PathState:
     """One bounce for all pixels (path_trace.rgen main, :135-239).
 
     ``seed``: uint32 frame seed; ``pixel_offset``: (2,) sub-pixel jitter
-    from the WorkScheduler; ``px``/``py``: per-lane pixel coordinates
-    (explicit so a device mesh can shard the pixel axis);
-    ``launch_size``: (2,) full-image (W, H) floats.
+    from the WorkScheduler — scalars, or per-lane (P,) arrays when
+    several samples are in flight; ``px``/``py``: per-lane pixel
+    coordinates (explicit so a device mesh can shard the pixel axis);
+    ``launch_size``: (2,) full-image (W, H) floats. ``rng_py``
+    decorrelates the RNG streams of samples-in-flight copies that share
+    (px, py) — defaults to ``py`` (the reference's srand inputs).
     """
     p = px.shape[0]
     enabled = scene.lights_no > 0  # path_trace.rgen:137-141
@@ -512,7 +521,8 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     count = state.count + enabled.astype(jnp.float32)
 
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
-    rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px, py)
+    rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px,
+                              py if rng_py is None else rng_py)
 
     ndc_x = -1.0 + 2.0 * (px + pixel_offset[0]) / launch_size[0]
     ndc_y = -1.0 + 2.0 * (py + pixel_offset[1]) / launch_size[1]
@@ -638,7 +648,23 @@ def to_image_np(values, width: int, height: int, fill=0):
     return full[:height, :width]
 
 
-@jax.jit
+def _fold_sif(accum, count, sif: int):
+    """Sums the sif in-flight copies per pixel (estimate = sum(accum) /
+    sum(count), the multi-sample generalization of update_result)."""
+    if sif == 1:
+        return accum, count
+    p = count.shape[0] // sif
+    return (tuple(a.reshape(sif, p).sum(0) for a in accum),
+            count.reshape(sif, p).sum(0))
+
+
+@functools.partial(jax.jit, static_argnames=("sif",))
+def _fold_display(accum, count, exposure, sif: int = 1):
+    """_fold_sif + _display_chans in one executable (one dispatch)."""
+    accum, count = _fold_sif(accum, count, sif)
+    return _display_chans(accum, count, exposure)
+
+
 def _display_chans(accum, count, exposure):
     """Device side of render_image, one fused executable (eager ops each
     cost a full ~25ms tunnel dispatch — this was the interactive-fps
@@ -653,12 +679,14 @@ def _display_chans(accum, count, exposure):
     return jnp.stack(chans, axis=-1)
 
 
-def render_image(state: PathState, exposure, width: int, height: int):
+def render_image(state: PathState, exposure, width: int, height: int,
+                 sif: int = 1):
     """accumulated sum -> display image (update_result + the out8 blit):
     linear rgb * exposure / count, clamped, sRGB-encoded, (H, W, 3) u8.
     Unswizzles the tile order and crops padding."""
     img = np.asarray(jax.device_get(
-        _display_chans(state.accum, state.count, jnp.float32(exposure))
+        _fold_display(state.accum, state.count, jnp.float32(exposure),
+                      sif=sif)
     ))
     px, py = pixel_coords_np(width, height)
     pw, ph = padded_dims(width, height)
@@ -669,24 +697,42 @@ def render_image(state: PathState, exposure, width: int, height: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps", "sif",
                      "alpha_rounds"),
 )
 def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
                  width, height, is_persp, direct_only, steps,
-                 alpha_rounds=0):
+                 alpha_rounds=0, sif=1):
     """`steps` launches fused in one jit via lax.scan — the whole
     spp*PT_STEPS hot loop runs on device with zero host round-trips
-    (replaces the fence ring of raytracer.rs:615-654)."""
+    (replaces the fence ring of raytracer.rs:615-654).
+
+    ``sif`` > 1 advances that many independent samples per pixel in one
+    wavefront (state from ``init_state(..., sif=sif)``, ``offsets``
+    shaped (steps, sif, 2) — one sub-pixel jitter per copy)."""
     px, py = pixel_coords(width, height)
     size = jnp.asarray([width, height], jnp.float32)
+    if sif > 1:
+        p1 = px.shape[0]
+        px = jnp.tile(px, sif)
+        py = jnp.tile(py, sif)
+        # distinct srand stream per copy: offset the y input past the
+        # padded grid so no two in-flight copies share an RNG chain
+        _, ph = padded_dims(width, height)
+        rng_py = py + jnp.repeat(
+            jnp.arange(sif, dtype=jnp.float32) * ph, p1)
+    else:
+        rng_py = None
 
     def body(st, inp):
         seed, offset = inp
+        if sif > 1:  # (sif, 2) -> per-lane jitter arrays
+            offset = (jnp.repeat(offset[:, 0], p1),
+                      jnp.repeat(offset[:, 1], p1))
         st = launch_step(
             scene, st, seed, offset, cam2world, screen2cam, px, py, size,
             is_persp=is_persp, direct_only=direct_only,
-            alpha_rounds=alpha_rounds,
+            alpha_rounds=alpha_rounds, rng_py=rng_py,
         )
         return st, None
 
@@ -696,12 +742,12 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps", "sif",
                      "alpha_rounds"),
 )
 def render_steps_with_image(scene, state, seeds, offsets, cam2world,
                             screen2cam, exposure, *, width, height, is_persp,
-                            direct_only, steps, alpha_rounds=0):
+                            direct_only, steps, alpha_rounds=0, sif=1):
     """render_steps + the sRGB display conversion fused into ONE
     executable: the interactive path pays a single dispatch per frame
     (each dispatch costs ~25 ms through the remote-TPU tunnel)."""
@@ -709,5 +755,7 @@ def render_steps_with_image(scene, state, seeds, offsets, cam2world,
         scene, state, seeds, offsets, cam2world, screen2cam,
         width=width, height=height, is_persp=is_persp,
         direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+        sif=sif,
     )
-    return state, _display_chans(state.accum, state.count, exposure)
+    accum, count = _fold_sif(state.accum, state.count, sif)
+    return state, _display_chans(accum, count, exposure)

@@ -59,8 +59,18 @@ class RayTraceRenderer:
     """Progressive spectral path tracer over a DeviceScene."""
 
     def __init__(self, scene, camera=None, width: int = 1920, height: int = 1080,
-                 integrator: Integrator = Integrator.PATH_TRACE, seed=None):
-        """``scene``: DeviceScene or ParsedScene (flattened on the spot)."""
+                 integrator: Integrator = Integrator.PATH_TRACE, seed=None,
+                 samples_in_flight: Optional[int] = None):
+        """``scene``: DeviceScene or ParsedScene (flattened on the spot).
+
+        ``samples_in_flight``: independent per-pixel path states advanced
+        per launch (default env GLAZE_SIF or 1). More in-flight samples
+        make every Morton-sorted trace denser — measured 1.26x closest /
+        1.36x any-hit per-ray at 4x on the bench bounce mix
+        (tools/bench_density.py) — at the price of sif× launch memory and
+        a sif-launch-coarser progress/display granularity."""
+        import os
+
         from glaze_tpu.scene import DeviceScene, flatten_scene
 
         self.host = None
@@ -76,7 +86,13 @@ class RayTraceRenderer:
         self.exposure: Optional[float] = None  # None = scene meta exposure
         self._rng = np.random.default_rng(seed)
         self._scheduler = WorkScheduler()
-        self._state = integ.init_state(self.width, self.height)
+        self.samples_in_flight = int(
+            samples_in_flight if samples_in_flight is not None
+            else os.environ.get("GLAZE_SIF", "1"))
+        if self.samples_in_flight < 1:
+            raise ValueError("samples_in_flight must be >= 1")
+        self._state = integ.init_state(self.width, self.height,
+                                       self.samples_in_flight)
         self._request_new_frame = True
         self._refresh_alpha_rounds()
 
@@ -162,7 +178,8 @@ class RayTraceRenderer:
 
     def change_resolution(self, width: int, height: int):
         self.width, self.height = int(width), int(height)
-        self._state = integ.init_state(self.width, self.height)
+        self._state = integ.init_state(self.width, self.height,
+                                       self.samples_in_flight)
         self._request_new_frame = True
 
     def change_scene(self, parsed, camera=None):
@@ -182,11 +199,20 @@ class RayTraceRenderer:
         c2w, s2c = integ.camera_matrices(self.camera, self.width, self.height)
         return jnp.asarray(c2w), jnp.asarray(s2c)
 
+    def _take_offsets(self, n: int):
+        """Sub-pixel jitters for n steps: (n, 2), or (n, sif, 2) — one
+        independent jitter per in-flight sample copy."""
+        s = self.samples_in_flight
+        if s == 1:
+            return jnp.asarray(self._scheduler.take(n))
+        return jnp.asarray(self._scheduler.take(n * s)).reshape(n, s, 2)
+
     def _maybe_restart(self):
         if self._request_new_frame:
             self._request_new_frame = False
             self._scheduler.rewind()
-            self._state = integ.init_state(self.width, self.height)
+            self._state = integ.init_state(self.width, self.height,
+                                           self.samples_in_flight)
 
     def draw_frame(self, return_image: bool = False):
         """One launch: every pixel advances one bounce
@@ -200,11 +226,12 @@ class RayTraceRenderer:
         seeds = jnp.asarray(
             self._rng.integers(0, 2**32, size=1, dtype=np.uint32)
         )
-        offsets = jnp.asarray(self._scheduler.take(1))
+        offsets = self._take_offsets(1)
         kw = dict(width=self.width, height=self.height,
                   is_persp=self.camera.is_perspective,
                   direct_only=self.integrator is Integrator.DIRECT,
-                  steps=1, alpha_rounds=self._alpha_rounds)
+                  steps=1, alpha_rounds=self._alpha_rounds,
+                  sif=self.samples_in_flight)
         if return_image:
             exposure = (jnp.float32(self.exposure)
                         if self.exposure is not None
@@ -226,19 +253,23 @@ class RayTraceRenderer:
         """
         self._maybe_restart()
         c2w, s2c = self._frame_params()
-        total = spp * self.integrator.steps_per_sample
+        # sif in-flight samples advance per step: the same per-pixel
+        # sample budget takes 1/sif as many launches (rounded up)
+        total = -(-spp * self.integrator.steps_per_sample
+                  // self.samples_in_flight)
         done = 0
         for n in _chunk_sizes(total):
             seeds = jnp.asarray(
                 self._rng.integers(0, 2**32, size=n, dtype=np.uint32)
             )
-            offsets = jnp.asarray(self._scheduler.take(n))
+            offsets = self._take_offsets(n)
             self._state = integ.render_steps(
                 self.scene, self._state, seeds, offsets, c2w, s2c,
                 width=self.width, height=self.height,
                 is_persp=self.camera.is_perspective,
                 direct_only=self.integrator is Integrator.DIRECT,
                 steps=n, alpha_rounds=self._alpha_rounds,
+                sif=self.samples_in_flight,
             )
             done += n
             if callback is not None:
@@ -253,7 +284,8 @@ class RayTraceRenderer:
             if self.exposure is not None
             else self.scene.exposure
         )
-        return integ.render_image(self._state, exposure, self.width, self.height)
+        return integ.render_image(self._state, exposure, self.width,
+                                  self.height, self.samples_in_flight)
 
     def save(self, path: str):
         from PIL import Image
@@ -272,6 +304,7 @@ class RayTraceRenderer:
             n_leaves=len(leaves),
             width=self.width,
             height=self.height,
+            samples_in_flight=self.samples_in_flight,
             integrator=self.integrator.value,
             # PCG64 state words are 128-bit ints; store as decimal strings
             rng_state=str(self._rng.bit_generator.state["state"]["state"]),
@@ -293,7 +326,12 @@ class RayTraceRenderer:
         from glaze_tpu.render.scheduler import WorkScheduler
 
         data = np.load(path, allow_pickle=False)
-        if int(data["width"]) != self.width or int(data["height"]) != self.height:
+        ck_sif = int(data["samples_in_flight"]) if "samples_in_flight" \
+            in data else 1
+        if (int(data["width"]) != self.width
+                or int(data["height"]) != self.height
+                or ck_sif != self.samples_in_flight):
+            self.samples_in_flight = ck_sif
             self.change_resolution(int(data["width"]), int(data["height"]))
         self.integrator = Integrator(str(data["integrator"]))
         leaves = [jnp.asarray(data[f"leaf_{i}"])

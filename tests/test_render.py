@@ -211,6 +211,91 @@ def test_path_trace_converges_brighter_than_direct():
     assert p_mean > 0 and d_mean > 0
 
 
+def test_samples_in_flight_copy0_bitexact():
+    """sif=2's copy-0 lanes share the sif=1 RNG stream (same srand
+    inputs): with matched seeds/jitters, every state leaf's first-half
+    lanes are bit-identical to a sif=1 run."""
+    light = Light(ltype=LightType.OMNI, position=[0, 3, 0], intensity=7.0)
+    sb = _floor_scene(light)
+    sb.add_quad([-1, 2.5, -1], [1, 2.5, -1], [1, 2.5, 1], [-1, 2.5, 1],
+                [0, -1, 0], 0)
+    r = RayTraceRenderer(sb, width=16, height=16, seed=0)
+    c2w, s2c = integ.camera_matrices(r.camera, 16, 16)
+    c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
+    rng = np.random.default_rng(5)
+    seeds = jnp.asarray(rng.integers(0, 2**32, 3, dtype=np.uint32))
+    offs1 = jnp.asarray(rng.random((3, 2), np.float32))
+    offs2 = jnp.stack(
+        [offs1, jnp.asarray(rng.random((3, 2), np.float32))], axis=1)
+    kw = dict(width=16, height=16, is_persp=True, direct_only=False,
+              steps=3)
+    s1 = integ.render_steps(r.scene, integ.init_state(16, 16), seeds,
+                            offs1, c2w, s2c, **kw)
+    s2 = integ.render_steps(r.scene, integ.init_state(16, 16, 2), seeds,
+                            offs2, c2w, s2c, sif=2, **kw)
+    p = integ.pixel_count(16, 16)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[..., :p])
+
+
+def test_samples_in_flight_fold():
+    """The sif image fold is sum(accum)/sum(count) over copies (checked
+    against a manual numpy fold), and DIRECT+OMNI at sif=3 stays within
+    sub-pixel-jitter distance of the sif=1 image."""
+    light = Light(ltype=LightType.OMNI, position=[0, 3, 0], intensity=7.0)
+    img1 = RayTraceRenderer(_floor_scene(light), width=16, height=16,
+                            integrator=Integrator.DIRECT, seed=0)
+    img1.draw(1)
+    r3 = RayTraceRenderer(_floor_scene(light), width=16, height=16,
+                          integrator=Integrator.DIRECT, seed=0,
+                          samples_in_flight=3)
+    r3.draw(1)
+    p = integ.pixel_count(16, 16)
+    state = r3._state
+    assert np.asarray(state.count).shape[0] == 3 * p
+
+    # manual fold -> same image as render_image's sif path
+    folded = integ.PathState(
+        importance=state.importance[:, :p],
+        origin=tuple(c[:p] for c in state.origin),
+        direction=tuple(c[:p] for c in state.direction),
+        bounce=state.bounce[:p],
+        last_specular=state.last_specular[:p],
+        accum=tuple(
+            jnp.asarray(np.asarray(c).reshape(3, p).sum(0))
+            for c in state.accum),
+        count=jnp.asarray(np.asarray(state.count).reshape(3, p).sum(0)),
+    )
+    exposure = float(np.asarray(r3.scene.exposure))
+    np.testing.assert_array_equal(
+        r3.get_image(), integ.render_image(folded, exposure, 16, 16))
+
+    # 3 independent jitters of a smooth scene stay within a few LSB
+    a, b = img1.get_image().astype(int), r3.get_image().astype(int)
+    assert np.abs(a - b).max() <= 8
+    assert np.abs(a - b).mean() < 1.0
+
+
+def test_samples_in_flight_checkpoint_roundtrip(tmp_path):
+    """Checkpoints carry sif: a sif=2 render resumes bit-exactly into a
+    renderer constructed with a different sif."""
+    light = Light(ltype=LightType.OMNI, position=[0, 3, 0], intensity=7.0)
+    sb = _floor_scene(light)
+    r = RayTraceRenderer(sb, width=16, height=16, seed=3,
+                         samples_in_flight=2)
+    r.draw(1)
+    ck = str(tmp_path / "sif.npz")
+    r.save_checkpoint(ck)
+    r.draw(1)
+    want = r.get_image()
+
+    r2 = RayTraceRenderer(sb, width=16, height=16, seed=99)
+    r2.load_checkpoint(ck)
+    assert r2.samples_in_flight == 2
+    r2.draw(1)
+    np.testing.assert_array_equal(r2.get_image(), want)
+
+
 def test_renderer_api_surface(mattest_path):
     """Reference API flows: draw_frame, update_camera restart,
     change_resolution, set_integrator, update_materials_and_lights."""
