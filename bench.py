@@ -289,6 +289,28 @@ def main():
             fps["progressive_fps_scale02"] = round(timed_fps(rr), 2)
             rr.use_raytracer = False
             fps["flat_preview_fps_scale02"] = round(timed_fps(rr), 2)
+
+            # the viewport mouse-look workload: every frame rotates the
+            # camera, restarting accumulation (all-primary launches)
+            rr25 = RealtimeRenderer(parsed, width=WIDTH, height=HEIGHT,
+                                    render_scale=0.25, seed=11)
+
+            def timed_drag(rr, n=24, windows=2):
+                rr.look_around(1e-4, 0.0)
+                rr.draw_frame(pipelined=True)  # compile restart path
+                rr.draw_frame(pipelined=True)
+                best = 0.0
+                for _ in range(windows):  # best-of: ~20% tunnel noise
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        rr.look_around(1e-4, 0.0)
+                        rr.draw_frame(pipelined=True)
+                    best = max(best, n / (time.perf_counter() - t0))
+                return best
+
+            fps["drag_fps_scale025"] = round(timed_drag(rr25), 2)
+            rr.use_raytracer = True
+            fps["drag_fps_scale02"] = round(timed_drag(rr), 2)
         except Exception as e:  # never fail the headline number
             fps = {"fps_error": str(e)[:200]}
 

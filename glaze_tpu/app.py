@@ -23,6 +23,7 @@ import sys
 HELP = """commands:
   w/a/s/d/q/e [mag]   move camera (advance/strafe/elevate)
   look <dx> <dy>      rotate view (degrees)
+  drag <dx> <dy> [n]  mouse-look: rotate + draw, n frames (default 8)
   frames <n>          advance n progressive launches (default 8)
   mat                 list materials
   mat <id> type <t>   set material type (flat|lambert|mirror|glass|metal|frosted|uber)
@@ -174,6 +175,17 @@ def main(argv=None):
                 rr.look_around(math.radians(float(parts[1])),
                                math.radians(float(parts[2])))
                 present()
+            elif cmd == "drag":
+                # continuous mouse-look (viewport.rs:81-247 cursor-moved):
+                # every frame rotates the view, restarting accumulation,
+                # so each launch is an all-primary sample
+                dx = math.radians(float(parts[1]))
+                dy = math.radians(float(parts[2]))
+                n = int(parts[3]) if len(parts) > 3 else 8
+                for _ in range(max(1, n)):
+                    rr.look_around(dx, dy)
+                    rr.draw_frame(pipelined=True)
+                present(1)
             elif cmd == "frames":
                 present(int(parts[1]) if len(parts) > 1 else 8)
             elif cmd == "mat" and len(parts) == 1:

@@ -211,8 +211,15 @@ class RayTraceRenderer:
         if self._request_new_frame:
             self._request_new_frame = False
             self._scheduler.rewind()
-            self._state = integ.init_state(self.width, self.height,
-                                           self.samples_in_flight)
+            # cached zero state: JAX arrays are immutable, so every
+            # restart can hand out the SAME device buffers — live camera
+            # drags restart every frame, and re-dispatching ~25 zeros
+            # ops per frame through the tunnel is pure overhead
+            key = (self.width, self.height, self.samples_in_flight)
+            if getattr(self, "_zero_key", None) != key:
+                self._zero_state = integ.init_state(*key)
+                self._zero_key = key
+            self._state = self._zero_state
 
     def draw_frame(self, return_image: bool = False):
         """One launch: every pixel advances one bounce

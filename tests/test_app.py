@@ -121,6 +121,7 @@ def test_app_scripted(tmp_path):
         "mat 1 type mirror\n"
         "w 0.5\n"
         "look 10 0\n"
+        "drag 0.5 0 3\n"
         "frames 2\n"
         "stats\n"
         f"saveas {edited}\n"
