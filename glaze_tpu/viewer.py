@@ -52,6 +52,12 @@ _PAGE = """<!doctype html>
 </div>
 <img id="view" src="/stream">
 <p>keys: w/a/s/d move, q/e up/down, arrows look, drag to look</p>
+<details id="edit"><summary>materials &amp; lights</summary>
+ <div id="mats"></div><div id="lights"></div>
+ <select id="newlight"><option>omni</option><option>sun</option>
+  <option>area</option><option>sky</option></select>
+ <button onclick="addLight()">add light</button>
+</details>
 <script>
 function ctl(action, value) {
   fetch('/control', {method:'POST', body:JSON.stringify({action, value})});
@@ -79,7 +85,67 @@ setInterval(async () => {
   document.getElementById('stats').textContent =
     ` ${s.fps.toFixed(1)} fps  spp ${s.spp}  ${s.mode}`;
 }, 1000);
+// live material/light edit panel (the ui.rs materials/lights windows)
+const MTYPES = ['flat','lambert','mirror','glass','metal','frosted','uber'];
+function sel(opts, cur, onch) {
+  const s = document.createElement('select');
+  for (const o of opts) {
+    const e = document.createElement('option');
+    e.textContent = o; e.selected = (o === cur); s.appendChild(e);
+  }
+  s.onchange = () => onch(s.value);
+  return s;
+}
+function num(v, onch) {
+  const i = document.createElement('input');
+  i.type = 'number'; i.step = '0.1'; i.value = v;
+  i.style.width = '5em';
+  i.onchange = () => onch(parseFloat(i.value));
+  return i;
+}
+async function refreshScene() {
+  const r = await fetch('/scene'); const sc = await r.json();
+  const mats = document.getElementById('mats'); mats.innerHTML = '';
+  for (const m of sc.materials) {
+    const row = document.createElement('div');
+    row.append(`[${m.id}] ${m.name} `);
+    row.append(sel(MTYPES, m.type,
+      v => ctl('mat', {id: m.id, field: 'type', value: v})));
+    row.append(' ior ');
+    row.append(num(m.ior,
+      v => ctl('mat', {id: m.id, field: 'ior', value: v})));
+    mats.appendChild(row);
+  }
+  const lights = document.getElementById('lights'); lights.innerHTML = '';
+  for (const l of sc.lights) {
+    const row = document.createElement('div');
+    row.append(`[${l.id}] ${l.name} (${l.type}) intensity `);
+    row.append(num(l.intensity,
+      v => ctl('light', {id: l.id, field: 'intensity', value: v})));
+    const del = document.createElement('button');
+    del.textContent = 'x';
+    del.onclick = () => { ctl('light', {id: l.id, op: 'del'});
+                          setTimeout(refreshScene, 300); };
+    row.append(' '); row.append(del);
+    lights.appendChild(row);
+  }
+}
+function addLight() {
+  ctl('light', {op: 'add', value: document.getElementById('newlight').value});
+  setTimeout(refreshScene, 300);
+}
+document.getElementById('edit').addEventListener('toggle', refreshScene);
 </script></body></html>"""
+
+
+from glaze_tpu.core import LightType as _LT  # noqa: E402  (pure NumPy)
+from glaze_tpu.core import MaterialType as _MT  # noqa: E402
+
+_MTYPES = {"flat": _MT.FLAT, "lambert": _MT.LAMBERT, "mirror": _MT.MIRROR,
+           "glass": _MT.GLASS, "metal": _MT.METAL, "frosted": _MT.FROSTED,
+           "uber": _MT.UBER}
+_LTYPES = {"omni": _LT.OMNI, "sun": _LT.SUN, "area": _LT.AREA,
+           "sky": _LT.SKY}
 
 
 class ViewerState:
@@ -138,6 +204,44 @@ class ViewerState:
                                 else bool(val))
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
+        elif act == "mat":
+            # live material edit (ui.rs materials window)
+            from glaze_tpu.core import Metal
+
+            mid = int(val["id"])
+            mat = rt.materials()[mid]
+            field, v = val["field"], val["value"]
+            if field == "type":
+                mat.mtype = _MTYPES[str(v).lower()]
+            elif field == "ior":
+                mat.ior = float(v)
+            elif field == "metal":
+                mat.metal = Metal[str(v).upper()]
+            else:
+                raise ValueError(f"unknown material field {field!r}")
+            rt.change_material(mid, mat)
+        elif act == "light":
+            # live light edit (ui.rs lights window)
+            from glaze_tpu.core import Light, Spectrum
+
+            op = val.get("op", "set")
+            if op == "add":
+                rt.update_light(len(rt.lights()),
+                                Light(ltype=_LTYPES[str(val["value"]).lower()]))
+            elif op == "del":
+                rt.remove_light(int(val["id"]))
+            else:
+                lid = int(val["id"])
+                light = rt.lights()[lid]
+                field, v = val["field"], val["value"]
+                if field == "intensity":
+                    light.intensity = float(v)
+                elif field == "color":
+                    light.color = Spectrum.from_rgb(
+                        [float(x) for x in v], True)
+                else:
+                    raise ValueError(f"unknown light field {field!r}")
+                rt.update_light(lid, light)
         else:
             raise ValueError(f"unknown action {act!r}")
 
@@ -153,6 +257,26 @@ class ViewerState:
                 or not self.running,
                 timeout=timeout)
             return self.jpeg, self.seq
+
+    def scene_listing(self):
+        """Materials/lights inventory for the edit panel (ui.rs
+        materials/lights windows). Reads host-side python objects only —
+        benign against concurrent edits (single-field dataclass reads)."""
+        rt = self.rt
+        return {
+            "materials": [
+                {"id": i, "name": m.name or f"mat{i}",
+                 "type": next((k for k, v in _MTYPES.items()
+                               if v == m.mtype), m.mtype.name.lower()),
+                 "ior": float(m.ior),
+                 "metal": m.metal.name.lower()}
+                for i, m in enumerate(rt.materials())],
+            "lights": [
+                {"id": i, "name": l.name or f"light{i}",
+                 "type": l.ltype.name.lower(),
+                 "intensity": float(l.intensity)}
+                for i, l in enumerate(rt.lights())],
+        }
 
     def stats(self):
         rt = self.rt
@@ -211,6 +335,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(jpeg)
         elif self.path == "/stats":
             body = json.dumps(self.state.stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/scene":
+            body = json.dumps(self.state.scene_listing()).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

@@ -85,6 +85,54 @@ def test_control_moves_camera(server):
     assert not np.allclose(before, after)
 
 
+def test_scene_listing_and_live_edit(server):
+    """/scene lists materials+lights; POST /control mat/light edits land
+    in the renderer (ui.rs materials/lights windows equivalent)."""
+    url, state, rt = server
+    from glaze_tpu.core import LightType, MaterialType
+
+    sc = json.loads(_get(url + "/scene")[2])
+    assert len(sc["materials"]) == len(rt.materials())
+    assert len(sc["lights"]) == len(rt.lights())
+    assert all("type" in m and "ior" in m for m in sc["materials"])
+
+    def post(cmd):
+        req = urllib.request.Request(
+            url + "/control", data=json.dumps(cmd).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 204
+
+    def settle():
+        _, seq = state.wait_frame(-1)
+        state.wait_frame(seq, timeout=120)
+        state.wait_frame(state.seq, timeout=120)
+
+    n_lights = len(rt.lights())
+    post({"action": "mat",
+          "value": {"id": 0, "field": "type", "value": "mirror"}})
+    post({"action": "mat", "value": {"id": 0, "field": "ior", "value": 1.9}})
+    post({"action": "light", "value": {"op": "add", "value": "omni"}})
+    settle()
+    assert rt.materials()[0].mtype == MaterialType.MIRROR
+    assert rt.materials()[0].ior == pytest.approx(1.9)
+    # flatten reorders lights sky-last, so locate the added OMNI by type
+    assert len(rt.lights()) == n_lights + 1
+    omni = next(i for i, l in enumerate(rt.lights())
+                if l.ltype == LightType.OMNI)
+
+    post({"action": "light",
+          "value": {"id": omni, "field": "intensity", "value": 3.5}})
+    settle()
+    assert rt.lights()[omni].intensity == pytest.approx(3.5)
+
+    post({"action": "light", "value": {"op": "del", "id": omni}})
+    settle()
+    assert len(rt.lights()) == n_lights
+    assert all(l.ltype != LightType.OMNI for l in rt.lights())
+    sc2 = json.loads(_get(url + "/scene")[2])
+    assert sc2["materials"][0]["type"] == "mirror"
+
+
 def test_stream_yields_parts(server):
     url, state, rt = server
     req = urllib.request.Request(url + "/stream")
