@@ -242,12 +242,16 @@ def main():
             # device_put measured ~250 ms/call, tools/bench_sharded_gap)
             scene_sh = pmesh.place_replicated(r.scene, m)
 
+            # the sharded wrappers run sif=1 (samples-in-flight is an
+            # unsharded-path knob); don't forward it
+            kw_sh = {k: v for k, v in kw.items() if k != "sif"}
+
             def run_sh(st):
                 shape = (STEPS, n_dev) if mode == "spp" else (STEPS,)
                 seeds = jnp.asarray(
                     rng.integers(0, 2**32, shape, dtype=np.uint32))
                 offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
-                return fn(scene_sh, st, seeds, offs, c2w, s2c, m, **kw)
+                return fn(scene_sh, st, seeds, offs, c2w, s2c, m, **kw_sh)
 
             st = run_sh(st)  # compile + warm
             sync(st.count)
