@@ -168,17 +168,10 @@ def main():
         # (tools/capture_rays.py mechanism), through the production
         # sorted trace paths. These are the numbers round-over-round
         # kernel work must move (VERDICT r2 weak #4).
-        # mirror render_steps' sif lane layout so the capture runs on the
+        # the production sif lane layout, so the capture runs on the
         # same (sif-sized) steady state the timed loop produced
         size = jnp.asarray([WIDTH, HEIGHT], jnp.float32)
-        if sif > 1:
-            p1 = px.shape[0]
-            px_, py_ = jnp.tile(px, sif), jnp.tile(py, sif)
-            _, ph_pad = integ.padded_dims(WIDTH, HEIGHT)
-            rng_py = py_ + jnp.repeat(
-                jnp.arange(sif, dtype=jnp.float32) * ph_pad, p1)
-        else:
-            px_, py_, rng_py = px, py, None
+        px_, py_, rng_py = integ.sif_lanes(WIDTH, HEIGHT, sif)
         ckw = dict(is_persp=True, direct_only=False,
                    alpha_rounds=r._alpha_rounds, rng_py=rng_py)
 

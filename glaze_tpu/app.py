@@ -133,13 +133,8 @@ def main(argv=None):
             except EOFError:
                 return "quit"
 
-    mtypes = {t.display_name.lower(): t for t in MaterialType if t != MaterialType.INTERNAL_FLAT_2SIDED}
-    mtypes.update({"lambert": MaterialType.LAMBERT, "flat": MaterialType.FLAT,
-                   "mirror": MaterialType.MIRROR, "glass": MaterialType.GLASS,
-                   "metal": MaterialType.METAL, "frosted": MaterialType.FROSTED,
-                   "uber": MaterialType.UBER, "generic (ggx)": MaterialType.UBER})
-    ltypes = {"omni": LightType.OMNI, "sun": LightType.SUN,
-              "area": LightType.AREA, "sky": LightType.SKY}
+    mtypes = MaterialType.by_name()
+    ltypes = LightType.by_name()
 
     while True:
         try:

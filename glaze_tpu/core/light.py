@@ -33,6 +33,11 @@ class LightType(IntEnum):
     def display_name(self) -> str:
         return {0: "Omni", 1: "Sun", 2: "Area", 3: "Sky"}[int(self)]
 
+    @staticmethod
+    def by_name() -> dict:
+        """Lowercase name -> type; shared by glaze-app and the viewer."""
+        return {t.display_name.lower(): t for t in LightType.all()}
+
     def name_str(self) -> str:
         return self.display_name
 

@@ -43,6 +43,15 @@ class MaterialType(IntEnum):
         raise ValueError(f"Unknown material type: {mid}")
 
     @staticmethod
+    def by_name() -> dict:
+        """Lowercase user-facing name -> type (the ui.rs combo labels);
+        canonical map shared by glaze-app and the viewer."""
+        m = {t.display_name.lower(): t for t in MaterialType
+             if t != MaterialType.INTERNAL_FLAT_2SIDED}
+        m["uber"] = MaterialType.UBER  # alias for "generic (ggx)"
+        return m
+
+    @staticmethod
     def from_u8(mid: int) -> "MaterialType":
         try:
             return MaterialType.from_id(mid)

@@ -148,6 +148,24 @@ def pixel_coords(width: int, height: int):
     return jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32)
 
 
+def sif_lanes(width: int, height: int, sif: int):
+    """(px, py, rng_py) lane coordinates for a sif-samples-in-flight
+    wavefront: sif tiled copies of the swizzled pixel grid back to back,
+    with ``rng_py`` offset past the padded grid so no two in-flight
+    copies share an srand chain (rng_py is None at sif=1). The single
+    source of truth for the sif lane layout — bench.py's capture path
+    must match it."""
+    px, py = pixel_coords(width, height)
+    if sif == 1:
+        return px, py, None
+    p1 = px.shape[0]
+    px = jnp.tile(px, sif)
+    py = jnp.tile(py, sif)
+    _, ph = padded_dims(width, height)
+    rng_py = py + jnp.repeat(jnp.arange(sif, dtype=jnp.float32) * ph, p1)
+    return px, py, rng_py
+
+
 def camera_rays(ndc_x, ndc_y, cam2world, screen2cam, is_persp: bool):
     """Primary ray origins/directions (path_trace.rgen:47-74), SoA."""
     c = cam2world
@@ -710,19 +728,9 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
     ``sif`` > 1 advances that many independent samples per pixel in one
     wavefront (state from ``init_state(..., sif=sif)``, ``offsets``
     shaped (steps, sif, 2) — one sub-pixel jitter per copy)."""
-    px, py = pixel_coords(width, height)
+    px, py, rng_py = sif_lanes(width, height, sif)
     size = jnp.asarray([width, height], jnp.float32)
-    if sif > 1:
-        p1 = px.shape[0]
-        px = jnp.tile(px, sif)
-        py = jnp.tile(py, sif)
-        # distinct srand stream per copy: offset the y input past the
-        # padded grid so no two in-flight copies share an RNG chain
-        _, ph = padded_dims(width, height)
-        rng_py = py + jnp.repeat(
-            jnp.arange(sif, dtype=jnp.float32) * ph, p1)
-    else:
-        rng_py = None
+    p1 = pixel_count(width, height)
 
     def body(st, inp):
         seed, offset = inp

@@ -138,14 +138,10 @@ document.getElementById('edit').addEventListener('toggle', refreshScene);
 </script></body></html>"""
 
 
-from glaze_tpu.core import LightType as _LT  # noqa: E402  (pure NumPy)
-from glaze_tpu.core import MaterialType as _MT  # noqa: E402
+from glaze_tpu.core import LightType, MaterialType  # noqa: E402 (pure NumPy)
 
-_MTYPES = {"flat": _MT.FLAT, "lambert": _MT.LAMBERT, "mirror": _MT.MIRROR,
-           "glass": _MT.GLASS, "metal": _MT.METAL, "frosted": _MT.FROSTED,
-           "uber": _MT.UBER}
-_LTYPES = {"omni": _LT.OMNI, "sun": _LT.SUN, "area": _LT.AREA,
-           "sky": _LT.SKY}
+_MTYPES = MaterialType.by_name()
+_LTYPES = LightType.by_name()
 
 
 class ViewerState:
@@ -266,8 +262,10 @@ class ViewerState:
         return {
             "materials": [
                 {"id": i, "name": m.name or f"mat{i}",
-                 "type": next((k for k, v in _MTYPES.items()
-                               if v == m.mtype), m.mtype.name.lower()),
+                 # "uber": the token the page's type dropdown lists
+                 # (display_name "Generic (GGX)" is the combo label)
+                 "type": ("uber" if m.mtype == MaterialType.UBER
+                          else m.mtype.display_name.lower()),
                  "ior": float(m.ior),
                  "metal": m.metal.name.lower()}
                 for i, m in enumerate(rt.materials())],
@@ -283,7 +281,10 @@ class ViewerState:
         spp = 0
         try:
             count = np.asarray(rt._rt._state.count)
-            spp = int(count.max()) // rt._rt.integrator.steps_per_sample
+            # count is per-LANE launches; each launch advances
+            # samples_in_flight samples per pixel
+            spp = (int(count.max()) * rt._rt.samples_in_flight
+                   // rt._rt.integrator.steps_per_sample)
         except Exception:
             pass
         return {"fps": rt.stats.fps, "spp": spp,
