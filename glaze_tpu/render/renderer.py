@@ -256,7 +256,13 @@ class RayTraceRenderer:
         """Blocking render of ``spp`` samples/pixel; returns (H, W, 3) u8.
 
         ``callback(launches_done)`` fires between device chunks
-        (raytracer.rs draw, :615-686).
+        (raytracer.rs draw, :615-686), pipelined one chunk deep: chunk
+        k+1 is dispatched BEFORE blocking on chunk k, so the host-side
+        sync + callback overlap device work instead of serializing it
+        (the reference keeps FRAMES_IN_FLIGHT=2 launches in flight the
+        same way, raytracer.rs:615-654; a measured 1080p/256spp run
+        lost ~12% of wall time to the per-chunk syncs of the unpipelined
+        loop — docs/PERF_LOG.md).
         """
         self._maybe_restart()
         c2w, s2c = self._frame_params()
@@ -265,6 +271,7 @@ class RayTraceRenderer:
         total = -(-spp * self.integrator.steps_per_sample
                   // self.samples_in_flight)
         done = 0
+        pending = None  # (count array, launches) of the in-flight chunk
         for n in _chunk_sizes(total):
             seeds = jnp.asarray(
                 self._rng.integers(0, 2**32, size=n, dtype=np.uint32)
@@ -280,8 +287,16 @@ class RayTraceRenderer:
             )
             done += n
             if callback is not None:
-                jax.block_until_ready(self._state.count)
-                callback(done)
+                if pending is not None:
+                    # 1-element fetch = REAL completion (bare
+                    # block_until_ready can return early through the
+                    # remote-TPU tunnel; bytes on the host cannot lie)
+                    jax.device_get(pending[0][:1])
+                    callback(pending[1])
+                pending = (self._state.count, done)
+        if callback is not None and pending is not None:
+            jax.device_get(pending[0][:1])
+            callback(pending[1])
         return self.get_image()
 
     def get_image(self) -> np.ndarray:

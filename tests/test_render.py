@@ -190,6 +190,22 @@ def test_no_lights_no_accumulation():
     assert (_accum(r._state) == 0).all()
 
 
+def test_draw_callback_pipelined():
+    """draw()'s progress callback (pipelined one chunk deep) fires once
+    per chunk with cumulative launch counts ending at the total, and the
+    result is bit-identical to a callback-free draw (raytracer.rs:615-686
+    draw-with-callback semantics)."""
+    light = Light(ltype=LightType.OMNI, position=[0, 3, 0], intensity=5.0)
+    seen = []
+    r = RayTraceRenderer(_floor_scene(light), width=8, height=8, seed=7)
+    img_cb = r.draw(12, callback=seen.append)
+    total = 12 * Integrator.PATH_TRACE.steps_per_sample
+    assert seen == sorted(seen) and seen[-1] == total
+    assert all(b > a for a, b in zip(seen, seen[1:]))
+    r2 = RayTraceRenderer(_floor_scene(light), width=8, height=8, seed=7)
+    np.testing.assert_array_equal(img_cb, r2.draw(12))
+
+
 def test_path_trace_converges_brighter_than_direct():
     """PT on a glossy scene accumulates at least the direct lighting."""
     light = Light(ltype=LightType.OMNI, position=[0, 3, 0], intensity=5.0)
