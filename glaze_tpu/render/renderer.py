@@ -45,14 +45,17 @@ _CHUNK = 32
 
 
 def _chunk_sizes(total: int):
-    sizes = []
+    """Equal power-of-two chunks: the largest c <= _CHUNK dividing
+    ``total``, repeated. ONE scan length per draw() call (each distinct
+    length is a separate multi-minute first-run XLA compile; the old
+    greedy 16+8-style decomposition compiled one executable per distinct
+    size), and progress callbacks land evenly spaced."""
+    if total <= 0:
+        return []
     c = _CHUNK
-    while total:
-        while c > total:
-            c >>= 1
-        sizes.append(c)
-        total -= c
-    return sizes
+    while c > 1 and (c > total or total % c):
+        c >>= 1
+    return [c] * (total // c)
 
 
 class RayTraceRenderer:
