@@ -52,11 +52,12 @@ _PAGE = """<!doctype html>
 </div>
 <img id="view" src="/stream">
 <p>keys: w/a/s/d move, q/e up/down, arrows look, drag to look</p>
-<details id="edit"><summary>materials &amp; lights</summary>
+<details id="edit"><summary>materials &amp; lights &amp; textures</summary>
  <div id="mats"></div><div id="lights"></div>
  <select id="newlight"><option>omni</option><option>sun</option>
   <option>area</option><option>sky</option></select>
  <button onclick="addLight()">add light</button>
+ <div id="texs"></div>
 </details>
 <script>
 function ctl(action, value) {
@@ -105,6 +106,7 @@ function num(v, onch) {
 }
 async function refreshScene() {
   const r = await fetch('/scene'); const sc = await r.json();
+  const texNames = sc.textures.map(t => `${t.id}:${t.name}`);
   const mats = document.getElementById('mats'); mats.innerHTML = '';
   for (const m of sc.materials) {
     const row = document.createElement('div');
@@ -114,6 +116,18 @@ async function refreshScene() {
     row.append(' ior ');
     row.append(num(m.ior,
       v => ctl('mat', {id: m.id, field: 'ior', value: v})));
+    if (m.type === 'metal' || m.type === 'mirror')
+      row.append(sel(sc.metals, m.metal,
+        v => ctl('mat', {id: m.id, field: 'metal', value: v})));
+    row.append(' tex ');
+    row.append(sel(texNames, `${m.diffuse}:${sc.textures[m.diffuse].name}`,
+      v => ctl('mat', {id: m.id, field: 'diffuse',
+                       value: parseInt(v.split(':')[0])})));
+    const em = document.createElement('input');
+    em.type = 'checkbox'; em.checked = m.emission !== null;
+    em.onchange = () => ctl('mat', {id: m.id, field: 'emission',
+      value: em.checked ? [255, 255, 255] : null});
+    row.append(' emissive '); row.append(em);
     mats.appendChild(row);
   }
   const lights = document.getElementById('lights'); lights.innerHTML = '';
@@ -122,12 +136,35 @@ async function refreshScene() {
     row.append(`[${l.id}] ${l.name} (${l.type}) intensity `);
     row.append(num(l.intensity,
       v => ctl('light', {id: l.id, field: 'intensity', value: v})));
+    const col = document.createElement('input');
+    col.type = 'color'; col.value = '#ffffff';
+    col.onchange = () => {
+      const c = [1, 3, 5].map(i => parseInt(col.value.slice(i, i+2), 16)/255);
+      ctl('light', {id: l.id, field: 'color', value: c});
+    };
+    row.append(' '); row.append(col);
     const del = document.createElement('button');
     del.textContent = 'x';
     del.onclick = () => { ctl('light', {id: l.id, op: 'del'});
                           setTimeout(refreshScene, 300); };
     row.append(' '); row.append(del);
     lights.appendChild(row);
+  }
+  const texs = document.getElementById('texs'); texs.innerHTML = '';
+  const FORMATS = ['Gray', 'RgbaNorm', 'RgbaSrgb'];
+  for (const t of sc.textures) {
+    const row = document.createElement('div');
+    row.append(`tex[${t.id}] ${t.name} ${t.size[0]}x${t.size[1]} `);
+    row.append(sel(FORMATS, t.format,
+      v => ctl('tex', {id: t.id, field: 'format', value: v})));
+    if (t.id > 0) {
+      const del = document.createElement('button');
+      del.textContent = 'x';
+      del.onclick = () => { ctl('tex', {id: t.id, op: 'del'});
+                            setTimeout(refreshScene, 300); };
+      row.append(' '); row.append(del);
+    }
+    texs.appendChild(row);
   }
 }
 function addLight() {
@@ -213,9 +250,30 @@ class ViewerState:
                 mat.ior = float(v)
             elif field == "metal":
                 mat.metal = Metal[str(v).upper()]
+            elif field == "diffuse":
+                tid = int(v)
+                if not 0 <= tid < len(rt.textures()):
+                    raise ValueError(f"no texture {tid}")
+                mat.diffuse = tid
+            elif field == "emission":
+                # ui.rs emission color edit; null clears (no AREA light)
+                mat.emissive_col = (None if v is None
+                                    else tuple(int(x) for x in v))
             else:
                 raise ValueError(f"unknown material field {field!r}")
             rt.change_material(mid, mat)
+        elif act == "tex":
+            # textures window (ui.rs: format select / remove; adding
+            # files goes through glaze-app's `tex add` on the host)
+            from glaze_tpu.core import TextureFormat
+
+            tid = int(val["id"])
+            if val.get("op") == "del":
+                rt.remove_texture(tid)
+            elif val.get("field") == "format":
+                rt.set_texture_format(tid, TextureFormat(str(val["value"])))
+            else:
+                raise ValueError(f"unknown tex op {val!r}")
         elif act == "light":
             # live light edit (ui.rs lights window)
             from glaze_tpu.core import Light, Spectrum
@@ -258,6 +316,8 @@ class ViewerState:
         """Materials/lights inventory for the edit panel (ui.rs
         materials/lights windows). Reads host-side python objects only —
         benign against concurrent edits (single-field dataclass reads)."""
+        from glaze_tpu.core import Metal
+
         rt = self.rt
         return {
             "materials": [
@@ -267,6 +327,9 @@ class ViewerState:
                  "type": ("uber" if m.mtype == MaterialType.UBER
                           else m.mtype.display_name.lower()),
                  "ior": float(m.ior),
+                 "diffuse": int(m.diffuse),
+                 "emission": (None if m.emissive_col is None
+                              else list(m.emissive_col)),
                  "metal": m.metal.name.lower()}
                 for i, m in enumerate(rt.materials())],
             "lights": [
@@ -274,6 +337,12 @@ class ViewerState:
                  "type": l.ltype.name.lower(),
                  "intensity": float(l.intensity)}
                 for i, l in enumerate(rt.lights())],
+            "textures": [
+                {"id": i, "name": t.info.name or f"tex{i}",
+                 "format": t.info.format.value,
+                 "size": [int(t.info.width), int(t.info.height)]}
+                for i, t in enumerate(rt.textures())],
+            "metals": [m.name.lower() for m in Metal],
         }
 
     def stats(self):

@@ -133,6 +133,48 @@ def test_scene_listing_and_live_edit(server):
     assert sc2["materials"][0]["type"] == "mirror"
 
 
+def test_texture_panel_and_material_texture_edit(server):
+    """/scene lists textures; tex format/mat-diffuse/emission edits land
+    (ui.rs textures window + materials editor texture/emission rows)."""
+    url, state, rt = server
+    from glaze_tpu.core import TextureFormat
+
+    sc = json.loads(_get(url + "/scene")[2])
+    assert len(sc["textures"]) == len(rt.textures())
+    assert all("format" in t and "size" in t for t in sc["textures"])
+    assert len(sc["metals"]) == 29
+
+    def post(cmd):
+        req = urllib.request.Request(
+            url + "/control", data=json.dumps(cmd).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 204
+
+    def settle():
+        _, seq = state.wait_frame(-1)
+        state.wait_frame(seq, timeout=120)
+        state.wait_frame(state.seq, timeout=120)
+
+    post({"action": "mat",
+          "value": {"id": 1, "field": "diffuse", "value": 0}})
+    post({"action": "mat",
+          "value": {"id": 1, "field": "emission", "value": [255, 128, 0]}})
+    # format reinterpret on a texture (id 1: first real texture)
+    tid = 1
+    old_fmt = rt.textures()[tid].info.format
+    new_fmt = ("Gray" if old_fmt != TextureFormat.Gray else "RgbaSrgb")
+    post({"action": "tex",
+          "value": {"id": tid, "field": "format", "value": new_fmt}})
+    settle()
+    assert rt.materials()[1].diffuse == 0
+    assert rt.materials()[1].emissive_col == (255, 128, 0)
+    assert rt.textures()[tid].info.format == TextureFormat(new_fmt)
+    post({"action": "mat",
+          "value": {"id": 1, "field": "emission", "value": None}})
+    settle()
+    assert rt.materials()[1].emissive_col is None
+
+
 def test_stream_yields_parts(server):
     url, state, rt = server
     req = urllib.request.Request(url + "/stream")
