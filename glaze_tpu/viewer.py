@@ -48,6 +48,9 @@ _PAGE = """<!doctype html>
  <button onclick="ctl('scale',0.25)">scale .25</button>
  <button onclick="ctl('scale',0.5)">scale .5</button>
  <button onclick="ctl('scale',1.0)">scale 1</button>
+ <button onclick="ctl('save')">save</button>
+ <button onclick="{const p = prompt('save as path:');
+   if (p) ctl('save', p);}">save as</button>
  <span id="stats"></span>
 </div>
 <img id="view" src="/stream">
@@ -237,6 +240,13 @@ class ViewerState:
                                 else bool(val))
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
+        elif act == "save":
+            # scene save / save-as (ui.rs save buttons, scene.rs:477-511)
+            if val:
+                rt.save_as(str(val))
+            else:
+                rt.save()
+            print("viewer: scene saved" + (f" as {val}" if val else ""))
         elif act == "mat":
             # live material edit (ui.rs materials window)
             from glaze_tpu.core import Metal

@@ -175,6 +175,27 @@ def test_texture_panel_and_material_texture_edit(server):
     assert rt.materials()[1].emissive_col is None
 
 
+def test_save_as(server, tmp_path):
+    """The save-as control serializes the live scene (ui.rs save buttons,
+    scene.rs:477-511)."""
+    url, state, rt = server
+    out = str(tmp_path / "saved.glaze")
+    req = urllib.request.Request(
+        url + "/control",
+        data=json.dumps({"action": "save", "value": out}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+    _, seq = state.wait_frame(-1)
+    state.wait_frame(seq, timeout=120)
+    state.wait_frame(state.seq, timeout=120)
+    import glaze_tpu
+
+    p = glaze_tpu.parse(out)
+    assert len(p.vertices()) == 70876
+    assert len(p.materials()) == len(rt.materials())
+
+
 def test_stream_yields_parts(server):
     url, state, rt = server
     req = urllib.request.Request(url + "/stream")
