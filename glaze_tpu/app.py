@@ -42,7 +42,8 @@ HELP = """commands:
   light <id> pos <x> <y> <z>
   light add omni|sun|area|sky
   light del <id>
-  raytrace on|off     toggle path tracer vs direct-light preview
+  raytrace on|off     toggle path tracer vs flat raster preview
+  integrator pt|direct   raytracer integrator (raytracer.rs:196-231)
   scale <v>           render scale (renderer.rs:283-315)
   exposure <v>        output exposure multiplier
   stats               fps / progressive sample count
@@ -273,6 +274,11 @@ def main(argv=None):
                 present()
             elif cmd == "raytrace":
                 rr.use_raytracer = parts[1].lower() != "off"
+                present()
+            elif cmd == "integrator":
+                from glaze_tpu.render.renderer import Integrator
+
+                rr._rt.set_integrator(Integrator(parts[1].lower()))
                 present()
             elif cmd == "scale":
                 rr.set_render_scale(float(parts[1]))

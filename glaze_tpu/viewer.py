@@ -45,6 +45,8 @@ _PAGE = """<!doctype html>
 <div id="hud">
  <b>glaze</b>
  <button onclick="ctl('mode','toggle')">raytrace on/off</button>
+ <button onclick="ctl('integrator','pt')">pt</button>
+ <button onclick="ctl('integrator','direct')">direct</button>
  <button onclick="ctl('scale',0.25)">scale .25</button>
  <button onclick="ctl('scale',0.5)">scale .5</button>
  <button onclick="ctl('scale',1.0)">scale 1</button>
@@ -238,6 +240,10 @@ class ViewerState:
         elif act == "mode":
             rt.use_raytracer = (not rt.use_raytracer if val == "toggle"
                                 else bool(val))
+        elif act == "integrator":
+            from glaze_tpu.render.renderer import Integrator
+
+            rt._rt.set_integrator(Integrator(str(val).lower()))
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
         elif act == "save":
@@ -367,7 +373,8 @@ class ViewerState:
         except Exception:
             pass
         return {"fps": rt.stats.fps, "spp": spp,
-                "mode": "pt" if rt.use_raytracer else "preview",
+                "mode": (rt._rt.integrator.value if rt.use_raytracer
+                         else "preview"),
                 "scale": rt.render_scale}
 
 

@@ -122,6 +122,9 @@ def test_app_scripted(tmp_path):
         "w 0.5\n"
         "look 10 0\n"
         "drag 0.5 0 3\n"
+        "integrator direct\n"
+        "frames 1\n"
+        "integrator pt\n"
         "frames 2\n"
         "stats\n"
         f"saveas {edited}\n"

@@ -175,6 +175,32 @@ def test_texture_panel_and_material_texture_edit(server):
     assert rt.materials()[1].emissive_col is None
 
 
+def test_integrator_switch(server):
+    """The integrator control swaps DIRECT/PT and restarts accumulation
+    (ui.rs settings window; raytracer.rs:196-231)."""
+    url, state, rt = server
+    from glaze_tpu.render.renderer import Integrator
+
+    def post(cmd):
+        req = urllib.request.Request(
+            url + "/control", data=json.dumps(cmd).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 204
+
+    def settle():
+        _, seq = state.wait_frame(-1)
+        state.wait_frame(seq, timeout=120)
+        state.wait_frame(state.seq, timeout=120)
+
+    post({"action": "integrator", "value": "direct"})
+    settle()
+    assert rt._rt.integrator is Integrator.DIRECT
+    assert json.loads(_get(url + "/stats")[2])["mode"] == "direct"
+    post({"action": "integrator", "value": "pt"})
+    settle()
+    assert rt._rt.integrator is Integrator.PATH_TRACE
+
+
 def test_save_as(server, tmp_path):
     """The save-as control serializes the live scene (ui.rs save buttons,
     scene.rs:477-511)."""
