@@ -21,9 +21,13 @@ import sys
 
 
 HELP = """commands:
-  w/a/s/d/q/e [mag]   move camera (advance/strafe/elevate)
+  w/a/s/d/q/e [mag] [fast]   move camera (advance/strafe/elevate);
+                      "fast" applies the fast-movement multiplier
   look <dx> <dy>      rotate view (degrees)
   drag <dx> <dy> [n]  mouse-look: rotate + draw, n frames (default 8)
+  settings            show control settings (ui.rs Controls window)
+  set speed|fastmul|vspeed|sensitivity <v>
+  set invert_h|invert_v|invert_move on|off
   frames <n>          advance n progressive launches (default 8)
   mat                 list materials
   mat <id> type <t>   set material type (flat|lambert|mirror|glass|metal|frosted|uber)
@@ -137,6 +141,24 @@ def main(argv=None):
     mtypes = MaterialType.by_name()
     ltypes = LightType.by_name()
 
+    # control settings (ui.rs:30-36 UiState + the Controls window,
+    # ui.rs:343-358). Multipliers default to 1.0 — the command loop takes
+    # explicit magnitudes where the reference scales raw input deltas —
+    # but the knobs and their slider ranges match.
+    ui = {"mouse_sensitivity": 1.0, "mov_speed": 1.0, "mov_speed_mul": 2.5,
+          "vert_speed": 1.0, "invert_h": False, "invert_v": False,
+          "invert_move": False}
+    _ui_range = {"mouse_sensitivity": (0.01, 10.0), "mov_speed": (0.01, 100.0),
+                 "mov_speed_mul": (1.0, 1000.0), "vert_speed": (0.01, 10.0)}
+    _set_keys = {"speed": "mov_speed", "fastmul": "mov_speed_mul",
+                 "vspeed": "vert_speed", "sensitivity": "mouse_sensitivity"}
+
+    def look_deltas(dx_deg, dy_deg):
+        s = ui["mouse_sensitivity"]
+        dx = math.radians(dx_deg) * s * (-1.0 if ui["invert_h"] else 1.0)
+        dy = math.radians(dy_deg) * s * (-1.0 if ui["invert_v"] else 1.0)
+        return dx, dy
+
     while True:
         try:
             line = read().strip()
@@ -153,7 +175,18 @@ def main(argv=None):
             elif cmd == "help":
                 print(HELP)
             elif cmd in ("w", "a", "s", "d", "q", "e"):
-                mag = float(parts[1]) if len(parts) > 1 else 1.0
+                opts = parts[1:]
+                fast = "fast" in opts
+                nums = [p for p in opts if p != "fast"]
+                mag = float(nums[0]) if nums else 1.0
+                if fast:  # LSHIFT in viewport.rs:176-186
+                    mag *= ui["mov_speed_mul"]
+                if cmd in ("q", "e"):
+                    mag *= ui["vert_speed"]
+                    if ui["invert_move"]:
+                        mag = -mag
+                else:
+                    mag *= ui["mov_speed"]
                 if cmd == "w":
                     rr.advance(mag)
                 elif cmd == "s":
@@ -168,15 +201,26 @@ def main(argv=None):
                     rr.elevate(mag)
                 present()
             elif cmd == "look":
-                rr.look_around(math.radians(float(parts[1])),
-                               math.radians(float(parts[2])))
+                rr.look_around(*look_deltas(float(parts[1]),
+                                            float(parts[2])))
                 present()
+            elif cmd == "settings":
+                for k, v in ui.items():
+                    print(f"  {k} = {v}")
+            elif cmd == "set":
+                key = parts[1].lower()
+                if key in _set_keys:
+                    lo, hi = _ui_range[_set_keys[key]]
+                    ui[_set_keys[key]] = min(hi, max(lo, float(parts[2])))
+                elif key in ("invert_h", "invert_v", "invert_move"):
+                    ui[key] = parts[2].lower() in ("on", "1", "true")
+                else:
+                    print(f"unknown setting {key!r}")
             elif cmd == "drag":
                 # continuous mouse-look (viewport.rs:81-247 cursor-moved):
                 # every frame rotates the view, restarting accumulation,
                 # so each launch is an all-primary sample
-                dx = math.radians(float(parts[1]))
-                dy = math.radians(float(parts[2]))
+                dx, dy = look_deltas(float(parts[1]), float(parts[2]))
                 n = int(parts[3]) if len(parts) > 3 else 8
                 for _ in range(max(1, n)):
                     rr.look_around(dx, dy)

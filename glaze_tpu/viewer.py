@@ -56,7 +56,24 @@ _PAGE = """<!doctype html>
  <span id="stats"></span>
 </div>
 <img id="view" src="/stream">
-<p>keys: w/a/s/d move, q/e up/down, arrows look, drag to look</p>
+<p>keys: w/a/s/d move (shift = fast), q/e up/down, arrows look,
+ drag to look</p>
+<details><summary>controls</summary>
+ sensitivity <input type="number" value="1" step="0.1" min="0.01" max="10"
+  onchange="ctl('set',['sensitivity',parseFloat(this.value)])">
+ speed <input type="number" value="1" step="0.1" min="0.01" max="100"
+  onchange="ctl('set',['mov_speed',parseFloat(this.value)])">
+ fast mult <input type="number" value="2.5" step="0.5" min="1" max="1000"
+  onchange="ctl('set',['mov_speed_mul',parseFloat(this.value)])">
+ vert speed <input type="number" value="1" step="0.1" min="0.01" max="10"
+  onchange="ctl('set',['vert_speed',parseFloat(this.value)])">
+ <label><input type="checkbox"
+  onchange="ctl('set',['invert_h',this.checked])">invert h</label>
+ <label><input type="checkbox"
+  onchange="ctl('set',['invert_v',this.checked])">invert v</label>
+ <label><input type="checkbox"
+  onchange="ctl('set',['invert_move',this.checked])">invert vert move</label>
+</details>
 <details id="edit"><summary>materials &amp; lights &amp; textures</summary>
  <div id="mats"></div><div id="lights"></div>
  <select id="newlight"><option>omni</option><option>sun</option>
@@ -65,16 +82,19 @@ _PAGE = """<!doctype html>
  <div id="texs"></div>
 </details>
 <script>
-function ctl(action, value) {
-  fetch('/control', {method:'POST', body:JSON.stringify({action, value})});
+function ctl(action, value, fast) {
+  fetch('/control',
+        {method:'POST', body:JSON.stringify({action, value, fast})});
 }
 const KEYS = {w:['advance',1], s:['advance',-1], a:['strafe',-1],
               d:['strafe',1], q:['elevate',-1], e:['elevate',1],
               ArrowLeft:['look',[-5,0]], ArrowRight:['look',[5,0]],
               ArrowUp:['look',[0,-5]], ArrowDown:['look',[0,5]]};
 document.addEventListener('keydown', ev => {
-  const k = KEYS[ev.key];
-  if (k) { ctl(k[0], k[1]); ev.preventDefault(); }
+  const k = KEYS[ev.key.toLowerCase()] || KEYS[ev.key];
+  if (k && ev.target.tagName !== 'INPUT') {
+    ctl(k[0], k[1], ev.shiftKey); ev.preventDefault();
+  }
 });
 let drag = null;
 const img = document.getElementById('view');
@@ -200,6 +220,14 @@ class ViewerState:
         # camera step per keypress: scene-constant, fetched once (a
         # per-command device read would add ~33 ms to every keypress)
         self.step = float(np.asarray(rt._rt.scene.scene_radius)) * 0.05
+        # control settings (ui.rs:30-36 + the Controls window, 343-358)
+        self.mov_speed = 1.0
+        self.mov_speed_mul = 2.5   # shift held
+        self.vert_speed = 1.0
+        self.sensitivity = 1.0
+        self.invert_h = False
+        self.invert_v = False
+        self.invert_move = False
 
     # -- render-thread side --------------------------------------------------
     def publish(self, frame: np.ndarray):
@@ -224,17 +252,35 @@ class ViewerState:
     def _apply(self, c):
         rt = self.rt
         act, val = c.get("action"), c.get("value")
-        step = self.step
+        step = self.step * self.mov_speed
+        if c.get("fast"):  # LSHIFT (viewport.rs:176-186)
+            step *= self.mov_speed_mul
         if act == "advance":
             rt.advance(step * float(val))
         elif act == "strafe":
             rt.strafe(step * float(val))
         elif act == "elevate":
-            rt.elevate(step * float(val))
+            # vertical movement has its own speed setting (ui.rs:349)
+            v = step / self.mov_speed * self.vert_speed * float(val)
+            rt.elevate(-v if self.invert_move else v)
         elif act == "look":
-            dx, dy = val
-            rt.look_around(float(dx) * np.pi / 180.0,
-                           float(dy) * np.pi / 180.0)
+            dx, dy = (float(v) for v in val)
+            dx *= self.sensitivity * (-1.0 if self.invert_h else 1.0)
+            dy *= self.sensitivity * (-1.0 if self.invert_v else 1.0)
+            rt.look_around(dx * np.pi / 180.0, dy * np.pi / 180.0)
+        elif act == "set":
+            key, v = val
+            allowed = {"mov_speed": (0.01, 100.0),
+                       "mov_speed_mul": (1.0, 1000.0),
+                       "vert_speed": (0.01, 10.0),
+                       "sensitivity": (0.01, 10.0)}
+            if key in allowed:
+                lo, hi = allowed[key]
+                setattr(self, key, min(hi, max(lo, float(v))))
+            elif key in ("invert_h", "invert_v", "invert_move"):
+                setattr(self, key, bool(v))
+            else:
+                raise ValueError(f"unknown setting {key!r}")
         elif act == "scale":
             rt.set_render_scale(float(val))
         elif act == "mode":

@@ -122,6 +122,12 @@ def test_app_scripted(tmp_path):
         "w 0.5\n"
         "look 10 0\n"
         "drag 0.5 0 3\n"
+        "settings\n"
+        "set speed 2\n"
+        "set sensitivity 0.5\n"
+        "set invert_v on\n"
+        "w 0.25 fast\n"
+        "look 4 2\n"
         "integrator direct\n"
         "frames 1\n"
         "integrator pt\n"

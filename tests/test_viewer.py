@@ -201,6 +201,49 @@ def test_integrator_switch(server):
     assert rt._rt.integrator is Integrator.PATH_TRACE
 
 
+def test_control_settings(server):
+    """The `set` action drives the ui.rs Controls-window settings
+    (sensitivity/speed/fast multiplier/inversions, ui.rs:343-358); the
+    `fast` flag on a movement command applies the multiplier."""
+    url, state, rt = server
+
+    def post(cmd):
+        req = urllib.request.Request(
+            url + "/control", data=json.dumps(cmd).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 204
+
+    def settle():
+        _, seq = state.wait_frame(-1)
+        state.wait_frame(seq, timeout=120)
+        state.wait_frame(state.seq, timeout=120)
+
+    post({"action": "set", "value": ["mov_speed", 2.0]})
+    post({"action": "set", "value": ["sensitivity", 0.5]})
+    post({"action": "set", "value": ["invert_v", True]})
+    post({"action": "set", "value": ["mov_speed_mul", 4.0]})
+    settle()
+    assert state.mov_speed == 2.0 and state.sensitivity == 0.5
+    assert state.invert_v is True and state.mov_speed_mul == 4.0
+
+    # clamped to the slider range (ui.rs Slider::new bounds)
+    post({"action": "set", "value": ["sensitivity", 1e6]})
+    settle()
+    assert state.sensitivity == 10.0
+
+    # fast movement: same key, shift held -> mov_speed_mul x the step
+    before = np.asarray(rt.camera().inner.position, float).copy()
+    post({"action": "advance", "value": 1, "fast": True})
+    settle()
+    mid = np.asarray(rt.camera().inner.position, float).copy()
+    post({"action": "advance", "value": -1})
+    settle()
+    after = np.asarray(rt.camera().inner.position, float)
+    d_fast = np.linalg.norm(mid - before)
+    d_norm = np.linalg.norm(after - mid)
+    assert d_fast == pytest.approx(4.0 * d_norm, rel=1e-4)
+
+
 def test_save_as(server, tmp_path):
     """The save-as control serializes the live scene (ui.rs save buttons,
     scene.rs:477-511)."""
