@@ -42,6 +42,13 @@ def build_parser():
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
     p.add_argument(
+        "--sif", type=int, default=None, metavar="N",
+        help="samples in flight per pixel (default env GLAZE_SIF or 1): "
+             "N independent path states advance per launch — a denser "
+             "sorted wavefront traces faster per ray on incoherent "
+             "bounces, at N x launch memory (docs/PERF_LOG.md)",
+    )
+    p.add_argument(
         "--profile", nargs="?", const="glaze_profile", default=None,
         metavar="DIR",
         help="dump a jax.profiler trace (xprof/tensorboard xplane) of the "
@@ -76,13 +83,17 @@ def main(argv=None):
     width, height = args.res
     integrator = Integrator.DIRECT if args.integrator == "direct" else Integrator.PATH_TRACE
     renderer = RayTraceRenderer(
-        parsed, width=width, height=height, integrator=integrator, seed=args.seed
+        parsed, width=width, height=height, integrator=integrator,
+        seed=args.seed, samples_in_flight=args.sif,
     )
     timer.mark("upload+bvh")
     setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0
     print(f"Setup time: {setup_ms:.0f}ms", file=sys.stderr)
 
-    total = args.spp * integrator.steps_per_sample
+    # the progress callback counts LAUNCHES; each launch advances
+    # samples_in_flight path states per pixel
+    total = -(-args.spp * integrator.steps_per_sample
+              // renderer.samples_in_flight)
     t0 = time.time()
 
     def progress(done):
