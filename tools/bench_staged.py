@@ -56,7 +56,7 @@ def config1():
             "mattest_vertices": n_v, "mattest_materials": mats}
 
 
-def _render(parsed, spp, lambert_only=False):
+def _render(parsed, spp, lambert_only=False, res=512):
     import numpy as np
 
     from glaze_tpu.render.renderer import RayTraceRenderer
@@ -68,7 +68,7 @@ def _render(parsed, spp, lambert_only=False):
 
         mats = [dataclasses.replace(m, mtype=MaterialType.LAMBERT)
                 for m in parsed.materials()]
-    w = h = 512
+    w = h = res
     r = RayTraceRenderer(parsed, width=w, height=h, seed=7)
     if lambert_only:
         r.update_materials_and_lights(mats, parsed.lights())
@@ -90,31 +90,40 @@ def _render(parsed, spp, lambert_only=False):
     }
 
 
-def config2():
+def config2(res=512, spp=64):
     from glaze_tpu.parser import parse
 
     parsed = parse(os.path.join(RES, "mattest.glaze"))
-    out = _render(parsed, 64, lambert_only=True)
-    out.update({"config": 2, "metric": "mattest_lambert_512_64spp"})
+    out = _render(parsed, spp, lambert_only=True, res=res)
+    out.update({"config": 2, "metric": f"mattest_lambert_{res}_{spp}spp"})
     return out
 
 
-def config3():
+def config3(res=512, spp=256):
     from glaze_tpu.parser import parse
 
     parsed = parse(os.path.join(RES, "mattest.glaze"))
-    out = _render(parsed, 256)
-    out.update({"config": 3, "metric": "mattest_full_512_256spp"})
+    out = _render(parsed, spp, res=res)
+    out.update({"config": 3, "metric": f"mattest_full_{res}_{spp}spp"})
     return out
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3")
+    ap.add_argument("--res", type=int, default=512,
+                    help="override render size (smoke tests)")
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override spp (smoke tests)")
     args = ap.parse_args(argv)
-    fns = {"1": config1, "2": config2, "3": config3}
     for c in args.configs.split(","):
-        res = fns[c.strip()]()
+        c = c.strip()
+        if c == "1":
+            res = config1()
+        elif c == "2":
+            res = config2(args.res, args.spp or 64)
+        else:
+            res = config3(args.res, args.spp or 256)
         print(json.dumps(res), flush=True)
     return 0
 
