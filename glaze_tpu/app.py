@@ -51,6 +51,7 @@ HELP = """commands:
   scale <v>           render scale (renderer.rs:283-315)
   exposure <v>        output exposure multiplier
   stats               fps / progressive sample count
+  info                device info (ui.rs info window / DeviceInfo)
   save                in-place scene update (ParsedScene::update)
   saveas <path>
   shot <path>         write current frame as PNG
@@ -334,6 +335,15 @@ def main(argv=None):
             elif cmd == "stats":
                 print(f"  fps={rr.stats.fps:.2f} "
                       f"draws/s={rr.stats.draw_calls_per_sec:.2f}")
+            elif cmd == "info":
+                # device info window (ui.rs info_window; device.rs:403-448)
+                from glaze_tpu.instance import RayTraceInstance
+
+                inst = RayTraceInstance.new()
+                if inst is None:
+                    print("  no accelerated device")
+                else:
+                    print(f"  {inst.info}")
             elif cmd == "save":
                 rr.save()
                 print("scene updated in place", file=sys.stderr)
