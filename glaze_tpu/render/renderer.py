@@ -263,9 +263,10 @@ class RayTraceRenderer:
         k+1 is dispatched BEFORE blocking on chunk k, so the host-side
         sync + callback overlap device work instead of serializing it
         (the reference keeps FRAMES_IN_FLIGHT=2 launches in flight the
-        same way, raytracer.rs:615-654; a measured 1080p/256spp run
-        lost ~12% of wall time to the per-chunk syncs of the unpipelined
-        loop — docs/PERF_LOG.md).
+        same way, raytracer.rs:615-654). Measured effect: short frames
+        gain (118 -> 99 ms at render scale 0.2, tools/probe_frame.py);
+        a full 1080p/256spp run is tunnel-average-bound and does not
+        (2798.6 s before / 2814.6 s after — docs/PERF_LOG.md).
         """
         self._maybe_restart()
         c2w, s2c = self._frame_params()
