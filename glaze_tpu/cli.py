@@ -9,6 +9,7 @@ Usage: ``python -m glaze_tpu.cli scene.glaze out.png --res 512x512 --spp 64``
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -41,6 +42,16 @@ def build_parser():
         help="integrator (default pt)",
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
+    p.add_argument(
+        "--checkpoint", metavar="PATH",
+        help="progressive-state checkpoint (.npz): resume from PATH if it "
+             "exists, save every --checkpoint-every samples and on Ctrl-C "
+             "(bit-exact resume; the reference restarts from scratch)",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=32, metavar="SPP",
+        help="samples between checkpoint saves (default 32)",
+    )
     p.add_argument(
         "--sif", type=int, default=None, metavar="N",
         help="samples in flight per pixel (default env GLAZE_SIF or 1): "
@@ -90,22 +101,60 @@ def main(argv=None):
     setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0
     print(f"Setup time: {setup_ms:.0f}ms", file=sys.stderr)
 
+    done_spp = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        renderer.load_checkpoint(args.checkpoint)
+        done_spp = min(renderer.completed_spp, args.spp)
+        print(f"Resumed {args.checkpoint}: {done_spp} spp done",
+              file=sys.stderr)
+
     # the progress callback counts LAUNCHES; each launch advances
     # samples_in_flight path states per pixel
-    total = -(-args.spp * integrator.steps_per_sample
-              // renderer.samples_in_flight)
+    def launches(spp):
+        return -(-spp * integrator.steps_per_sample
+                 // renderer.samples_in_flight)
+
+    total = launches(args.spp)
+    base = launches(done_spp)
     t0 = time.time()
 
     def progress(done):
-        pct = 100.0 * done / total
+        pct = 100.0 * (base + done) / total
         print(f"\rRendering... {pct:5.1f}%", end="", file=sys.stderr, flush=True)
 
+    def save_checkpoint():
+        # atomic: np.savez appends .npz to extensionless tmp names, so
+        # keep the suffix and rename over the target
+        tmp = args.checkpoint + ".tmp.npz"
+        renderer.save_checkpoint(tmp)
+        os.replace(tmp, args.checkpoint)
+
     with profiler_trace(args.profile or "", enabled=args.profile is not None):
-        renderer.draw(args.spp, progress)
+        remaining = args.spp - done_spp
+        step = args.checkpoint_every if args.checkpoint else remaining
+        try:
+            while remaining > 0:
+                n = min(max(step, 1), remaining)
+                renderer.draw(n, progress)
+                remaining -= n
+                base = launches(args.spp - remaining)
+                if args.checkpoint and remaining > 0:
+                    save_checkpoint()
+        except KeyboardInterrupt:
+            if args.checkpoint:
+                save_checkpoint()
+                print(f"\nInterrupted: checkpoint saved to "
+                      f"{args.checkpoint}", file=sys.stderr)
+                return 130
+            raise
+        if args.checkpoint:
+            save_checkpoint()
     timer.mark("render")
     print(file=sys.stderr)
     render_ms = timer.marks["render"] * 1000.0
-    rays = width * height * total
+    # rays traced THIS run: launches drawn x sif states/pixel/launch
+    rays = (width * height * renderer.samples_in_flight
+            * (total - launches(done_spp)))
     print(
         f"Render time: {render_ms:.0f}ms "
         f"({rays / max(render_ms, 1e-9) / 1e3:.1f} Mrays/s)",

@@ -321,6 +321,14 @@ class RayTraceRenderer:
     # -- checkpoint / resume --------------------------------------------------
     # The reference has no render checkpointing (SURVEY §5) — a restart
     # loses accumulation. Here the progressive state IS the checkpoint:
+    @property
+    def completed_spp(self) -> int:
+        """Samples/pixel accumulated so far (count is per-lane LAUNCHES;
+        each launch advances samples_in_flight states per pixel)."""
+        count = int(np.asarray(jax.device_get(self._state.count)).max())
+        return (count * self.samples_in_flight
+                // self.integrator.steps_per_sample)
+
     # persist (accum, count, path state, host RNG) and resume exactly.
     def save_checkpoint(self, path: str):
         """Serializes the progressive accumulation state to ``path``."""

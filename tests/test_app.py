@@ -234,6 +234,35 @@ def test_gltf_converter(tmp_path):
     assert np.isfinite(np.asarray(r._state.count)).all()
 
 
+def test_cli_checkpoint_resume_bit_exact(tmp_path):
+    """--checkpoint: a render split across two CLI invocations produces
+    the same PNG as one uninterrupted run (bit-exact resume; the
+    reference restarts accumulation from scratch on any interruption)."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    path = _lit_cube_scene(tmp_path)
+    from PIL import Image
+
+    from glaze_tpu.cli import main
+
+    ref = tmp_path / "whole.png"
+    rc = main([path, str(ref), "--res", "16x16", "--spp", "4", "--seed", "3"])
+    assert rc == 0
+
+    ck = tmp_path / "ck.npz"
+    part = tmp_path / "part.png"
+    rc = main([path, str(part), "--res", "16x16", "--spp", "2",
+               "--seed", "3", "--checkpoint", str(ck)])
+    assert rc == 0 and ck.exists()
+    resumed = tmp_path / "resumed.png"
+    rc = main([path, str(resumed), "--res", "16x16", "--spp", "4",
+               "--seed", "3", "--checkpoint", str(ck)])
+    assert rc == 0
+    a = np.asarray(Image.open(ref))
+    b = np.asarray(Image.open(resumed))
+    assert np.array_equal(a, b)
+
+
 def test_cli_end_to_end(tmp_path):
     """glaze-cli flags and both integrators on a tiny scene."""
     if not os.path.exists(OBJ):
