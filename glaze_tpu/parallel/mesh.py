@@ -10,6 +10,18 @@ instead of pixels is the same mesh with a "samples" axis: every chip
 renders the full image with different seeds and the accumulation buffers
 are psum-reduced.
 
+Every mode runs the launch under ``shard_map``, NOT bare GSPMD
+propagation: the launch body contains a GLOBAL Morton/compaction argsort
+and Pallas custom-calls, and GSPMD can partition neither — it inserts
+all-gathers around the sort and replicates the custom-call, which
+measured 8x SLOWER at 8 devices on a fixed frame (strong-scaling probe,
+tools/bench_scaling_cpu.py, 2026-08-19). Under shard_map each device
+sorts and traces ITS OWN pixel shard locally — the sort is an internal
+optimization whose scope is free to shrink — so the hot loop has zero
+collectives by construction; per-lane results are unchanged because a
+row-union visit set is always a superset of each lane's own needed
+nodes (extra tests never change a lane's best hit).
+
 ICI does the heavy lifting; no NCCL/MPI translation (SURVEY 2.8's table).
 """
 
@@ -21,6 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 from glaze_tpu.render import integrator as integ
 
@@ -75,27 +92,36 @@ def unshard_state(state: integ.PathState) -> integ.PathState:
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
-                     "alpha_rounds"),
-)
-def _render_steps_impl(scene, state, seeds, offsets, cam2world, screen2cam,
-                       px, py, *, width, height, is_persp, direct_only,
-                       steps, alpha_rounds=0):
-    size = jnp.asarray([width, height], jnp.float32)
+@functools.lru_cache(maxsize=None)
+def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
+              steps, alpha_rounds):
+    """jit(shard_map(scan-of-launch_step)) for the pixel mode, cached per
+    (mesh, state spec tree, statics). Each device runs the FULL launch —
+    Morton sort, Pallas trace, shade — on its own contiguous pixel slice;
+    no collectives anywhere in the loop (see module docstring)."""
 
-    def body(st, inp):
-        seed, offset = inp
-        st = integ.launch_step(
-            scene, st, seed, offset, cam2world, screen2cam, px, py, size,
-            is_persp=is_persp, direct_only=direct_only,
-            alpha_rounds=alpha_rounds,
-        )
-        return st, None
+    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py):
+        size = jnp.asarray([width, height], jnp.float32)
 
-    state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
-    return state
+        def body(st, inp):
+            seed, offset = inp
+            st = integ.launch_step(
+                scene, st, seed, offset, cam2world, screen2cam, px, py,
+                size, is_persp=is_persp, direct_only=direct_only,
+                alpha_rounds=alpha_rounds,
+            )
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
+        return state
+
+    sharded = _shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), state_specs, P(), P(), P(), P(), P(AXIS), P(AXIS)),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
@@ -103,9 +129,12 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
                          direct_only, steps, alpha_rounds=0):
     """`steps` launches with the pixel axis sharded over ``mesh``.
 
-    Uses jit-with-shardings (GSPMD): state in/out sharded over pixels,
-    scene replicated. XLA partitions the whole scan; traversal and shading
-    are embarrassingly parallel so no collectives appear in the hot loop.
+    shard_map, not GSPMD propagation: each device advances its own pixel
+    slice with a LOCAL trace sort and local Pallas kernels, so the scan
+    body has zero collectives (GSPMD all-gathers the global argsort —
+    measured 8x slower at 8 devices). Per-lane radiance is unchanged:
+    the sort is unsorted after the trace and a packet-union visit set is
+    a superset of every member lane's needed nodes.
     """
     n = mesh.devices.size
     p = integ.pixel_count(width, height)
@@ -120,11 +149,10 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
         lambda x: _put_once(x, NamedSharding(mesh, _pixel_spec(x))), state
     )
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
-    return _render_steps_impl(
-        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
-        width=width, height=height, is_persp=is_persp,
-        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-    )
+    state_specs = jax.tree.map(_pixel_spec, state)
+    impl = _pix_impl(mesh, state_specs, width, height, is_persp,
+                     direct_only, steps, alpha_rounds)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
 
 
 # ---------------------------------------------------------------------------
@@ -151,30 +179,44 @@ def _spp_spec(x):
     return P(AXIS, *([None] * (x.ndim - 1)))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
-                     "alpha_rounds"),
-)
-def _render_steps_spp_impl(scene, state, seeds, offsets, cam2world,
-                           screen2cam, px, py, *, width, height, is_persp,
-                           direct_only, steps, alpha_rounds=0):
-    size = jnp.asarray([width, height], jnp.float32)
+@functools.lru_cache(maxsize=None)
+def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
+              steps, alpha_rounds):
+    """jit(shard_map(...)) for the sample modes. ``axes`` = (sample_axis,
+    pixel_axis_or_None): each device (or sample group) owns a slice of
+    the leading sample axis; with a pixel axis the per-sample pixel
+    arrays are additionally sharded. The per-group launch (sort + trace
+    included) is device-local — the vmap over local sample groups is
+    degenerate (size 1 per device on a 1D mesh)."""
+    sample_axis, pixel_axis = axes
 
-    def body(st, inp):
-        seed, offset = inp  # seed: (n,) per-device; offset: (2,) shared
+    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py):
+        size = jnp.asarray([width, height], jnp.float32)
 
-        def one(state_i, seed_i):
-            return integ.launch_step(
-                scene, state_i, seed_i, offset, cam2world, screen2cam,
-                px, py, size, is_persp=is_persp, direct_only=direct_only,
-                alpha_rounds=alpha_rounds,
-            )
+        def body(st, inp):
+            seed, offset = inp  # seed: (local_n,); offset: (2,) shared
 
-        return jax.vmap(one, in_axes=(0, 0))(st, seed), None
+            def one(state_i, seed_i):
+                return integ.launch_step(
+                    scene, state_i, seed_i, offset, cam2world, screen2cam,
+                    px, py, size, is_persp=is_persp,
+                    direct_only=direct_only, alpha_rounds=alpha_rounds,
+                )
 
-    state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
-    return state
+            return jax.vmap(one, in_axes=(0, 0))(st, seed), None
+
+        state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
+        return state
+
+    pix_spec = P(pixel_axis) if pixel_axis else P()
+    sharded = _shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), state_specs, P(None, sample_axis), P(), P(), P(),
+                  pix_spec, pix_spec),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
@@ -193,11 +235,10 @@ def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
         lambda x: _put_once(x, NamedSharding(mesh, _spp_spec(x))), state
     )
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
-    return _render_steps_spp_impl(
-        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
-        width=width, height=height, is_persp=is_persp,
-        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-    )
+    state_specs = jax.tree.map(_spp_spec, state)
+    impl = _spp_impl(mesh, state_specs, (AXIS, None), width, height,
+                     is_persp, direct_only, steps, alpha_rounds)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
 
 
 @jax.jit
@@ -273,8 +314,7 @@ def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
         lambda x: _put_once(x, NamedSharding(mesh, _spp2d_spec(x))),
         state)
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
-    return _render_steps_spp_impl(
-        scene, state, seeds, offsets, cam2world, screen2cam, px, py,
-        width=width, height=height, is_persp=is_persp,
-        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-    )
+    state_specs = jax.tree.map(_spp2d_spec, state)
+    impl = _spp_impl(mesh, state_specs, (SPP_AXIS, AXIS), width, height,
+                     is_persp, direct_only, steps, alpha_rounds)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)

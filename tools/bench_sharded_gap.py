@@ -100,10 +100,14 @@ def main():
         state)
     sc_sh = jax.tree.map(lambda x: jax.device_put(x, repl), r.scene)
 
+    state_specs = jax.tree.map(pmesh._pixel_spec, state)
+    impl = pmesh._pix_impl(m, state_specs, kw["width"], kw["height"],
+                           kw["is_persp"], kw["direct_only"], kw["steps"],
+                           kw["alpha_rounds"])
+
     def run_sharded_preplaced():
         s, o = seeds()
-        return pmesh._render_steps_impl(sc_sh, st_sh, s, o, c2w, s2c,
-                                        pxs, pys, **kw)
+        return impl(sc_sh, st_sh, s, o, c2w, s2c, pxs, pys)
 
     timeit("sharded (pre-placed)", run_sharded_preplaced)
 
