@@ -146,13 +146,14 @@ def main(argv=None):
     # ui.rs:343-358). Multipliers default to 1.0 — the command loop takes
     # explicit magnitudes where the reference scales raw input deltas —
     # but the knobs and their slider ranges match.
+    from glaze_tpu.ui import clamp as ui_clamp
+
     ui = {"mouse_sensitivity": 1.0, "mov_speed": 1.0, "mov_speed_mul": 2.5,
           "vert_speed": 1.0, "invert_h": False, "invert_v": False,
           "invert_move": False}
-    _ui_range = {"mouse_sensitivity": (0.01, 10.0), "mov_speed": (0.01, 100.0),
-                 "mov_speed_mul": (1.0, 1000.0), "vert_speed": (0.01, 10.0)}
     _set_keys = {"speed": "mov_speed", "fastmul": "mov_speed_mul",
                  "vspeed": "vert_speed", "sensitivity": "mouse_sensitivity"}
+    _alias = {v: k for k, v in _set_keys.items()}
 
     def look_deltas(dx_deg, dy_deg):
         s = ui["mouse_sensitivity"]
@@ -206,13 +207,13 @@ def main(argv=None):
                                             float(parts[2])))
                 present()
             elif cmd == "settings":
+                # print the names `set` accepts, not the internal keys
                 for k, v in ui.items():
-                    print(f"  {k} = {v}")
+                    print(f"  {_alias.get(k, k)} = {v}")
             elif cmd == "set":
                 key = parts[1].lower()
                 if key in _set_keys:
-                    lo, hi = _ui_range[_set_keys[key]]
-                    ui[_set_keys[key]] = min(hi, max(lo, float(parts[2])))
+                    ui[_set_keys[key]] = ui_clamp(_set_keys[key], parts[2])
                 elif key in ("invert_h", "invert_v", "invert_move"):
                     ui[key] = parts[2].lower() in ("on", "1", "true")
                 else:

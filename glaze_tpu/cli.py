@@ -102,8 +102,28 @@ def main(argv=None):
     print(f"Setup time: {setup_ms:.0f}ms", file=sys.stderr)
 
     done_spp = 0
+    scene_id = ""
+    if args.checkpoint:
+        import hashlib
+
+        with open(ensure_glaze(args.input), "rb") as f:
+            scene_id = hashlib.sha256(f.read()).hexdigest()
     if args.checkpoint and os.path.exists(args.checkpoint):
-        renderer.load_checkpoint(args.checkpoint)
+        try:
+            renderer.load_checkpoint(args.checkpoint, scene_id=scene_id)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        # the checkpoint's resolution/integrator/sif win over the flags
+        # (load_checkpoint already adopted them) — resync the locals so
+        # progress and Mrays math follow the render that actually runs
+        if (renderer.integrator is not integrator
+                or (renderer.width, renderer.height) != (width, height)):
+            print(f"Resume overrides flags: {renderer.width}x"
+                  f"{renderer.height} {renderer.integrator.name_str}",
+                  file=sys.stderr)
+        integrator = renderer.integrator
+        width, height = renderer.width, renderer.height
         done_spp = min(renderer.completed_spp, args.spp)
         print(f"Resumed {args.checkpoint}: {done_spp} spp done",
               file=sys.stderr)
@@ -119,22 +139,27 @@ def main(argv=None):
     t0 = time.time()
 
     def progress(done):
-        pct = 100.0 * (base + done) / total
+        pct = min(100.0, 100.0 * (base + done) / total)
         print(f"\rRendering... {pct:5.1f}%", end="", file=sys.stderr, flush=True)
 
     def save_checkpoint():
         # atomic: np.savez appends .npz to extensionless tmp names, so
         # keep the suffix and rename over the target
         tmp = args.checkpoint + ".tmp.npz"
-        renderer.save_checkpoint(tmp)
+        renderer.save_checkpoint(tmp, scene_id=scene_id)
         os.replace(tmp, args.checkpoint)
 
     with profiler_trace(args.profile or "", enabled=args.profile is not None):
         remaining = args.spp - done_spp
         step = args.checkpoint_every if args.checkpoint else remaining
+        # align chunks to whole sif groups: draw(n) runs
+        # ceil(n*steps/sif) launches, so a chunk size that is not a sif
+        # multiple makes per-chunk ceils sum past launches(spp)
+        sif = renderer.samples_in_flight
+        step = -(-max(step, 1) // sif) * sif
         try:
             while remaining > 0:
-                n = min(max(step, 1), remaining)
+                n = min(step, remaining)
                 renderer.draw(n, progress)
                 remaining -= n
                 base = launches(args.spp - remaining)

@@ -325,16 +325,24 @@ class RayTraceRenderer:
     def completed_spp(self) -> int:
         """Samples/pixel accumulated so far (count is per-lane LAUNCHES;
         each launch advances samples_in_flight states per pixel)."""
-        count = int(np.asarray(jax.device_get(self._state.count)).max())
+        # reduce on device: fetching the whole per-lane count array just
+        # to max it would pull ~MBs through the TPU tunnel
+        count = int(jax.device_get(self._state.count.max()))
         return (count * self.samples_in_flight
                 // self.integrator.steps_per_sample)
 
     # persist (accum, count, path state, host RNG) and resume exactly.
-    def save_checkpoint(self, path: str):
-        """Serializes the progressive accumulation state to ``path``."""
+    def save_checkpoint(self, path: str, scene_id: str = ""):
+        """Serializes the progressive accumulation state to ``path``.
+
+        ``scene_id``: opaque scene identity (e.g. a content hash);
+        ``load_checkpoint`` refuses a checkpoint whose scene_id differs —
+        resuming scene A's accumulation on scene B silently blends two
+        renders otherwise."""
         leaves, treedef = jax.tree.flatten(self._state)
         np.savez_compressed(
             path,
+            scene_id=str(scene_id),
             n_leaves=len(leaves),
             width=self.width,
             height=self.height,
@@ -355,11 +363,19 @@ class RayTraceRenderer:
                for i, l in enumerate(leaves)},
         )
 
-    def load_checkpoint(self, path: str):
-        """Restores a checkpoint written by :meth:`save_checkpoint`."""
+    def load_checkpoint(self, path: str, scene_id: str = ""):
+        """Restores a checkpoint written by :meth:`save_checkpoint`.
+
+        Raises ``ValueError`` when both sides carry a non-empty
+        ``scene_id`` and they differ (checkpoint from another scene)."""
         from glaze_tpu.render.scheduler import WorkScheduler
 
         data = np.load(path, allow_pickle=False)
+        ck_scene = str(data["scene_id"]) if "scene_id" in data else ""
+        if scene_id and ck_scene and ck_scene != str(scene_id):
+            raise ValueError(
+                f"checkpoint {path!r} was written for a different scene "
+                f"(scene_id {ck_scene!r} != {str(scene_id)!r})")
         ck_sif = int(data["samples_in_flight"]) if "samples_in_flight" \
             in data else 1
         if (int(data["width"]) != self.width

@@ -59,13 +59,13 @@ _PAGE = """<!doctype html>
 <p>keys: w/a/s/d move (shift = fast), q/e up/down, arrows look,
  drag to look</p>
 <details><summary>controls</summary>
- sensitivity <input type="number" value="1" step="0.1" min="0.01" max="10"
+ sensitivity <input type="number" value="1" step="0.1" __R_SENS__
   onchange="ctl('set',['sensitivity',parseFloat(this.value)])">
- speed <input type="number" value="1" step="0.1" min="0.01" max="100"
+ speed <input type="number" value="1" step="0.1" __R_SPEED__
   onchange="ctl('set',['mov_speed',parseFloat(this.value)])">
- fast mult <input type="number" value="2.5" step="0.5" min="1" max="1000"
+ fast mult <input type="number" value="2.5" step="0.5" __R_MUL__
   onchange="ctl('set',['mov_speed_mul',parseFloat(this.value)])">
- vert speed <input type="number" value="1" step="0.1" min="0.01" max="10"
+ vert speed <input type="number" value="1" step="0.1" __R_VERT__
   onchange="ctl('set',['vert_speed',parseFloat(this.value)])">
  <label><input type="checkbox"
   onchange="ctl('set',['invert_h',this.checked])">invert h</label>
@@ -92,7 +92,8 @@ const KEYS = {w:['advance',1], s:['advance',-1], a:['strafe',-1],
               ArrowUp:['look',[0,-5]], ArrowDown:['look',[0,5]]};
 document.addEventListener('keydown', ev => {
   const k = KEYS[ev.key.toLowerCase()] || KEYS[ev.key];
-  if (k && ev.target.tagName !== 'INPUT') {
+  const t = ev.target.tagName;
+  if (k && !['INPUT', 'SELECT', 'TEXTAREA', 'BUTTON'].includes(t)) {
     ctl(k[0], k[1], ev.shiftKey); ev.preventDefault();
   }
 });
@@ -199,6 +200,22 @@ function addLight() {
 document.getElementById('edit').addEventListener('toggle', refreshScene);
 </script></body></html>"""
 
+# input bounds come from the shared ranges table (glaze_tpu/ui.py) so
+# the page, the server clamp, and the app command loop cannot drift
+from glaze_tpu.ui import CONTROL_RANGES as _CR
+
+
+def _minmax(key):
+    lo, hi = _CR[key]
+    return f'min="{lo:g}" max="{hi:g}"'
+
+
+_PAGE = (_PAGE
+         .replace("__R_SENS__", _minmax("mouse_sensitivity"))
+         .replace("__R_SPEED__", _minmax("mov_speed"))
+         .replace("__R_MUL__", _minmax("mov_speed_mul"))
+         .replace("__R_VERT__", _minmax("vert_speed")))
+
 
 from glaze_tpu.core import LightType, MaterialType  # noqa: E402 (pure NumPy)
 
@@ -269,15 +286,14 @@ class ViewerState:
             dy *= self.sensitivity * (-1.0 if self.invert_v else 1.0)
             rt.look_around(dx * np.pi / 180.0, dy * np.pi / 180.0)
         elif act == "set":
+            from glaze_tpu.ui import CONTROL_FLAGS, CONTROL_RANGES, clamp
+
             key, v = val
-            allowed = {"mov_speed": (0.01, 100.0),
-                       "mov_speed_mul": (1.0, 1000.0),
-                       "vert_speed": (0.01, 10.0),
-                       "sensitivity": (0.01, 10.0)}
-            if key in allowed:
-                lo, hi = allowed[key]
-                setattr(self, key, min(hi, max(lo, float(v))))
-            elif key in ("invert_h", "invert_v", "invert_move"):
+            key = {"sensitivity": "mouse_sensitivity"}.get(key, key)
+            attr = {"mouse_sensitivity": "sensitivity"}.get(key, key)
+            if key in CONTROL_RANGES:
+                setattr(self, attr, clamp(key, v))
+            elif key in CONTROL_FLAGS:
                 setattr(self, key, bool(v))
             else:
                 raise ValueError(f"unknown setting {key!r}")

@@ -11,6 +11,7 @@ from glaze_tpu.render.realtime import RealtimeRenderer
 
 
 OBJ = "/root/reference/resources/cube.obj"
+MATTEST = "/root/reference/resources/mattest.glaze"
 
 
 def test_converter_roundtrip(tmp_path):
@@ -261,6 +262,11 @@ def test_cli_checkpoint_resume_bit_exact(tmp_path):
     a = np.asarray(Image.open(ref))
     b = np.asarray(Image.open(resumed))
     assert np.array_equal(a, b)
+
+    # a checkpoint from another scene must be refused, not blended
+    rc = main([MATTEST, str(tmp_path / "x.png"), "--res", "16x16",
+               "--spp", "4", "--seed", "3", "--checkpoint", str(ck)])
+    assert rc == 2
 
 
 def test_cli_end_to_end(tmp_path):

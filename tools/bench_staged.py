@@ -72,6 +72,8 @@ def _render(parsed, spp, lambert_only=False, res=512):
     r = RayTraceRenderer(parsed, width=w, height=h, seed=7)
     if lambert_only:
         r.update_materials_and_lights(mats, parsed.lights())
+    from glaze_tpu.render import integrator as integ
+
     t_setup = time.perf_counter()
     r.draw(1)  # compile + first sample
     t0 = time.perf_counter()
@@ -79,7 +81,7 @@ def _render(parsed, spp, lambert_only=False, res=512):
     img = r.get_image()  # host transfer = completion barrier
     dt = time.perf_counter() - t0
     setup_plus_first = t0 - t_setup
-    rays = w * h * (spp - 1) * 6  # PT_STEPS launches per sample
+    rays = w * h * (spp - 1) * integ.PT_STEPS  # launches per sample
     return {
         "wall_s": round(dt, 1),
         "setup_plus_first_sample_s": round(setup_plus_first, 1),
@@ -122,8 +124,10 @@ def main(argv=None):
             res = config1()
         elif c == "2":
             res = config2(args.res, args.spp or 64)
-        else:
+        elif c == "3":
             res = config3(args.res, args.spp or 256)
+        else:
+            raise SystemExit(f"unknown config {c!r} (valid: 1, 2, 3)")
         print(json.dumps(res), flush=True)
     return 0
 
