@@ -121,7 +121,22 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
         out_specs=state_specs,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the state: in/out specs match, so XLA aliases the buffers.
+    # Through the axon TPU tunnel this is the difference between 3591 and
+    # 1602 ms/launch at 1080p n=1 (non-donated sharded outputs round-trip
+    # the ~200 MB state per call). Callers must rebind (st = f(..., st)).
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=8)
+def _placed_coords(mesh, width, height, spec):
+    """Device-resident (px, py) per (mesh, frame, spec): pixel_coords
+    builds fresh host arrays every call, and re-uploading two (P,)
+    float32 arrays through the TPU tunnel per render call costs real
+    wall time at 1080p."""
+    px, py = integ.pixel_coords(width, height)
+    sh = NamedSharding(mesh, spec)
+    return jax.device_put(px, sh), jax.device_put(py, sh)
 
 
 def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
@@ -135,16 +150,16 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     measured 8x slower at 8 devices). Per-lane radiance is unchanged:
     the sort is unsorted after the trace and a packet-union visit set is
     a superset of every member lane's needed nodes.
+
+    The state is DONATED: rebind it (``st = render_steps_sharded(..,
+    st, ..)``) and never reuse the argument after the call.
     """
     n = mesh.devices.size
     p = integ.pixel_count(width, height)
     if p % n:
         raise ValueError(f"pixel count {p} not divisible by mesh size {n}")
-    px, py = integ.pixel_coords(width, height)
-    pix_sh = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
-    px = _put_once(px, pix_sh)
-    py = _put_once(py, pix_sh)
+    px, py = _placed_coords(mesh, width, height, P(AXIS))
     state = jax.tree.map(
         lambda x: _put_once(x, NamedSharding(mesh, _pixel_spec(x))), state
     )
@@ -216,7 +231,8 @@ def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
         out_specs=state_specs,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # state donated (see _pix_impl) — callers must rebind
+    return jax.jit(sharded, donate_argnums=(1,))
 
 
 def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
@@ -229,7 +245,7 @@ def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
     if seeds.shape != (steps, n):
         raise ValueError(f"seeds must be (steps, n)={steps, n}, "
                          f"got {seeds.shape}")
-    px, py = integ.pixel_coords(width, height)
+    px, py = _placed_coords(mesh, width, height, P())
     repl = NamedSharding(mesh, P())
     state = jax.tree.map(
         lambda x: _put_once(x, NamedSharding(mesh, _spp_spec(x))), state
@@ -305,11 +321,8 @@ def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
     if seeds.shape != (steps, n_spp):
         raise ValueError(f"seeds must be (steps, n_samples)="
                          f"{steps, n_spp}, got {seeds.shape}")
-    px, py = integ.pixel_coords(width, height)
-    pix_sh = NamedSharding(mesh, P(AXIS))
+    px, py = _placed_coords(mesh, width, height, P(AXIS))
     repl = NamedSharding(mesh, P())
-    px = _put_once(px, pix_sh)
-    py = _put_once(py, pix_sh)
     state = jax.tree.map(
         lambda x: _put_once(x, NamedSharding(mesh, _spp2d_spec(x))),
         state)

@@ -72,20 +72,25 @@ def main():
 
     m = pmesh.make_mesh()
 
+    # the sharded impls DONATE the state — rebind it every call
+    st_box = [integ.init_state(W, H)]
+
     def run_sharded_bencher():
         s, o = seeds()
-        return pmesh.render_steps_sharded(r.scene, state, s, o, c2w, s2c,
-                                          m, **kw)
+        st_box[0] = pmesh.render_steps_sharded(r.scene, st_box[0], s, o,
+                                               c2w, s2c, m, **kw)
+        return st_box[0]
 
-    timeit("sharded (per-call device_put)", run_sharded_bencher)
+    timeit("sharded (per-call scene device_put)", run_sharded_bencher)
 
     scene_once = pmesh.place_replicated(r.scene, m)
-    state_once = pmesh.shard_state(state, m)
+    st_box[0] = pmesh.shard_state(integ.init_state(W, H), m)
 
     def run_sharded_put_once():
         s, o = seeds()
-        return pmesh.render_steps_sharded(scene_once, state_once, s, o,
-                                          c2w, s2c, m, **kw)
+        st_box[0] = pmesh.render_steps_sharded(scene_once, st_box[0], s, o,
+                                               c2w, s2c, m, **kw)
+        return st_box[0]
 
     timeit("sharded (place_replicated once)", run_sharded_put_once)
 
@@ -95,7 +100,7 @@ def main():
     repl = NamedSharding(m, P())
     pxs = jax.device_put(px, pix_sh)
     pys = jax.device_put(py, pix_sh)
-    st_sh = jax.tree.map(
+    st_box[0] = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(m, pmesh._pixel_spec(x))),
         state)
     sc_sh = jax.tree.map(lambda x: jax.device_put(x, repl), r.scene)
@@ -107,7 +112,8 @@ def main():
 
     def run_sharded_preplaced():
         s, o = seeds()
-        return impl(sc_sh, st_sh, s, o, c2w, s2c, pxs, pys)
+        st_box[0] = impl(sc_sh, st_box[0], s, o, c2w, s2c, pxs, pys)
+        return st_box[0]
 
     timeit("sharded (pre-placed)", run_sharded_preplaced)
 
