@@ -344,6 +344,37 @@ def test_renderer_api_surface(mattest_path):
     assert np.isfinite(_accum(r._state)).all()
 
 
+def test_sharded_launch_has_no_collectives():
+    """The pixel-sharded scan must compile collective-free: each device
+    sorts and traces its own slice under shard_map. A collective in the
+    hot loop (GSPMD all-gathering the global trace sort was measured 8x
+    slower at 8 devices) means the partitioning regressed."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glaze_tpu.parallel import mesh as pmesh
+    from glaze_tpu.render import integrator as integ
+
+    scene, camera = graft._tiny_scene(16, 16)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    c2w, s2c = integ.camera_matrices(camera, 16, 16)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, pmesh._pixel_spec(x))),
+        integ.init_state(16, 16))
+    scene_sh = pmesh.place_replicated(scene, mesh)
+    px, py = pmesh._placed_coords(mesh, 16, 16, P(pmesh.AXIS))
+    specs = jax.tree.map(pmesh._pixel_spec, state)
+    impl = pmesh._pix_impl(mesh, specs, 16, 16, True, False, 2, 0)
+    seeds = jnp.zeros(2, jnp.uint32)
+    offs = jnp.zeros((2, 2), jnp.float32)
+    txt = impl.lower(scene_sh, state, seeds, offs, jnp.asarray(c2w),
+                     jnp.asarray(s2c), px, py).compile().as_text()
+    for op in ("all-gather", "all-reduce", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, f"collective {op!r} in the sharded hot loop"
+
+
 def test_sharded_matches_unsharded():
     """8-way pixel sharding returns bit-identical accumulation."""
     if len(jax.devices()) < 8:
