@@ -43,6 +43,12 @@ def build_parser():
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
     p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the render over ALL visible devices (pixel-axis "
+             "mesh, collective-free; parity with the single-device path "
+             "at n=1, linear scaling beyond — docs/PERF_LOG.md)",
+    )
+    p.add_argument(
         "--checkpoint", metavar="PATH",
         help="progressive-state checkpoint (.npz): resume from PATH if it "
              "exists, save every --checkpoint-every samples and on Ctrl-C "
@@ -96,6 +102,7 @@ def main(argv=None):
     renderer = RayTraceRenderer(
         parsed, width=width, height=height, integrator=integrator,
         seed=args.seed, samples_in_flight=args.sif,
+        mesh="auto" if args.mesh else None,
     )
     timer.mark("upload+bvh")
     setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0

@@ -63,7 +63,7 @@ class RayTraceRenderer:
 
     def __init__(self, scene, camera=None, width: int = 1920, height: int = 1080,
                  integrator: Integrator = Integrator.PATH_TRACE, seed=None,
-                 samples_in_flight: Optional[int] = None):
+                 samples_in_flight: Optional[int] = None, mesh=None):
         """``scene``: DeviceScene or ParsedScene (flattened on the spot).
 
         ``samples_in_flight``: independent per-pixel path states advanced
@@ -71,7 +71,13 @@ class RayTraceRenderer:
         make every Morton-sorted trace denser — measured 1.26x closest /
         1.36x any-hit per-ray at 4x on the bench bounce mix
         (tools/bench_density.py) — at the price of sif× launch memory and
-        a sif-launch-coarser progress/display granularity."""
+        a sif-launch-coarser progress/display granularity.
+
+        ``mesh``: a ``jax.sharding.Mesh`` (or ``"auto"`` for one over all
+        visible devices) — ``draw()`` then runs the pixel-sharded
+        collective-free launch, scaling offline renders linearly across
+        chips. Measured at exact parity with the unsharded path on one
+        chip (docs/PERF_LOG.md); incompatible with samples_in_flight>1."""
         import os
 
         from glaze_tpu.scene import DeviceScene, flatten_scene
@@ -94,6 +100,19 @@ class RayTraceRenderer:
             else os.environ.get("GLAZE_SIF", "1"))
         if self.samples_in_flight < 1:
             raise ValueError("samples_in_flight must be >= 1")
+        self._mesh = None
+        if mesh is not None:
+            from glaze_tpu.parallel import mesh as pmesh
+
+            self._mesh = pmesh.make_mesh() if mesh == "auto" else mesh
+            if self.samples_in_flight != 1:
+                raise ValueError("mesh rendering requires "
+                                 "samples_in_flight == 1")
+            n = int(self._mesh.devices.size)
+            if integ.pixel_count(self.width, self.height) % n:
+                raise ValueError(
+                    f"pixel count not divisible by mesh size {n}")
+        self._scene_placed = None  # replicated scene, placed per mesh once
         self._state = integ.init_state(self.width, self.height,
                                        self.samples_in_flight)
         self._request_new_frame = True
@@ -214,6 +233,13 @@ class RayTraceRenderer:
         if self._request_new_frame:
             self._request_new_frame = False
             self._scheduler.rewind()
+            if self._mesh is not None:
+                # the sharded launch DONATES its input state, so the
+                # shared zero-state cache below would be consumed on the
+                # first launch; build a fresh state per restart instead
+                self._state = integ.init_state(
+                    self.width, self.height, self.samples_in_flight)
+                return
             # cached zero state: JAX arrays are immutable, so every
             # restart can hand out the SAME device buffers — live camera
             # drags restart every frame, and re-dispatching ~25 zeros
@@ -270,6 +296,28 @@ class RayTraceRenderer:
         """
         self._maybe_restart()
         c2w, s2c = self._frame_params()
+        if self._mesh is not None:
+            from glaze_tpu.parallel import mesh as pmesh
+
+            scene = pmesh.place_replicated(self.scene, self._mesh)
+
+            def steps_fn(state, seeds, offsets, n):
+                # donated state: draw's rebind below is the only use
+                return pmesh.render_steps_sharded(
+                    scene, state, seeds, offsets, c2w, s2c, self._mesh,
+                    width=self.width, height=self.height,
+                    is_persp=self.camera.is_perspective,
+                    direct_only=self.integrator is Integrator.DIRECT,
+                    steps=n, alpha_rounds=self._alpha_rounds)
+        else:
+            def steps_fn(state, seeds, offsets, n):
+                return integ.render_steps(
+                    self.scene, state, seeds, offsets, c2w, s2c,
+                    width=self.width, height=self.height,
+                    is_persp=self.camera.is_perspective,
+                    direct_only=self.integrator is Integrator.DIRECT,
+                    steps=n, alpha_rounds=self._alpha_rounds,
+                    sif=self.samples_in_flight)
         # sif in-flight samples advance per step: the same per-pixel
         # sample budget takes 1/sif as many launches (rounded up)
         total = -(-spp * self.integrator.steps_per_sample
@@ -281,25 +329,21 @@ class RayTraceRenderer:
                 self._rng.integers(0, 2**32, size=n, dtype=np.uint32)
             )
             offsets = self._take_offsets(n)
-            self._state = integ.render_steps(
-                self.scene, self._state, seeds, offsets, c2w, s2c,
-                width=self.width, height=self.height,
-                is_persp=self.camera.is_perspective,
-                direct_only=self.integrator is Integrator.DIRECT,
-                steps=n, alpha_rounds=self._alpha_rounds,
-                sif=self.samples_in_flight,
-            )
+            self._state = steps_fn(self._state, seeds, offsets, n)
             done += n
             if callback is not None:
                 if pending is not None:
                     # 1-element fetch = REAL completion (bare
                     # block_until_ready can return early through the
                     # remote-TPU tunnel; bytes on the host cannot lie)
-                    jax.device_get(pending[0][:1])
+                    jax.device_get(pending[0])
                     callback(pending[1])
-                pending = (self._state.count, done)
+                # snapshot ONE element as its own buffer: the sharded
+                # path donates the state to the NEXT chunk's call, which
+                # would invalidate a raw reference to this chunk's count
+                pending = (self._state.count[:1], done)
         if callback is not None and pending is not None:
-            jax.device_get(pending[0][:1])
+            jax.device_get(pending[0])
             callback(pending[1])
         return self.get_image()
 

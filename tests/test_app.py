@@ -269,6 +269,34 @@ def test_cli_checkpoint_resume_bit_exact(tmp_path):
     assert rc == 2
 
 
+def test_cli_mesh_matches_single_device(tmp_path):
+    """glaze-cli --mesh (pixel-sharded over all devices) produces the
+    same PNG as the single-device path — the CLI's multi-chip mode."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    from PIL import Image
+
+    from glaze_tpu.cli import main
+
+    path = _lit_cube_scene(tmp_path)
+    single = tmp_path / "single.png"
+    meshed = tmp_path / "meshed.png"
+    # 128x16 = exactly one 2048-lane tile -> divisible by 8 devices
+    rc = main([path, str(single), "--res", "128x16", "--spp", "2",
+               "--seed", "4"])
+    assert rc == 0
+    rc = main([path, str(meshed), "--res", "128x16", "--spp", "2",
+               "--seed", "4", "--mesh"])
+    assert rc == 0
+    a = np.asarray(Image.open(single))
+    b = np.asarray(Image.open(meshed))
+    assert np.array_equal(a, b)
+
+
 def test_cli_end_to_end(tmp_path):
     """glaze-cli flags and both integrators on a tiny scene."""
     if not os.path.exists(OBJ):
