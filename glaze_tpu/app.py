@@ -47,6 +47,7 @@ HELP = """commands:
   light add omni|sun|area|sky
   light del <id>
   raytrace on|off     toggle path tracer vs flat raster preview
+  denoise on|off      edge-aware display filter on the raytraced preview
   integrator pt|direct   raytracer integrator (raytracer.rs:196-231)
   scale <v>           render scale (renderer.rs:283-315)
   exposure <v>        output exposure multiplier
@@ -320,6 +321,9 @@ def main(argv=None):
                 present()
             elif cmd == "raytrace":
                 rr.use_raytracer = parts[1].lower() != "off"
+                present()
+            elif cmd == "denoise":
+                rr.denoise = parts[1].lower() != "off"
                 present()
             elif cmd == "integrator":
                 from glaze_tpu.render.renderer import Integrator

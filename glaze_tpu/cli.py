@@ -66,6 +66,13 @@ def build_parser():
              "bounces, at N x launch memory (docs/PERF_LOG.md)",
     )
     p.add_argument(
+        "--denoise", action="store_true",
+        help="apply the edge-aware SVGF-style reconstruction filter to "
+             "the SAVED image (render/denoise.py; display-time only — "
+             "the accumulation itself stays unbiased, and the filter "
+             "fades to identity as spp grows)",
+    )
+    p.add_argument(
         "--profile", nargs="?", const="glaze_profile", default=None,
         metavar="DIR",
         help="dump a jax.profiler trace (xprof/tensorboard xplane) of the "
@@ -192,6 +199,9 @@ def main(argv=None):
         f"({rays / max(render_ms, 1e-9) / 1e3:.1f} Mrays/s)",
         file=sys.stderr,
     )
+    # display-time only: the accumulation (and any checkpoint) is saved
+    # raw; the filter is applied once, to the written image.
+    renderer.denoise = args.denoise
     renderer.save(args.output)
     timer.mark("save")
     if args.profile is not None:

@@ -303,11 +303,23 @@ class RealtimeRenderer:
         from glaze_tpu.render import integrator as integ
 
         arr = np.asarray(img)
+        if arr.ndim == 3:  # denoised frames arrive as (ph, pw, 3)
+            return arr[:height, :width]
         px, py = integ.pixel_coords_np(width, height)
         pw, ph = integ.padded_dims(width, height)
         full = np.zeros((ph, pw, 3), np.uint8)
         full[py, px] = arr
         return full[:height, :width]
+
+    @property
+    def denoise(self) -> bool:
+        """Display-only SVGF-style reconstruction on the raytraced
+        preview (render/denoise.py). Accumulation stays unbiased."""
+        return self._rt.denoise
+
+    @denoise.setter
+    def denoise(self, on: bool):
+        self._rt.denoise = bool(on)
 
     def get_image(self) -> np.ndarray:
         active = self._rt if self.use_raytracer else self._preview

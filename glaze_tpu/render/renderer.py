@@ -116,6 +116,11 @@ class RayTraceRenderer:
         self._state = integ.init_state(self.width, self.height,
                                        self.samples_in_flight)
         self._request_new_frame = True
+        # display-only SVGF-style reconstruction (render/denoise.py);
+        # never touches the accumulation state, so the offline result
+        # stays unbiased whether or not it's on.
+        self.denoise = False
+        self._gb_key = None
         self._refresh_alpha_rounds()
 
     # alpha-tested transparency costs extra trace rounds; only enabled when
@@ -250,13 +255,50 @@ class RayTraceRenderer:
                 self._zero_key = key
             self._state = self._zero_state
 
+    def _gbuffer(self):
+        """First-hit guide buffers for the denoiser, cached until the
+        camera / scene / resolution changes (exactly the events that
+        restart accumulation)."""
+        from glaze_tpu.render import denoise as dn
+
+        c2w, s2c = integ.camera_matrices(self.camera, self.width,
+                                         self.height)
+        key = (id(self.scene), self.width, self.height,
+               self.camera.is_perspective, self._alpha_rounds,
+               c2w.tobytes(), s2c.tobytes())
+        if self._gb_key != key:
+            self._gb = dn.gbuffer_pass(
+                self.scene, jnp.asarray(c2w), jnp.asarray(s2c),
+                width=self.width, height=self.height,
+                is_persp=self.camera.is_perspective,
+                alpha_rounds=self._alpha_rounds)
+            self._gb_key = key
+        return self._gb
+
+    def denoised_image(self) -> np.ndarray:
+        """Current progressive result through the edge-aware display
+        filter (render/denoise.py), (H, W, 3) uint8 sRGB. The
+        accumulation buffer is untouched."""
+        from glaze_tpu.render import denoise as dn
+
+        exposure = (jnp.float32(self.exposure)
+                    if self.exposure is not None else self.scene.exposure)
+        inv_map, pw, ph = dn.lane_to_image(self.width, self.height)
+        img = dn.denoised_display(
+            self._state.accum, self._state.count, self._gbuffer(),
+            inv_map, exposure, pw=pw, ph=ph,
+            sif=self.samples_in_flight,
+            launches_per_spp=self.integrator.steps_per_sample)
+        return np.asarray(jax.device_get(img))[: self.height, : self.width]
+
     def draw_frame(self, return_image: bool = False):
         """One launch: every pixel advances one bounce
         (raytracer.rs draw_frame, :369-603).
 
         ``return_image=True`` fuses the sRGB display conversion into the
         same executable and returns the (P', 3) u8 device array (one
-        dispatch per frame — the interactive path)."""
+        dispatch per frame — the interactive path), or the denoised
+        (ph, pw, 3) u8 frame when ``self.denoise`` is on."""
         self._maybe_restart()
         c2w, s2c = self._frame_params()
         seeds = jnp.asarray(
@@ -272,6 +314,17 @@ class RayTraceRenderer:
             exposure = (jnp.float32(self.exposure)
                         if self.exposure is not None
                         else self.scene.exposure)
+            if self.denoise:
+                from glaze_tpu.render import denoise as dn
+
+                inv_map, _, _ = dn.lane_to_image(self.width, self.height)
+                self._state, img = dn.render_steps_denoised(
+                    self.scene, self._state, seeds, offsets, c2w, s2c,
+                    exposure, self._gbuffer(), inv_map,
+                    launches_per_spp=self.integrator.steps_per_sample,
+                    **kw,
+                )
+                return img
             self._state, img = integ.render_steps_with_image(
                 self.scene, self._state, seeds, offsets, c2w, s2c,
                 exposure, **kw,
@@ -348,7 +401,10 @@ class RayTraceRenderer:
         return self.get_image()
 
     def get_image(self) -> np.ndarray:
-        """Current progressive result as (H, W, 3) uint8 sRGB."""
+        """Current progressive result as (H, W, 3) uint8 sRGB (denoised
+        when ``self.denoise`` is set)."""
+        if self.denoise:
+            return self.denoised_image()
         exposure = (
             jnp.float32(self.exposure)
             if self.exposure is not None

@@ -47,6 +47,7 @@ _PAGE = """<!doctype html>
  <button onclick="ctl('mode','toggle')">raytrace on/off</button>
  <button onclick="ctl('integrator','pt')">pt</button>
  <button onclick="ctl('integrator','direct')">direct</button>
+ <button onclick="ctl('denoise','toggle')">denoise</button>
  <button onclick="ctl('scale',0.25)">scale .25</button>
  <button onclick="ctl('scale',0.5)">scale .5</button>
  <button onclick="ctl('scale',1.0)">scale 1</button>
@@ -302,6 +303,8 @@ class ViewerState:
         elif act == "mode":
             rt.use_raytracer = (not rt.use_raytracer if val == "toggle"
                                 else bool(val))
+        elif act == "denoise":
+            rt.denoise = (not rt.denoise if val == "toggle" else bool(val))
         elif act == "integrator":
             from glaze_tpu.render.renderer import Integrator
 

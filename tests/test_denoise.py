@@ -1,0 +1,147 @@
+"""Display-only SVGF-style denoiser (render/denoise.py).
+
+The reference ships no denoiser (its preview visibly flickers at low
+spp); ours is a TPU-friendly extra: edge-aware à-trous reconstruction
+on the displayed frame only, provably fading to identity as the
+unbiased accumulation converges.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glaze_tpu.render import denoise as dn
+from glaze_tpu.render import integrator as integ
+
+
+def _flat_setup(width=64, height=32, base=0.5, noise=0.25, seed=0):
+    """Synthetic accumulation: flat radiance + per-lane MC noise over a
+    trivial G-buffer (constant normal/depth/albedo — every neighbour is
+    a valid filter partner)."""
+    inv_map, pw, ph = dn.lane_to_image(width, height)
+    n = pw * ph
+    rng = np.random.default_rng(seed)
+    noise_rgb = rng.normal(0.0, noise, size=(3, n)).astype(np.float32)
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    gb = {
+        "normal": (zeros, zeros, ones),
+        "depth": ones,
+        "albedo": (ones, ones, ones),
+    }
+    return inv_map, pw, ph, n, noise_rgb, gb
+
+
+def _display(vals_rgb, count_val, n, gb, inv_map, pw, ph):
+    count = jnp.full((n,), np.float32(count_val))
+    accum = tuple(jnp.maximum(jnp.asarray(v), 0.0) * count_val
+                  for v in vals_rgb)
+    img = dn.denoised_display(accum, count, gb, inv_map,
+                              jnp.float32(1.0), pw=pw, ph=ph)
+    return np.asarray(img).astype(np.float64)
+
+
+def test_low_spp_noise_shrinks():
+    """At 1 spp the filter recovers the flat truth much better than the
+    raw accumulation does."""
+    inv_map, pw, ph, n, noise_rgb, gb = _flat_setup()
+    base = 0.5
+    vals = base + noise_rgb
+    from glaze_tpu.ops import texture as tx
+
+    truth = float(np.round(
+        np.asarray(tx.linear_to_srgb(jnp.float32(base))) * 255.0))
+    dn_img = _display(vals, integ.PT_STEPS, n, gb, inv_map, pw, ph)
+    raw = _display(vals, 1e7, n, gb, inv_map, pw, ph)  # fade ~0: identity
+    mse_dn = ((dn_img - truth) ** 2).mean()
+    mse_raw = ((raw - truth) ** 2).mean()
+    assert mse_dn < mse_raw / 4.0, (mse_dn, mse_raw)
+
+
+def test_fades_to_identity_when_converged():
+    """With a large sample count the displayed frame matches the raw
+    sRGB conversion to within a couple of u8 steps, even though the
+    image still contains 'structure' the sigma could mis-price."""
+    inv_map, pw, ph, n, noise_rgb, gb = _flat_setup(noise=0.0)
+    # real structure: a sharp step + gradient, no noise
+    px, py = integ.pixel_coords_np(64, 32)
+    step = (px > 30).astype(np.float32) * 0.6 + 0.15
+    grad = py.astype(np.float32) / 64.0
+    vals = np.stack([step, grad, step * grad])
+    big = integ.PT_STEPS * 4096.0
+    out = _display(vals, big, n, gb, inv_map, pw, ph)
+    raw = _display(vals, 1e9, n, gb, inv_map, pw, ph)
+    assert np.abs(out - raw).max() <= 2.0
+
+
+def test_normal_and_depth_edges_survive_full_strength():
+    """At 1 spp (full filter strength) a radiance edge that coincides
+    with a G-buffer edge is preserved: the two sides never mix."""
+    width, height = 64, 32
+    inv_map, pw, ph = dn.lane_to_image(width, height)
+    n = pw * ph
+    px, py = integ.pixel_coords_np(width, height)
+    left = px < 32
+    nx = jnp.asarray(np.where(left, 1.0, 0.0).astype(np.float32))
+    nz = jnp.asarray(np.where(left, 0.0, 1.0).astype(np.float32))
+    depth = jnp.asarray(np.where(left, 1.0, 3.0).astype(np.float32))
+    ones = jnp.ones((n,), jnp.float32)
+    gb = {"normal": (nx, jnp.zeros((n,), jnp.float32), nz),
+          "depth": depth, "albedo": (ones, ones, ones)}
+    vals = np.stack([np.where(left, 0.9, 0.1).astype(np.float32)] * 3)
+    out = _display(vals, integ.PT_STEPS, n, gb, inv_map, pw, ph)
+    img_left = out[:height, :30]
+    img_right = out[:height, 34:width]
+    from glaze_tpu.ops import texture as tx
+
+    t_l = float(np.asarray(tx.linear_to_srgb(jnp.float32(0.9)))) * 255.0
+    t_r = float(np.asarray(tx.linear_to_srgb(jnp.float32(0.1)))) * 255.0
+    assert np.abs(img_left - t_l).max() <= 2.0
+    assert np.abs(img_right - t_r).max() <= 2.0
+
+
+def test_renderer_denoise_toggle_end_to_end():
+    """RayTraceRenderer.denoise routes draw_frame + get_image through
+    the denoiser: right shapes, and toggling it never touches the
+    accumulation state."""
+    from golden_scenes import GOLDEN_H, GOLDEN_W, MatRowScene
+    from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+
+    r = RayTraceRenderer(MatRowScene(), width=GOLDEN_W, height=GOLDEN_H,
+                         integrator=Integrator.PATH_TRACE, seed=11)
+    r.denoise = True
+    img = r.draw_frame(return_image=True)
+    pw, ph = integ.padded_dims(GOLDEN_W, GOLDEN_H)
+    assert np.asarray(img).shape == (ph, pw, 3)
+    before = [np.asarray(c).copy() for c in r._state.accum]
+    shown = r.get_image()
+    assert shown.shape == (GOLDEN_H, GOLDEN_W, 3)
+    assert shown.dtype == np.uint8
+    for b, c in zip(before, r._state.accum):
+        np.testing.assert_array_equal(b, np.asarray(c))
+    r.denoise = False
+    raw = r.get_image()
+    assert raw.shape == shown.shape
+    # the filtered frame differs from raw at 1-ish spp (it is doing work)
+    assert (shown != raw).any()
+
+
+def test_denoise_on_sharded_renderer():
+    """The display filter runs on a mesh-sharded accumulation too (the
+    `glaze-cli --mesh --denoise` path): sharded state in, same denoised
+    frame out as the unsharded renderer (sharded==unsharded is already
+    bit-exact, so the filtered displays must match too)."""
+    from golden_scenes import GOLDEN_H, GOLDEN_W, MatRowScene
+    from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+
+    kw = dict(width=GOLDEN_W, height=GOLDEN_H,
+              integrator=Integrator.PATH_TRACE, seed=3)
+    rs = RayTraceRenderer(MatRowScene(), mesh="auto", **kw)
+    rs.denoise = True
+    rs.draw(1)
+    img_s = rs.get_image()
+    assert img_s.shape == (GOLDEN_H, GOLDEN_W, 3)
+    ru = RayTraceRenderer(MatRowScene(), **kw)
+    ru.denoise = True
+    ru.draw(1)
+    np.testing.assert_array_equal(img_s, ru.get_image())
