@@ -115,7 +115,10 @@ def gbuffer_pass(scene, cam2world, screen2cam, *, width, height, is_persp,
     one = jnp.ones_like(r)
     albedo = (jnp.where(keep, one, r), jnp.where(keep, one, g),
               jnp.where(keep, one, b))
-    return {"normal": n, "depth": z, "albedo": albedo}
+    # first-hit world position (sky lanes land at _SKY_DEPTH along the
+    # ray): the temporal path reprojects it into the previous camera.
+    wpos = tuple(o + z * dd for o, dd in zip(origin, direction))
+    return {"normal": n, "depth": z, "albedo": albedo, "wpos": wpos}
 
 
 def _atrous(chans, lum, nx, ny, nz, z, sigma_l, *, iterations,
@@ -185,18 +188,10 @@ def _local_sigma(lum, k):
     return k * jnp.sqrt(var)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("pw", "ph", "iterations", "sif", "launches_per_spp"))
-def denoised_display(accum, count, gb, inv_map, exposure, *, pw, ph,
-                     iterations=4, sif=1, sigma_l_scale=3.0,
-                     launches_per_spp=integ.PT_STEPS):
-    """Accumulation state -> denoised (ph, pw, 3) sRGB u8 image.
-
-    ``sigma_l_scale`` multiplies the local-variance luminance sigma
-    (higher = smoother, lower = more faithful). ``launches_per_spp`` is
-    the integrator's steps_per_sample (count is per-launch; the fade is
-    calibrated in SAMPLES)."""
+def _display_linear(accum, count, gb, inv_map, *, pw, ph, iterations, sif,
+                    sigma_l_scale, launches_per_spp):
+    """Shared core: accumulation -> filtered MODULATED linear planes
+    (pre-exposure, pre-sRGB). Returns (rgb_lin list, cnt plane)."""
     accum, count = integ._fold_sif(accum, count, sif)
     cnt = jnp.maximum(count, 1.0)
 
@@ -224,15 +219,173 @@ def denoised_display(accum, count, gb, inv_map, exposure, *, pw, ph,
     # raw (unbiased) accumulation as samples accrue — the filter can
     # only ever hurt a vanishing fraction of the converged result.
     rgb = [r + fade * (f - r) for r, f in zip(rgb, filtered)]
+    return [r * a for r, a in zip(rgb, alb)], plane(cnt)
 
+
+def _to_srgb_u8(rgb_lin, exposure):
     chans = [
         jnp.round(
-            tx.linear_to_srgb(jnp.clip(rgb[i] * alb[i] * exposure, 0.0, 1.0))
-            * 255.0
+            tx.linear_to_srgb(jnp.clip(c * exposure, 0.0, 1.0)) * 255.0
         ).astype(jnp.uint8)
-        for i in range(3)
+        for c in rgb_lin
     ]
     return jnp.stack(chans, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pw", "ph", "iterations", "sif", "launches_per_spp"))
+def denoised_display(accum, count, gb, inv_map, exposure, *, pw, ph,
+                     iterations=4, sif=1, sigma_l_scale=3.0,
+                     launches_per_spp=integ.PT_STEPS):
+    """Accumulation state -> denoised (ph, pw, 3) sRGB u8 image.
+
+    ``sigma_l_scale`` multiplies the local-variance luminance sigma
+    (higher = smoother, lower = more faithful). ``launches_per_spp`` is
+    the integrator's steps_per_sample (count is per-launch; the fade is
+    calibrated in SAMPLES)."""
+    lin, _ = _display_linear(accum, count, gb, inv_map, pw=pw, ph=ph,
+                             iterations=iterations, sif=sif,
+                             sigma_l_scale=sigma_l_scale,
+                             launches_per_spp=launches_per_spp)
+    return _to_srgb_u8(lin, exposure)
+
+
+# ---------------------------------------------------------------------------
+# Temporal reprojection (the other half of SVGF): during camera motion the
+# accumulation restarts every frame at ~1 launch of samples; warping the
+# previous DISPLAYED frame into the new camera and blending it in where
+# depth/normal agree keeps drags visually stable. Display-only, like the
+# spatial filter: the history weight is capped, so once the camera rests
+# the blend fades as 1/count and the shown image converges to the raw
+# unbiased accumulation.
+
+# history effective-count cap, in SAMPLES: the history can never outweigh
+# more than this many freshly-accumulated spp (SVGF's alpha=0.2 ~ 4-8).
+_HIST_CAP_SPP = 8.0
+
+
+def world_to_screen(camera, width: int, height: int):
+    """Host-side (view, proj, position) for reprojection — the forward
+    transforms whose inverses are integ.camera_matrices."""
+    view = camera.look_at_rh().astype(np.float32)
+    proj = camera.projection(width, height).copy()
+    proj[1, 1] *= -1.0  # same Vulkan clip-space flip as camera_matrices
+    return (jnp.asarray(view), jnp.asarray(proj.astype(np.float32)),
+            jnp.asarray(np.asarray(camera.position(), np.float32)))
+
+
+def init_history(width: int, height: int):
+    """Zero history: h=0 everywhere, so the first temporal frame blends
+    nothing and is identical to the plain denoised display."""
+    _, pw, ph = lane_to_image(width, height)
+    z = jnp.zeros((ph, pw), jnp.float32)
+    return {"rgb": (z, z, z), "t": z, "n": (z, z, z), "h": z}
+
+
+def _reproject(hist, gb_planes, prev, *, width, height, pw, ph, is_persp):
+    """Bilinear-gather the history at each pixel's reprojected location.
+
+    Returns (hist_rgb, hist_h, valid): history color (modulated linear),
+    its effective launch count, and a geometric-consistency mask (in
+    bounds, in front, depth within 5%, normals within ~25 deg)."""
+    view, proj, prev_pos = prev
+    wx, wy, wz = gb_planes["wpos"]
+    # view-space position of the current first hit under the PREV camera
+    vx = view[0, 0] * wx + view[0, 1] * wy + view[0, 2] * wz + view[0, 3]
+    vy = view[1, 0] * wx + view[1, 1] * wy + view[1, 2] * wz + view[1, 3]
+    vz = view[2, 0] * wx + view[2, 1] * wy + view[2, 2] * wz + view[2, 3]
+    if is_persp:
+        cx = proj[0, 0] * vx + proj[0, 1] * vy + proj[0, 2] * vz + proj[0, 3]
+        cy = proj[1, 0] * vx + proj[1, 1] * vy + proj[1, 2] * vz + proj[1, 3]
+        cw = proj[3, 0] * vx + proj[3, 1] * vy + proj[3, 2] * vz + proj[3, 3]
+        in_front = cw > 1e-6
+        w = jnp.where(in_front, cw, 1.0)
+        ndc_x, ndc_y = cx / w, cy / w
+        # distance the PREV frame's gbuffer would have recorded
+        exp_t = jnp.sqrt((wx - prev_pos[0]) ** 2 + (wy - prev_pos[1]) ** 2
+                         + (wz - prev_pos[2]) ** 2)
+    else:
+        # ortho rays start at cam2world @ (ndc, 0, 1): ndc IS view-space
+        # xy, depth is the distance along the (unit) view direction
+        ndc_x, ndc_y = vx, vy
+        exp_t = -vz
+        in_front = exp_t > 0.0
+    fx = (ndc_x + 1.0) * 0.5 * width - 0.5
+    fy = (ndc_y + 1.0) * 0.5 * height - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx_ = fx - x0
+    ty_ = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # all 4 taps must land on REAL pixels (the padded region holds junk)
+    inb = ((x0i >= 0) & (x0i + 1 <= width - 1)
+           & (y0i >= 0) & (y0i + 1 <= height - 1))
+
+    # one stacked gather per tap: (8, ph*pw) planes, flat indices
+    stack = jnp.stack([*hist["rgb"], hist["t"], *hist["n"], hist["h"]],
+                      axis=0).reshape(8, ph * pw)
+
+    def tap(xi, yi):
+        idx = jnp.clip(yi, 0, ph - 1) * pw + jnp.clip(xi, 0, pw - 1)
+        return jnp.take(stack, idx.reshape(-1), axis=1).reshape(8, ph, pw)
+
+    w00 = (1 - tx_) * (1 - ty_)
+    w10 = tx_ * (1 - ty_)
+    w01 = (1 - tx_) * ty_
+    w11 = tx_ * ty_
+    g = (tap(x0i, y0i) * w00 + tap(x0i + 1, y0i) * w10
+         + tap(x0i, y0i + 1) * w01 + tap(x0i + 1, y0i + 1) * w11)
+    hist_rgb = (g[0], g[1], g[2])
+    hist_t, hnx, hny, hnz, hist_h = g[3], g[4], g[5], g[6], g[7]
+
+    nx, ny, nz = gb_planes["normal"]
+    depth_ok = jnp.abs(hist_t - exp_t) <= 0.05 * exp_t + 1e-3
+    normal_ok = (hnx * nx + hny * ny + hnz * nz) > 0.9
+    valid = inb & in_front & depth_ok & normal_ok & (hist_h > 0.0)
+    return hist_rgb, hist_h, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "pw", "ph", "is_persp",
+                     "iterations", "sif", "launches_per_spp"))
+def denoised_display_temporal(accum, count, gb, hist, prev, inv_map,
+                              exposure, *, width, height, pw, ph, is_persp,
+                              iterations=4, sif=1, sigma_l_scale=3.0,
+                              launches_per_spp=integ.PT_STEPS):
+    """Temporal + spatial display: blend the reprojected previous
+    displayed frame into the current filtered one where geometry agrees.
+    Returns ((ph, pw, 3) u8 image, new history)."""
+    lin, cnt = _display_linear(accum, count, gb, inv_map, pw=pw, ph=ph,
+                               iterations=iterations, sif=sif,
+                               sigma_l_scale=sigma_l_scale,
+                               launches_per_spp=launches_per_spp)
+
+    def plane(v):
+        return v[inv_map].reshape(ph, pw)
+
+    gb_planes = {
+        "wpos": tuple(plane(c) for c in gb["wpos"]),
+        "normal": tuple(plane(c) for c in gb["normal"]),
+    }
+    hist_rgb, hist_h, valid = _reproject(
+        hist, gb_planes, prev, width=width, height=height, pw=pw, ph=ph,
+        is_persp=is_persp)
+    # blend by effective counts (both in launches); the cap bounds the
+    # history's weight so the display converges to the raw accumulation
+    cap = np.float32(_HIST_CAP_SPP * launches_per_spp)
+    h = jnp.where(valid, jnp.minimum(hist_h, cap), 0.0)
+    w_h = h / (h + cnt)
+    out = [c + w_h * (hr - c) for c, hr in zip(lin, hist_rgb)]
+    new_hist = {
+        "rgb": tuple(out),
+        "t": plane(gb["depth"]),
+        "n": gb_planes["normal"],
+        "h": jnp.minimum(h + cnt, cap),
+    }
+    return _to_srgb_u8(out, exposure), new_hist
 
 
 @functools.partial(
@@ -260,3 +413,31 @@ def render_steps_denoised(scene, state, seeds, offsets, cam2world,
                            pw=pw, ph=ph, iterations=iterations, sif=sif,
                            launches_per_spp=launches_per_spp)
     return state, img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds", "sif", "iterations",
+                     "launches_per_spp"),
+)
+def render_steps_denoised_temporal(scene, state, hist, seeds, offsets,
+                                   cam2world, screen2cam, exposure, gb,
+                                   prev, inv_map, *, width, height,
+                                   is_persp, direct_only, steps,
+                                   alpha_rounds=0, sif=1, iterations=4,
+                                   launches_per_spp=integ.PT_STEPS):
+    """render_steps + temporal+spatial denoised display in ONE executable.
+    Returns (state, new history, (ph, pw, 3) u8)."""
+    state = integ.render_steps(
+        scene, state, seeds, offsets, cam2world, screen2cam,
+        width=width, height=height, is_persp=is_persp,
+        direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+        sif=sif,
+    )
+    pw, ph = integ.padded_dims(width, height)
+    img, hist = denoised_display_temporal(
+        state.accum, state.count, gb, hist, prev, inv_map, exposure,
+        width=width, height=height, pw=pw, ph=ph, is_persp=is_persp,
+        iterations=iterations, sif=sif, launches_per_spp=launches_per_spp)
+    return state, hist, img

@@ -118,9 +118,15 @@ class RayTraceRenderer:
         self._request_new_frame = True
         # display-only SVGF-style reconstruction (render/denoise.py);
         # never touches the accumulation state, so the offline result
-        # stays unbiased whether or not it's on.
+        # stays unbiased whether or not it's on. ``temporal`` adds
+        # history reprojection to the interactive draw_frame path (kept
+        # stable through camera drags); it rides the denoise toggle.
         self.denoise = False
+        self.temporal = True
         self._gb_key = None
+        self._dn_hist = None
+        self._dn_hist_key = None
+        self._dn_prev = None
         self._refresh_alpha_rounds()
 
     # alpha-tested transparency costs extra trace rounds; only enabled when
@@ -180,6 +186,7 @@ class RayTraceRenderer:
         self.scene = self.scene._replace(**updates)
         self.host = self.host._replace(materials=list(materials), lights=lights_r)
         self._refresh_alpha_rounds()
+        self._dn_hist = None  # scene content changed: old display history would ghost
         self._request_new_frame = True
 
     def update_textures(self, textures):
@@ -201,12 +208,14 @@ class RayTraceRenderer:
         self.scene = self.scene._replace(**updates)
         self.host = self.host._replace(textures=list(textures))
         self._refresh_alpha_rounds()
+        self._dn_hist = None  # scene content changed: old display history would ghost
         self._request_new_frame = True
 
     def change_resolution(self, width: int, height: int):
         self.width, self.height = int(width), int(height)
         self._state = integ.init_state(self.width, self.height,
                                        self.samples_in_flight)
+        self._dn_hist = None  # scene content changed: old display history would ghost
         self._request_new_frame = True
 
     def change_scene(self, parsed, camera=None):
@@ -219,6 +228,7 @@ class RayTraceRenderer:
         elif parsed_cam is not None:
             self.camera = parsed_cam
         self._refresh_alpha_rounds()
+        self._dn_hist = None  # scene content changed: old display history would ghost
         self._request_new_frame = True
 
     # -- rendering ------------------------------------------------------------
@@ -318,6 +328,26 @@ class RayTraceRenderer:
                 from glaze_tpu.render import denoise as dn
 
                 inv_map, _, _ = dn.lane_to_image(self.width, self.height)
+                if self.temporal:
+                    key = (self.width, self.height)
+                    if self._dn_hist is None or self._dn_hist_key != key:
+                        self._dn_hist = dn.init_history(*key)
+                        self._dn_hist_key = key
+                        self._dn_prev = dn.world_to_screen(
+                            self.camera, self.width, self.height)
+                    self._state, self._dn_hist, img = (
+                        dn.render_steps_denoised_temporal(
+                            self.scene, self._state, self._dn_hist, seeds,
+                            offsets, c2w, s2c, exposure, self._gbuffer(),
+                            self._dn_prev, inv_map,
+                            launches_per_spp=(
+                                self.integrator.steps_per_sample),
+                            **kw,
+                        ))
+                    # this frame's camera is next frame's reprojection src
+                    self._dn_prev = dn.world_to_screen(
+                        self.camera, self.width, self.height)
+                    return img
                 self._state, img = dn.render_steps_denoised(
                     self.scene, self._state, seeds, offsets, c2w, s2c,
                     exposure, self._gbuffer(), inv_map,

@@ -145,3 +145,161 @@ def test_denoise_on_sharded_renderer():
     ru.denoise = True
     ru.draw(1)
     np.testing.assert_array_equal(img_s, ru.get_image())
+
+
+# ---------------------------------------------------------------------------
+# temporal reprojection (denoised_display_temporal)
+
+
+def _temporal_setup(width=64, height=32, depth=5.0):
+    """Synthetic temporal scene: a camera-facing wall ``depth`` units
+    along every primary ray, so the G-buffer world positions are
+    geometrically consistent with the camera used for reprojection."""
+    from glaze_tpu.core.camera import Camera, PerspectiveCam
+
+    cam = Camera.Perspective(PerspectiveCam(
+        position=[0.0, 0.0, 0.0], target=[0.0, 0.0, -1.0], up=[0, 1, 0]))
+    inv_map, pw, ph = dn.lane_to_image(width, height)
+    n = pw * ph
+    c2w, s2c = integ.camera_matrices(cam, width, height)
+    px, py = integ.pixel_coords(width, height)
+    ndc_x = -1.0 + 2.0 * (px + 0.5) / width
+    ndc_y = -1.0 + 2.0 * (py + 0.5) / height
+    o, d = integ.camera_rays(ndc_x, ndc_y, jnp.asarray(c2w),
+                             jnp.asarray(s2c), True)
+    ones = jnp.ones((n,), jnp.float32)
+    t = jnp.float32(depth) * ones
+    gb = {
+        "normal": tuple(-c for c in d),  # wall faces the camera
+        "depth": t,
+        "albedo": (ones, ones, ones),
+        "wpos": tuple(oc + t * dc for oc, dc in zip(o, d)),
+    }
+    return cam, gb, inv_map, pw, ph, n
+
+
+def _hist_from_gb(gb, inv_map, pw, ph, rgb_val, h_val):
+    def plane(v):
+        return np.asarray(v)[np.asarray(inv_map)].reshape(ph, pw)
+
+    v = jnp.full((ph, pw), np.float32(rgb_val))
+    return {
+        "rgb": (v, v, v),
+        "t": jnp.asarray(plane(gb["depth"])),
+        "n": tuple(jnp.asarray(plane(c)) for c in gb["normal"]),
+        "h": jnp.full((ph, pw), np.float32(h_val)),
+    }
+
+
+def test_temporal_identity_blends_history_in():
+    """Same camera, clean history at full weight, 1-launch noisy
+    accumulation: the temporal display lands much closer to the truth
+    than the purely spatial one."""
+    width, height = 64, 32
+    cam, gb, inv_map, pw, ph, n = _temporal_setup(width, height)
+    base = 0.5
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0.0, 0.25, size=(3, n)).astype(np.float32)
+    count = jnp.full((n,), np.float32(1.0))
+    accum = tuple(jnp.maximum(jnp.asarray(base + noise[i]), 0.0)
+                  for i in range(3))
+    cap = dn._HIST_CAP_SPP * integ.PT_STEPS
+    hist = _hist_from_gb(gb, inv_map, pw, ph, base, cap)
+    prev = dn.world_to_screen(cam, width, height)
+    img_t, new_hist = dn.denoised_display_temporal(
+        accum, count, gb, hist, prev, inv_map, jnp.float32(1.0),
+        width=width, height=height, pw=pw, ph=ph, is_persp=True)
+    img_s = dn.denoised_display(accum, count, gb, inv_map,
+                                jnp.float32(1.0), pw=pw, ph=ph)
+    from glaze_tpu.ops import texture as tx
+
+    truth = float(np.round(
+        np.asarray(tx.linear_to_srgb(jnp.float32(base))) * 255.0))
+    crop = np.s_[:height, :width]
+    mse_t = ((np.asarray(img_t, np.float64)[crop] - truth) ** 2).mean()
+    mse_s = ((np.asarray(img_s, np.float64)[crop] - truth) ** 2).mean()
+    assert mse_t < mse_s / 4.0, (mse_t, mse_s)
+    # the history count saturates at the cap
+    assert float(new_hist["h"].max()) <= cap + 1e-3
+
+
+def test_temporal_rejects_mismatched_geometry():
+    """History whose stored depth disagrees with the reprojected
+    geometry (a disocclusion) is discarded: the temporal frame equals
+    the plain spatial one bit-for-bit."""
+    width, height = 64, 32
+    cam, gb, inv_map, pw, ph, n = _temporal_setup(width, height)
+    rng = np.random.default_rng(9)
+    noise = rng.normal(0.0, 0.25, size=(3, n)).astype(np.float32)
+    count = jnp.full((n,), np.float32(1.0))
+    accum = tuple(jnp.maximum(jnp.asarray(0.5 + noise[i]), 0.0)
+                  for i in range(3))
+    cap = dn._HIST_CAP_SPP * integ.PT_STEPS
+    hist = _hist_from_gb(gb, inv_map, pw, ph, 0.9, cap)
+    hist["t"] = hist["t"] * 2.0  # depth test must fail everywhere
+    prev = dn.world_to_screen(cam, width, height)
+    img_t, _ = dn.denoised_display_temporal(
+        accum, count, gb, hist, prev, inv_map, jnp.float32(1.0),
+        width=width, height=height, pw=pw, ph=ph, is_persp=True)
+    img_s = dn.denoised_display(accum, count, gb, inv_map,
+                                jnp.float32(1.0), pw=pw, ph=ph)
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_s))
+
+
+def test_temporal_converges_to_raw():
+    """Capped history weight: with a large accumulated count even a
+    WRONG history moves the displayed image by at most a couple of u8
+    steps (the display still converges to the unbiased result)."""
+    width, height = 64, 32
+    cam, gb, inv_map, pw, ph, n = _temporal_setup(width, height)
+    count = jnp.full((n,), np.float32(1e5))
+    accum = tuple(jnp.full((n,), np.float32(0.5)) * count for _ in range(3))
+    cap = dn._HIST_CAP_SPP * integ.PT_STEPS
+    hist = _hist_from_gb(gb, inv_map, pw, ph, 1.0, cap)  # wrong color
+    prev = dn.world_to_screen(cam, width, height)
+    img_t, _ = dn.denoised_display_temporal(
+        accum, count, gb, hist, prev, inv_map, jnp.float32(1.0),
+        width=width, height=height, pw=pw, ph=ph, is_persp=True)
+    img_s = dn.denoised_display(accum, count, gb, inv_map,
+                                jnp.float32(1.0), pw=pw, ph=ph)
+    crop = np.s_[:height, :width]
+    diff = np.abs(np.asarray(img_t, np.int32)[crop]
+                  - np.asarray(img_s, np.int32)[crop])
+    assert diff.max() <= 2, diff.max()
+
+
+def test_temporal_renderer_drag_end_to_end():
+    """RayTraceRenderer with temporal denoise through a camera move:
+    history survives the restart and the post-move frame lands closer
+    to the converged post-move image than the history-free one."""
+    from golden_scenes import GOLDEN_H, GOLDEN_W, MatRowScene
+    from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
+
+    kw = dict(width=GOLDEN_W, height=GOLDEN_H,
+              integrator=Integrator.PATH_TRACE, seed=5)
+
+    def run(temporal):
+        r = RayTraceRenderer(MatRowScene(), **kw)
+        r.denoise = True
+        r.temporal = temporal
+        for _ in range(2 * integ.PT_STEPS):  # build up history at cam A
+            r.draw_frame(return_image=True)
+        r.camera.look_around(0.02, 0.0)
+        r.update_camera(r.camera)  # restart: post-move frame is 1 launch
+        img = np.asarray(r.draw_frame(return_image=True), np.float64)
+        return img[:GOLDEN_H, :GOLDEN_W], r
+
+    img_t, r_t = run(True)
+    img_p, _ = run(False)
+    # converged raw truth at the post-move camera
+    truth_r = RayTraceRenderer(MatRowScene(), **kw)
+    truth_r.camera.look_around(0.02, 0.0)
+    truth_r.update_camera(truth_r.camera)
+    truth = np.asarray(truth_r.draw(8), np.float64)
+    mse_t = ((img_t - truth) ** 2).mean()
+    mse_p = ((img_p - truth) ** 2).mean()
+    assert mse_t < mse_p, (mse_t, mse_p)
+    # scene edits drop the history (old colors would ghost)
+    r_t.update_materials_and_lights(list(r_t.host.materials),
+                                    list(r_t.host.lights))
+    assert r_t._dn_hist is None
