@@ -308,6 +308,11 @@ def main():
             fps["drag_fps_scale025"] = round(timed_drag(rr25), 2)
             rr.use_raytracer = True
             fps["drag_fps_scale02"] = round(timed_drag(rr), 2)
+            # denoised+temporal drag (render/denoise.py): the SVGF-style
+            # display path the app/viewer toggle, measured at the same
+            # scale so its cost is visible round-over-round
+            rr25.denoise = True
+            fps["drag_fps_denoised_scale025"] = round(timed_drag(rr25), 2)
         except Exception as e:  # never fail the headline number
             fps = {"fps_error": str(e)[:200]}
 
