@@ -90,20 +90,26 @@ def gbuffer_pass(scene, cam2world, screen2cam, *, width, height, is_persp,
     missed = hit["tri"] < 0
 
     surf = integ._interpolate_hit(scene, hit)
+    return _guides(scene, origin, direction, missed, hit["t"],
+                   surf["shading_normal"], surf["material_id"], surf["uv"])
+
+
+def _guides(scene, origin, direction, missed, t, shading_normal,
+            material_id, uv):
+    """Guide buffers from first-hit attributes (shared by gbuffer_pass
+    and the drag path, which reuses the launch's own primary trace)."""
     # sky lanes: normal = ray direction (smooth across the dome), huge
     # depth (never mixes with geometry).
-    n = vec.where(missed, direction, surf["shading_normal"])
-    z = jnp.where(missed, _SKY_DEPTH, hit["t"])
+    n = vec.where(missed, direction, shading_normal)
+    z = jnp.where(missed, _SKY_DEPTH, t)
 
     # diffuse albedo (texture x multiplier) for diffuse-lobed families;
     # specular families (mirror/glass/metal) reflect the environment, so
     # their pixel color is not separable from the surface tint — pass
     # them through undemodulated (albedo 1).
-    mat_id = surf["material_id"]
-    texid = scene.mat_tex[mat_id][:, fl.MT_DIFFUSE]
-    r, g, b = tx.sample_rgb_v(scene.atlas, texid, surf["uv"][0],
-                              surf["uv"][1])
-    s = scene.mat_scalars[mat_id]
+    texid = scene.mat_tex[material_id][:, fl.MT_DIFFUSE]
+    r, g, b = tx.sample_rgb_v(scene.atlas, texid, uv[0], uv[1])
+    s = scene.mat_scalars[material_id]
     r = r * s[:, fl.MS_DIFFUSE_R]
     g = g * s[:, fl.MS_DIFFUSE_G]
     b = b * s[:, fl.MS_DIFFUSE_B]
@@ -441,3 +447,62 @@ def render_steps_denoised_temporal(scene, state, hist, seeds, offsets,
         width=width, height=height, pw=pw, ph=ph, is_persp=is_persp,
         iterations=iterations, sif=sif, launches_per_spp=launches_per_spp)
     return state, hist, img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "is_persp", "direct_only", "steps",
+                     "alpha_rounds", "sif", "iterations",
+                     "launches_per_spp"),
+)
+def render_steps_denoised_temporal_gb(scene, state, hist, seeds, offsets,
+                                      cam2world, screen2cam, exposure,
+                                      prev, inv_map, *, width, height,
+                                      is_persp, direct_only, steps,
+                                      alpha_rounds=0, sif=1, iterations=4,
+                                      launches_per_spp=integ.PT_STEPS):
+    """The camera-moved (drag) frame: G-buffer + launch + temporal
+    display in ONE executable, ONE primary trace. The caller restarts
+    accumulation on camera moves, so the launch's first step traces
+    camera rays — its hit attributes ARE the G-buffer (at that step's
+    sub-pixel jitter; SVGF uses the jittered frame G-buffer the same
+    way), and the separate gbuffer_pass trace that would double the
+    drag cost is skipped. Returns (state, new history, (ph, pw, 3) u8,
+    gbuffer) — the caller caches the G-buffer for following still
+    frames."""
+    if sif == 1:
+        # step 0 outside the scan, with its first-hit attributes kept
+        px, py, rng_py = integ.sif_lanes(width, height, sif)
+        size = jnp.asarray([width, height], jnp.float32)
+        state, fh = integ.launch_step(
+            scene, state, seeds[0], offsets[0], cam2world, screen2cam,
+            px, py, size, is_persp=is_persp, direct_only=direct_only,
+            alpha_rounds=alpha_rounds, rng_py=rng_py,
+            want_first_hit=True)
+        gb = _guides(scene, fh["origin"], fh["direction"], fh["missed"],
+                     fh["t"], fh["shading_normal"], fh["material_id"],
+                     fh["uv"])
+        if steps > 1:
+            state = integ.render_steps(
+                scene, state, seeds[1:], offsets[1:], cam2world,
+                screen2cam, width=width, height=height, is_persp=is_persp,
+                direct_only=direct_only, steps=steps - 1,
+                alpha_rounds=alpha_rounds, sif=sif)
+    else:
+        # sif>1 lanes are sif copies per pixel; guides stay per-pixel,
+        # so keep the dedicated (jitter-free) guide trace there.
+        gb = gbuffer_pass(scene, cam2world, screen2cam, width=width,
+                          height=height, is_persp=is_persp,
+                          alpha_rounds=alpha_rounds)
+        state = integ.render_steps(
+            scene, state, seeds, offsets, cam2world, screen2cam,
+            width=width, height=height, is_persp=is_persp,
+            direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
+            sif=sif,
+        )
+    pw, ph = integ.padded_dims(width, height)
+    img, hist = denoised_display_temporal(
+        state.accum, state.count, gb, hist, prev, inv_map, exposure,
+        width=width, height=height, pw=pw, ph=ph, is_persp=is_persp,
+        iterations=iterations, sif=sif, launches_per_spp=launches_per_spp)
+    return state, hist, img, gb

@@ -522,7 +522,8 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
 def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
                 screen2cam, px, py, launch_size, *, is_persp: bool,
                 direct_only: bool = False,
-                alpha_rounds: int = 0, rng_py=None) -> PathState:
+                alpha_rounds: int = 0, rng_py=None,
+                want_first_hit: bool = False) -> PathState:
     """One bounce for all pixels (path_trace.rgen main, :135-239).
 
     ``seed``: uint32 frame seed; ``pixel_offset``: (2,) sub-pixel jitter
@@ -532,6 +533,12 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     ``launch_size``: (2,) full-image (W, H) floats. ``rng_py``
     decorrelates the RNG streams of samples-in-flight copies that share
     (px, py) — defaults to ``py`` (the reference's srand inputs).
+
+    ``want_first_hit=True`` returns ``(state, fh)`` where ``fh`` carries
+    this step's hit attributes (the denoiser builds its G-buffer from
+    them on restart frames, where every lane traces a camera ray —
+    saving the separate guide trace that otherwise doubles a drag
+    frame's cost).
     """
     p = px.shape[0]
     enabled = scene.lights_no > 0  # path_trace.rgen:137-141
@@ -605,8 +612,17 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         for i in range(3)
     )
 
+    fh = None
+    if want_first_hit:
+        fh = {
+            "missed": missed, "t": hit["t"], "origin": origin,
+            "direction": direction,
+            "shading_normal": surf["shading_normal"],
+            "material_id": surf["material_id"], "uv": surf["uv"],
+        }
+
     if direct_only:
-        return PathState(
+        st = PathState(
             importance=state.importance,
             origin=state.origin,
             direction=state.direction,
@@ -615,6 +631,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
             accum=accum,
             count=count,
         )
+        return (st, fh) if want_first_hit else st
 
     # ---- Russian roulette (path_trace.rgen:196-211)
     rng, rr_roll = rng_mod.next_f32(rng)
@@ -645,7 +662,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
 
     keep = ~path_dead
     upd = enabled & keep
-    return PathState(
+    st = PathState(
         importance=jnp.where(upd, next_importance, state.importance),
         origin=vec.where(upd, surf["point"], state.origin),
         direction=vec.where(upd, wi_w, state.direction),
@@ -654,6 +671,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         accum=accum,
         count=count,
     )
+    return (st, fh) if want_first_hit else st
 
 
 def to_image_np(values, width: int, height: int, fill=0):

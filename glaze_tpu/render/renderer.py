@@ -265,20 +265,24 @@ class RayTraceRenderer:
                 self._zero_key = key
             self._state = self._zero_state
 
+    def _gbuffer_key(self):
+        c2w, s2c = integ.camera_matrices(self.camera, self.width,
+                                         self.height)
+        return (id(self.scene), self.width, self.height,
+                self.camera.is_perspective, self._alpha_rounds,
+                c2w.tobytes(), s2c.tobytes())
+
     def _gbuffer(self):
         """First-hit guide buffers for the denoiser, cached until the
         camera / scene / resolution changes (exactly the events that
         restart accumulation)."""
         from glaze_tpu.render import denoise as dn
 
-        c2w, s2c = integ.camera_matrices(self.camera, self.width,
-                                         self.height)
-        key = (id(self.scene), self.width, self.height,
-               self.camera.is_perspective, self._alpha_rounds,
-               c2w.tobytes(), s2c.tobytes())
+        key = self._gbuffer_key()
         if self._gb_key != key:
+            c2w, s2c = self._frame_params()
             self._gb = dn.gbuffer_pass(
-                self.scene, jnp.asarray(c2w), jnp.asarray(s2c),
+                self.scene, c2w, s2c,
                 width=self.width, height=self.height,
                 is_persp=self.camera.is_perspective,
                 alpha_rounds=self._alpha_rounds)
@@ -335,15 +339,27 @@ class RayTraceRenderer:
                         self._dn_hist_key = key
                         self._dn_prev = dn.world_to_screen(
                             self.camera, self.width, self.height)
-                    self._state, self._dn_hist, img = (
-                        dn.render_steps_denoised_temporal(
-                            self.scene, self._state, self._dn_hist, seeds,
-                            offsets, c2w, s2c, exposure, self._gbuffer(),
-                            self._dn_prev, inv_map,
-                            launches_per_spp=(
-                                self.integrator.steps_per_sample),
-                            **kw,
-                        ))
+                    tkw = dict(
+                        launches_per_spp=self.integrator.steps_per_sample,
+                        **kw)
+                    gb_key = self._gbuffer_key()
+                    if self._gb_key == gb_key:
+                        # camera still: reuse the cached G-buffer
+                        self._state, self._dn_hist, img = (
+                            dn.render_steps_denoised_temporal(
+                                self.scene, self._state, self._dn_hist,
+                                seeds, offsets, c2w, s2c, exposure,
+                                self._gb, self._dn_prev, inv_map, **tkw))
+                    else:
+                        # camera moved (the drag path): compute the
+                        # G-buffer INSIDE the same executable — one
+                        # dispatch per drag frame, not two
+                        self._state, self._dn_hist, img, self._gb = (
+                            dn.render_steps_denoised_temporal_gb(
+                                self.scene, self._state, self._dn_hist,
+                                seeds, offsets, c2w, s2c, exposure,
+                                self._dn_prev, inv_map, **tkw))
+                        self._gb_key = gb_key
                     # this frame's camera is next frame's reprojection src
                     self._dn_prev = dn.world_to_screen(
                         self.camera, self.width, self.height)

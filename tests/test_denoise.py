@@ -303,3 +303,40 @@ def test_temporal_renderer_drag_end_to_end():
     r_t.update_materials_and_lights(list(r_t.host.materials),
                                     list(r_t.host.lights))
     assert r_t._dn_hist is None
+
+
+def test_first_hit_gbuffer_matches_gbuffer_pass():
+    """The drag path builds its G-buffer from the launch's own primary
+    trace (launch_step want_first_hit). At center jitter (0.5, 0.5) the
+    rays are identical to gbuffer_pass's, so every guide must match to
+    float rounding (the sorted launch trace and the unsorted guide
+    trace fuse FP ops differently) — pinning that the two trace setups
+    never drift apart."""
+    from golden_scenes import GOLDEN_H, GOLDEN_W, MatRowScene
+    from glaze_tpu.render.renderer import RayTraceRenderer
+
+    r = RayTraceRenderer(MatRowScene(), width=GOLDEN_W, height=GOLDEN_H,
+                         seed=3)
+    c2w, s2c = integ.camera_matrices(r.camera, GOLDEN_W, GOLDEN_H)
+    c2w, s2c = jnp.asarray(c2w), jnp.asarray(s2c)
+    ref = dn.gbuffer_pass(r.scene, c2w, s2c, width=GOLDEN_W,
+                          height=GOLDEN_H, is_persp=True, alpha_rounds=0)
+
+    px, py, rng_py = integ.sif_lanes(GOLDEN_W, GOLDEN_H, 1)
+    size = jnp.asarray([GOLDEN_W, GOLDEN_H], jnp.float32)
+    state = integ.init_state(GOLDEN_W, GOLDEN_H)
+    _, fh = integ.launch_step(
+        r.scene, state, jnp.uint32(7), jnp.asarray([0.5, 0.5], jnp.float32),
+        c2w, s2c, px, py, size, is_persp=True, rng_py=rng_py,
+        want_first_hit=True)
+    got = dn._guides(r.scene, fh["origin"], fh["direction"], fh["missed"],
+                     fh["t"], fh["shading_normal"], fh["material_id"],
+                     fh["uv"])
+
+    for k in ("normal", "depth", "albedo", "wpos"):
+        a, b = ref[k], got[k]
+        if not isinstance(a, tuple):
+            a, b = (a,), (b,)
+        for ca, cb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                                       rtol=1e-4, atol=1e-4, err_msg=k)
