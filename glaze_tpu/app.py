@@ -49,6 +49,8 @@ HELP = """commands:
   raytrace on|off     toggle path tracer vs flat raster preview
   denoise on|off      edge-aware display filter on the raytraced preview
   integrator pt|direct   raytracer integrator (raytracer.rs:196-231)
+  coherent off|frame|tile   shared-RNG sampling (GLAZE_COHERENT; faster
+                      traces, spatially-correlated noise while converging)
   scale <v>           render scale (renderer.rs:283-315)
   exposure <v>        output exposure multiplier
   stats               fps / progressive sample count
@@ -329,6 +331,16 @@ def main(argv=None):
                 from glaze_tpu.render.renderer import Integrator
 
                 rr._rt.set_integrator(Integrator(parts[1].lower()))
+                present()
+            elif cmd == "coherent":
+                # runtime GLAZE_COHERENT switch (off|frame|tile / 0|1|2);
+                # measured 1080p A/B in docs/PERF_LOG.md
+                from glaze_tpu.render import integrator as integ
+
+                arg = parts[1].lower()
+                mode = {"off": 0, "frame": 1, "on": 1, "tile": 2}.get(
+                    arg, arg)
+                integ.set_coherent(mode)
                 present()
             elif cmd == "scale":
                 rr.set_render_scale(float(parts[1]))

@@ -136,6 +136,28 @@ if os.environ.get("GLAZE_TILE"):
 COHERENT = int(os.environ.get("GLAZE_COHERENT", "0") or "0")
 
 
+def set_coherent(mode: int) -> bool:
+    """Switches coherent sampling at runtime (app/viewer `coherent`
+    command; the measured 1080p A/B lives in docs/PERF_LOG.md).
+
+    COHERENT is baked into every traced executable, so a change must
+    drop the jit caches — the next frame of every live renderer
+    recompiles (~20-40 s cold, instant from the persistent cache).
+    Returns True when the mode actually changed."""
+    global COHERENT
+    mode = int(mode)
+    if mode not in (0, 1, 2):
+        raise ValueError("coherent mode must be 0 (off), 1 (frame) or "
+                         "2 (tile)")
+    if mode == COHERENT:
+        return False
+    COHERENT = mode
+    import jax
+
+    jax.clear_caches()
+    return True
+
+
 def padded_dims(width: int, height: int):
     pw = -(-width // TILE_W) * TILE_W
     ph = -(-height // TILE_H) * TILE_H

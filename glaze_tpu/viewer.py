@@ -48,6 +48,8 @@ _PAGE = """<!doctype html>
  <button onclick="ctl('integrator','pt')">pt</button>
  <button onclick="ctl('integrator','direct')">direct</button>
  <button onclick="ctl('denoise','toggle')">denoise</button>
+ <button onclick="ctl('coherent',2)">coherent</button>
+ <button onclick="ctl('coherent',0)">indep</button>
  <button onclick="ctl('scale',0.25)">scale .25</button>
  <button onclick="ctl('scale',0.5)">scale .5</button>
  <button onclick="ctl('scale',1.0)">scale 1</button>
@@ -309,6 +311,13 @@ class ViewerState:
             from glaze_tpu.render.renderer import Integrator
 
             rt._rt.set_integrator(Integrator(str(val).lower()))
+        elif act == "coherent":
+            # runtime GLAZE_COHERENT switch (0 off / 1 frame / 2 tile);
+            # tile-shared lifts progressive fps past the 10 fps bar at
+            # scale 0.2 with blotches bounded to one packet tile
+            from glaze_tpu.render import integrator as integ
+
+            integ.set_coherent(int(val))
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
         elif act == "save":

@@ -133,6 +133,10 @@ def test_app_scripted(tmp_path):
         "frames 1\n"
         "integrator pt\n"
         "frames 2\n"
+        "coherent tile\n"
+        "frames 1\n"
+        "coherent off\n"
+        "frames 1\n"
         "stats\n"
         f"saveas {edited}\n"
         f"shot {tmp_path/'shot.png'}\n"

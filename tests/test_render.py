@@ -703,3 +703,20 @@ def test_coherent_mode_statistical_parity(monkeypatch):
     # correlated, so the image-mean of |diff| wobbles more)
     assert np.abs(c - b).mean() < 2.5 * null
     assert abs(c.mean() - (a.mean() + b.mean()) / 2) < 6.0 * null
+
+
+def test_set_coherent_runtime_switch():
+    """integrator.set_coherent is the app/viewer `coherent` command:
+    it must validate the mode, report whether anything changed, and
+    leave the module flag set (the executables pick it up at retrace)."""
+    assert integ.COHERENT == 0
+    try:
+        assert integ.set_coherent(2) is True
+        assert integ.COHERENT == 2
+        assert integ.set_coherent(2) is False  # no-op keeps caches
+        with pytest.raises(ValueError):
+            integ.set_coherent(3)
+        assert integ.COHERENT == 2  # rejected value must not stick
+    finally:
+        integ.set_coherent(0)
+    assert integ.COHERENT == 0

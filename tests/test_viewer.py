@@ -200,6 +200,19 @@ def test_integrator_switch(server):
     settle()
     assert rt._rt.integrator is Integrator.PATH_TRACE
 
+    # coherent-sampling toggle (GLAZE_COHERENT runtime switch): frames
+    # must keep flowing across the cache-dropping mode change
+    from glaze_tpu.render import integrator as integ
+
+    try:
+        post({"action": "coherent", "value": 2})
+        settle()
+        assert integ.COHERENT == 2
+    finally:
+        post({"action": "coherent", "value": 0})
+        settle()
+    assert integ.COHERENT == 0
+
 
 def test_control_settings(server):
     """The `set` action drives the ui.rs Controls-window settings
