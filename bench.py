@@ -269,18 +269,19 @@ def main():
     # just in docs. Progressive PT at render scale 0.2 + the flat raster
     # preview at 0.25, pipelined frames (realtime.py draw path).
     fps = {}
+
+    def timed_fps(rr, n=12):
+        rr.draw_frame(pipelined=True)  # compile
+        rr.draw_frame(pipelined=True)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rr.draw_frame(pipelined=True)
+        return n / (time.perf_counter() - t0)
+
     if os.environ.get("GLAZE_BENCH_FPS", "1") == "1":
         from glaze_tpu.render.realtime import RealtimeRenderer
 
         try:
-            def timed_fps(rr, n=12):
-                rr.draw_frame(pipelined=True)  # compile
-                rr.draw_frame(pipelined=True)
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    rr.draw_frame(pipelined=True)
-                return n / (time.perf_counter() - t0)
-
             rr = RealtimeRenderer(parsed, width=WIDTH, height=HEIGHT,
                                   render_scale=0.2, seed=11)
             fps["progressive_fps_scale02"] = round(timed_fps(rr), 2)
@@ -316,6 +317,50 @@ def main():
         except Exception as e:  # never fail the headline number
             fps = {"fps_error": str(e)[:200]}
 
+    # Coherent-sampling segment (opt-in --coherent / GLAZE_COHERENT;
+    # unbiased, unchanged per-pixel variance — tools/bench_coherent_quality
+    # pins equal MSE-vs-truth at equal spp). Runs LAST: switching the
+    # mode changes the traced graph in place, so it needs clear_caches
+    # and everything after it would recompile. Skipped when the whole
+    # bench already runs under GLAZE_COHERENT (the A/B usage).
+    coh = {}
+    if (os.environ.get("GLAZE_BENCH_COHERENT", "1") == "1"
+            and integ.COHERENT == 0):
+        try:
+            # mode 1 = frame-shared chains (--coherent; the 2.15x
+            # headline mover), mode 2 = tile-shared (blotches bounded
+            # to one packet tile; the fps variant the viewer toggles)
+            for mode in (1, 2):
+                integ.COHERENT = mode
+                jax.clear_caches()
+                st = integ.init_state(WIDTH, HEIGHT, sif)
+                st = run(st)
+                sync(st.count)
+                dt = float("inf")
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    st = run(st)
+                    sync(st.count)
+                    dt = min(dt, time.perf_counter() - t0)
+                coh[f"coherent{mode}_mrays"] = round(
+                    p * STEPS * sif / dt / 1e6, 3)
+                coh[f"coherent{mode}_launch_ms"] = round(
+                    dt / STEPS * 1e3, 1)
+                coh[f"coherent{mode}_tt256_s"] = round(
+                    SPP_TARGET * integ.PT_STEPS * dt / STEPS / sif, 1)
+            if os.environ.get("GLAZE_BENCH_FPS", "1") == "1":
+                from glaze_tpu.render.realtime import RealtimeRenderer
+
+                rrc = RealtimeRenderer(parsed, width=WIDTH, height=HEIGHT,
+                                       render_scale=0.2, seed=11)
+                coh["coherent2_progressive_fps_scale02"] = round(
+                    timed_fps(rrc), 2)
+        except Exception as e:  # never fail the headline number
+            coh["coherent_error"] = str(e)[:200]
+        finally:
+            integ.COHERENT = 0
+            jax.clear_caches()
+
     rays = p * STEPS * sif
     mrays = rays / best / 1e6
     launch_ms = best / STEPS * 1e3
@@ -337,9 +382,11 @@ def main():
         "sif": sif,
         "sort": integ.SORT_MODE,
         "tree": os.environ.get("GLAZE_TREE", "classic"),
+        "coherent": int(os.environ.get("GLAZE_COHERENT", "0") or "0"),
         **phases,
         **sharded,
         **fps,
+        **coh,
     }))
 
 
