@@ -66,12 +66,14 @@ def build_parser():
              "bounces, at N x launch memory (docs/PERF_LOG.md)",
     )
     p.add_argument(
-        "--coherent", action="store_true",
-        help="coherent sampling: all pixels of a launch share one RNG "
-             "chain, so bounce/NEE directions are spatially coherent and "
-             "trace faster (per-pixel estimates stay unbiased with "
-             "unchanged per-pixel variance; per-sample noise is blotchy "
-             "instead of high-frequency, which converges away with spp)",
+        "--coherent", nargs="?", const="frame", default=None,
+        choices=("frame", "tile"), metavar="frame|tile",
+        help="coherent sampling: pixels share RNG chains (frame-wide, or "
+             "per 2048-ray packet tile), so bounce/NEE directions are "
+             "spatially coherent and trace faster — measured 2.15x/1.4x "
+             "(per-pixel estimates stay unbiased with unchanged "
+             "per-pixel variance; per-sample noise is blotchy instead "
+             "of high-frequency, which converges away with spp)",
     )
     p.add_argument(
         "--denoise", action="store_true",
@@ -92,9 +94,12 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.coherent:
-        # must land before the integrator module is imported (the knob is
-        # read at import time so jit caches can't go stale mid-process)
-        os.environ["GLAZE_COHERENT"] = "1"
+        # set_coherent drops stale jit caches itself, so this is safe
+        # whether or not the integrator module was already imported
+        # (library callers / tests share the process)
+        from glaze_tpu.render.integrator import set_coherent
+
+        set_coherent(1 if args.coherent == "frame" else 2)
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
     from glaze_tpu.utils import (

@@ -319,6 +319,19 @@ def test_cli_end_to_end(tmp_path):
         img = np.asarray(Image.open(out))
         assert img.shape == (16, 16, 3)
 
+    # --coherent tile must render through the shared-RNG path and
+    # restore nothing implicitly (the CLI owns the process; tests don't)
+    from glaze_tpu.render import integrator as integ
+
+    try:
+        out = tmp_path / "cli_coherent.png"
+        rc = main([path, str(out), "--res", "16x16", "--spp", "1",
+                   "--coherent", "tile", "--seed", "1"])
+        assert rc == 0 and out.exists()
+        assert integ.COHERENT == 2
+    finally:
+        integ.set_coherent(0)
+
 
 def test_app_texture_editor(tmp_path):
     """The ui.rs textures window equivalents: tex list/add/del/format and
