@@ -523,6 +523,11 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
     wiw, dist, emission, light_pdf = lights_mod.sample_light(
         scene, light_idx, hit["point"], (ra, rb, rc)
     )
+    # lane-invariant draws (COHERENT frame mode keeps the rng chain at
+    # shape (1,)) can leave a sky/area sample (1,)-shaped; the shadow
+    # traces and the capture sink need full-width rays
+    wiw = tuple(jnp.broadcast_to(c, active.shape) for c in wiw)
+    dist = jnp.broadcast_to(dist, active.shape)
     rng, r_bsdf = rng_mod.next_f32(rng)
 
     wo = shading.to_shading_space_v(wo_w, frame)
@@ -585,7 +590,17 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     count = state.count + enabled.astype(jnp.float32)
 
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
-    if COHERENT:
+    if COHERENT == 1 and rng_py is None:
+        # Frame-shared chain (srand(seed, 0, 0), identical values to the
+        # (p,)-wide form) kept at shape (1,): the chain is lane-invariant,
+        # so every draw-driven table lookup — NEE light pick, sky alias
+        # rows, sky-sample atlas fetch, area-light triangle pick —
+        # gathers ONE row instead of one per lane (~20 ns/row on TPU
+        # regardless of width), broadcasting against per-lane data only
+        # where results are actually consumed.
+        one = jnp.zeros((1,), jnp.float32)
+        rng = rng_mod.srand_f32x3(seed_f[None], one, one)
+    elif COHERENT:
         # rng_py - py is exactly the per-copy constant offset sif_lanes
         # added, so in-flight copies stay decorrelated while lanes
         # within a copy share draws.
