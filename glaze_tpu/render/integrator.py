@@ -506,10 +506,31 @@ def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     return hit
 
 
+def _expand_block(a, p: int):
+    """Chain width -> lane width: repeat each of the C chain values over
+    its contiguous block of p//C lanes (a static reshape-broadcast, NOT a
+    gather — lanes are tile-major, integrator.pixel_coords_np). Identity
+    when the array is already lane-wide. Handles (C,) and (16, C)."""
+    c = a.shape[-1]
+    if c == p:
+        return a
+    blk = p // c
+    if a.ndim == 1:
+        return jnp.broadcast_to(a[:, None], (c, blk)).reshape(p)
+    lead = a.shape[0]
+    return jnp.broadcast_to(a[:, :, None], (lead, c, blk)).reshape(lead, p)
+
+
 def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
-                  alpha_rounds=0):
+                  alpha_rounds=0, expand=None):
     """NEE (path_trace.rgen direct_light, :87-117). Advances the rng by 5
-    draws unconditionally. Returns (rng, radiance (16, R))."""
+    draws unconditionally. Returns (rng, radiance (16, R)).
+
+    ``expand`` maps chain-width draws to lane width when coherent
+    sampling shares RNG chains across lanes (see sample_light) — the
+    light pick and sample draws stay at chain width through every table
+    gather and are only block-broadcast where per-lane data mixes in."""
+    ex = expand if expand is not None else (lambda a: a)
     rng = state_rng
     rng, r_pick = rng_mod.next_f32(rng)
     lights_no_f = scene.lights_no.astype(jnp.float32)
@@ -521,18 +542,14 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
     rng, rb = rng_mod.next_f32(rng)
     rng, rc = rng_mod.next_f32(rng)
     wiw, dist, emission, light_pdf = lights_mod.sample_light(
-        scene, light_idx, hit["point"], (ra, rb, rc)
+        scene, light_idx, hit["point"], (ra, rb, rc), expand=expand
     )
-    # lane-invariant draws (COHERENT frame mode keeps the rng chain at
-    # shape (1,)) can leave a sky/area sample (1,)-shaped; the shadow
-    # traces and the capture sink need full-width rays
-    wiw = tuple(jnp.broadcast_to(c, active.shape) for c in wiw)
-    dist = jnp.broadcast_to(dist, active.shape)
     rng, r_bsdf = rng_mod.next_f32(rng)
 
     wo = shading.to_shading_space_v(wo_w, frame)
     wi = shading.to_shading_space_v(wiw, frame)
-    value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"], r_bsdf)
+    value, bsdf_pdf = bsdf_mod.bsdf_value(scene, mat, wo, wi, hit["uv"],
+                                          ex(r_bsdf))
 
     usable = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
     if _capture_sink is not None:
@@ -600,6 +617,27 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         # where results are actually consumed.
         one = jnp.zeros((1,), jnp.float32)
         rng = rng_mod.srand_f32x3(seed_f[None], one, one)
+    elif COHERENT == 2 and p % (TILE_W * TILE_H) == 0:
+        # One chain per 2048-ray packet tile, kept at shape (n_tiles,):
+        # lanes are tile-major (pixel_coords_np), so lane k belongs to
+        # chain k // 2048 and every draw-driven table gather collapses
+        # to one row per TILE instead of one per lane (same trick as
+        # mode 1 above, block-broadcast by _expand_block). Chain values
+        # are identical to the per-lane form — srand(seed, tile, copy)
+        # with tile/copy constant across each block — so output is
+        # bit-identical. Tile ids are global (px/py and launch_size are
+        # full-image even under shard_map); a lane slice that is a
+        # whole number of tiles keeps the block structure, and slices
+        # that are not (p % 2048 != 0) fall through to the per-lane
+        # chain below.
+        blk = TILE_W * TILE_H
+        pxb, pyb = px[::blk], py[::blk]
+        copy_b = (jnp.zeros_like(pxb) if rng_py is None
+                  else (rng_py - py)[::blk])
+        tiles_x = jnp.ceil(launch_size[0] / TILE_W)
+        chan = jnp.floor(pxb / TILE_W) + jnp.floor(pyb / TILE_H) * tiles_x
+        rng = rng_mod.srand_f32x3(
+            jnp.broadcast_to(seed_f, pxb.shape), chan, copy_b)
     elif COHERENT:
         # rng_py - py is exactly the per-copy constant offset sif_lanes
         # added, so in-flight copies stay decorrelated while lanes
@@ -661,8 +699,12 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     mat_specular = mat["scalars"][fl.MS_IS_SPECULAR] > 0.5
 
     nee_active = ~missed & ~mat_specular
+    # chain width -> lane width expander (identity unless a coherent
+    # mode keeps the chain narrower than the wavefront, see _expand_block)
+    ex = lambda a: _expand_block(a, p)  # noqa: E731
     rng, nee_radiance = _direct_light(scene, rng, wo_w, frame, surf, mat,
-                                      nee_active, alpha_rounds=alpha_rounds)
+                                      nee_active, alpha_rounds=alpha_rounds,
+                                      expand=ex)
     nee_radiance = nee_radiance * importance
     nr, ng, nb = spectra.to_rgb_t(nee_radiance)
     nee_contrib = (
@@ -706,7 +748,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     rng, rr_roll = rng_mod.next_f32(rng)
     rr_active = state.bounce > RUSSIAN_ROULETTE
     kill_prob = jnp.maximum(0.05, 1.0 - spectra.luminance_t(importance))
-    rr_kill = rr_active & (rr_roll < kill_prob)
+    rr_kill = rr_active & (ex(rr_roll) < kill_prob)
     rr_scale = jnp.where(rr_active, 1.0 / (1.0 - kill_prob), 1.0)
     importance = importance * rr_scale
 
@@ -716,7 +758,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     rng, sc = rng_mod.next_f32(rng)
     wo = shading.to_shading_space_v(wo_w, frame)
     wi, value, pdf = bsdf_mod.bsdf_sample(scene, mat, wo, surf["uv"],
-                                          (sa, sb_, sc))
+                                          (ex(sa), ex(sb_), ex(sc)))
     wi_w = shading.to_world_space_v(wi, frame)
     sample_dead = pdf <= 0.0
     weight = jnp.abs(vec.dot(wi_w, surf["shading_normal"])) / jnp.maximum(

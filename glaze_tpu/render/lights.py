@@ -51,33 +51,33 @@ LS_TRI_COUNT = 3
 LS_MATERIAL = 4
 
 
-def _omni(scene, light_idx, ls, position):
-    p3 = scene.light_pos[light_idx]  # (R, 3) row gather
-    pos = (p3[:, 0], p3[:, 1], p3[:, 2])
-    color = scene.light_color[light_idx].T  # (16, R)
+def _omni(scene, light_idx, ls, position, ex):
+    p3 = scene.light_pos[light_idx]  # (C, 3) row gather at chain width
+    pos = (ex(p3[:, 0]), ex(p3[:, 1]), ex(p3[:, 2]))
+    color = scene.light_color[light_idx].T  # (16, C)
     intensity = ls[:, LS_INTENSITY]
     delta = vec.sub(pos, position)
     d2 = vec.dot(delta, delta)
     dist = jnp.sqrt(d2)
     wiw = vec.scale(delta, 1.0 / jnp.maximum(dist, 1e-20))
-    emission = color * (intensity / jnp.maximum(d2, 1e-20))
+    emission = ex(color) * (ex(intensity) / jnp.maximum(d2, 1e-20))
     pdf = jnp.ones_like(dist)
     return wiw, dist, emission, pdf
 
 
-def _sun(scene, light_idx, ls, position):
+def _sun(scene, light_idx, ls, position, ex):
     color = scene.light_color[light_idx].T
     intensity = ls[:, LS_INTENSITY]
     d3 = scene.light_dir[light_idx]
-    wiw = (-d3[:, 0], -d3[:, 1], -d3[:, 2])
+    wiw = (ex(-d3[:, 0]), ex(-d3[:, 1]), ex(-d3[:, 2]))
     dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0,
-                            intensity.shape)
-    emission = color * intensity
+                            position[0].shape)
+    emission = ex(color * intensity)
     pdf = jnp.ones_like(dist)
     return wiw, dist, emission, pdf
 
 
-def _area(scene, light_idx, ls, position, r3):
+def _area(scene, light_idx, ls, position, r3, ex):
     first = ls[:, LS_TRI_FIRST].astype(jnp.int32)
     count = jnp.maximum(ls[:, LS_TRI_COUNT].astype(jnp.int32), 1)
     intensity = ls[:, LS_INTENSITY]
@@ -100,16 +100,16 @@ def _area(scene, light_idx, ls, position, r3):
     point = vec.add(vec.add(vec.scale(v0, bu), vec.scale(v1, bv)),
                     vec.scale(v2, bw))
 
-    delta = vec.sub(point, position)
+    delta = vec.sub((ex(point[0]), ex(point[1]), ex(point[2])), position)
     d2 = vec.dot(delta, delta)
     dist = jnp.sqrt(d2)
     wiw = vec.scale(delta, 1.0 / jnp.maximum(dist, 1e-20))
 
-    dm = scene.mat_scalars[mat_id]  # (R, 8) row gather
-    emission = spectra.from_surface_color_t(
+    dm = scene.mat_scalars[mat_id]  # (C, 8) row gather at chain width
+    emission = ex(spectra.from_surface_color_t(
         dm[:, MS_DIFFUSE_R], dm[:, MS_DIFFUSE_G], dm[:, MS_DIFFUSE_B]
-    ) * (intensity / jnp.maximum(d2, 1e-20))
-    pdf = 1.0 / (count.astype(jnp.float32) * jnp.maximum(area, 1e-20))
+    )) * (ex(intensity) / jnp.maximum(d2, 1e-20))
+    pdf = ex(1.0 / (count.astype(jnp.float32) * jnp.maximum(area, 1e-20)))
     return wiw, dist, emission, pdf
 
 
@@ -140,7 +140,7 @@ def _alias_pick_rows(rows, rand, base, n_f):
     return jf, u
 
 
-def _sky(scene, light_idx, position, r3):
+def _sky(scene, light_idx, position, r3, ex):
     # marginal over rows (v), then conditional over columns (u) — alias
     # tables instead of the reference's binary-search CDF inversion
     h = scene.sky_marg_rows.shape[0]
@@ -171,35 +171,44 @@ def _sky(scene, light_idx, position, r3):
         m[1, 0] * wl[0] + m[1, 1] * wl[1] + m[1, 2] * wl[2],
         m[2, 0] * wl[0] + m[2, 1] * wl[1] + m[2, 2] * wl[2],
     ))
-    dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0, pdf.shape)
+    dist = jnp.broadcast_to(2.0 * scene.scene_radius + 1.0,
+                            position[0].shape)
     tex = jnp.broadcast_to(scene.sky_tex, pdf.shape)
     r, g, b = tx.sample_rgb_v(scene.atlas, tex, u, v)
     s = scene.sky_intensity
-    emission = spectra.from_illuminant_color_t(r * s, g * s, b * s)
-    return wiw, dist, emission, pdf
+    emission = ex(spectra.from_illuminant_color_t(r * s, g * s, b * s))
+    return (ex(wiw[0]), ex(wiw[1]), ex(wiw[2])), dist, emission, ex(pdf)
 
 
-def sample_light(scene, light_idx, position, r3):
+def sample_light(scene, light_idx, position, r3, expand=None):
     """Samples the picked light toward ``position`` (a (x,y,z) tuple).
 
     Returns (wiW tuple, distance (R,), emission (16, R), pdf (R,)) —
     the SampledLight struct of raytrace_commons.glsl:52-60.
-    ``r3``: tuple of three (R,) uniforms. Only the light types in
-    ``scene.light_kinds`` (static) are evaluated — the wavefront analogue
-    of the SBT running exactly one light callable per ray."""
-    ls = scene.light_scalars[light_idx]  # (R, 8) row gather
+    ``r3``: tuple of three uniforms at CHAIN width C, which is the lane
+    count R unless coherent sampling shares chains across lanes (then
+    C < R and ``expand`` maps chain-width arrays to lane width). All
+    draw-driven table gathers run at chain width — under coherent modes
+    that collapses them from one row per lane to one per chain, ~20 ns
+    per row on TPU regardless of width — and results are expanded by a
+    static block broadcast only where per-lane data mixes in. Only the
+    light types in ``scene.light_kinds`` (static) are evaluated — the
+    wavefront analogue of the SBT running exactly one light callable
+    per ray."""
+    ex = expand if expand is not None else (lambda a: a)
+    ls = scene.light_scalars[light_idx]  # (C, 8) row gather
     fns = {
-        TYPE_OMNI: lambda: _omni(scene, light_idx, ls, position),
-        TYPE_SUN: lambda: _sun(scene, light_idx, ls, position),
-        TYPE_AREA: lambda: _area(scene, light_idx, ls, position, r3),
-        TYPE_SKY: lambda: _sky(scene, light_idx, position, r3),
+        TYPE_OMNI: lambda: _omni(scene, light_idx, ls, position, ex),
+        TYPE_SUN: lambda: _sun(scene, light_idx, ls, position, ex),
+        TYPE_AREA: lambda: _area(scene, light_idx, ls, position, r3, ex),
+        TYPE_SKY: lambda: _sky(scene, light_idx, position, r3, ex),
     }
     present = list(scene.light_kinds) or [TYPE_OMNI]
     ltype = ls[:, LS_TYPE].astype(jnp.int32)
     wiw, dist, emission, pdf = fns[present[0]]()
     for t in present[1:]:
         r = fns[t]()
-        sel = ltype == t
+        sel = ex(ltype == t)
         wiw = vec.where(sel, r[0], wiw)
         dist = jnp.where(sel, r[1], dist)
         emission = jnp.where(sel, r[2], emission)

@@ -720,3 +720,44 @@ def test_set_coherent_runtime_switch():
     finally:
         integ.set_coherent(0)
     assert integ.COHERENT == 0
+
+
+def test_coherent_tile_block_chain_equivalence():
+    """Mode 2 keeps ONE rng chain per 2048-lane packet tile (shape (B,))
+    so draw-driven table gathers collapse to one row per tile; this is
+    only valid because lanes are tile-major (pixel_coords_np) and the
+    per-lane (chan, copy) srand inputs are constant across each block.
+    Pin that invariant: the block chain expanded by _expand_block must
+    equal the per-lane chain it replaced, on a multi-tile frame."""
+    from glaze_tpu.ops import rng as rng_mod
+
+    w, h = 300, 70  # pads to 384x80 = 15 tiles, exercises B > 1
+    px, py = integ.pixel_coords(w, h)
+    p = px.shape[0]
+    blk = integ.TILE_W * integ.TILE_H
+    assert p % blk == 0 and p // blk > 1
+
+    seed_f = jnp.float32(77.0)
+    tiles_x = jnp.ceil(jnp.float32(w) / integ.TILE_W)
+    chan = jnp.floor(px / integ.TILE_W) + jnp.floor(py / integ.TILE_H) * tiles_x
+    lane_chain = rng_mod.srand_f32x3(
+        jnp.broadcast_to(seed_f, (p,)), chan, jnp.zeros((p,), jnp.float32))
+
+    pxb, pyb = px[::blk], py[::blk]
+    chan_b = jnp.floor(pxb / integ.TILE_W) + jnp.floor(pyb / integ.TILE_H) * tiles_x
+    block_chain = rng_mod.srand_f32x3(
+        jnp.broadcast_to(seed_f, pxb.shape), chan_b, jnp.zeros_like(pxb))
+
+    np.testing.assert_array_equal(
+        np.asarray(integ._expand_block(block_chain, p)),
+        np.asarray(lane_chain))
+
+    # the expander must also pass lane-wide arrays through untouched and
+    # block-broadcast (16, B) spectra
+    x = jnp.arange(p, dtype=jnp.float32)
+    assert integ._expand_block(x, p) is x
+    s = jnp.arange(16 * 2, dtype=jnp.float32).reshape(16, 2)
+    out = np.asarray(integ._expand_block(s, 8))
+    assert out.shape == (16, 8)
+    np.testing.assert_array_equal(out[:, :4], np.broadcast_to(
+        np.asarray(s)[:, :1], (16, 4)))
