@@ -49,7 +49,7 @@ HELP = """commands:
   raytrace on|off     toggle path tracer vs flat raster preview
   denoise on|off      edge-aware display filter on the raytraced preview
   integrator pt|direct   raytracer integrator (raytracer.rs:196-231)
-  coherent off|frame|tile   shared-RNG sampling (GLAZE_COHERENT; faster
+  coherent off|frame|tile   shared-RNG sampling (default tile; faster
                       traces, spatially-correlated noise while converging)
   scale <v>           render scale (renderer.rs:283-315)
   exposure <v>        output exposure multiplier
@@ -333,14 +333,14 @@ def main(argv=None):
                 rr._rt.set_integrator(Integrator(parts[1].lower()))
                 present()
             elif cmd == "coherent":
-                # runtime GLAZE_COHERENT switch (off|frame|tile / 0|1|2);
-                # measured 1080p A/B in docs/PERF_LOG.md
-                from glaze_tpu.render import integrator as integ
-
+                # per-renderer coherent-mode switch (off|frame|tile /
+                # 0|1|2; default tile — renderer.default_coherent). The
+                # mode is a static jit argument, so switching just
+                # selects a different compiled executable.
                 arg = parts[1].lower()
                 mode = {"off": 0, "frame": 1, "on": 1, "tile": 2}.get(
                     arg, arg)
-                integ.set_coherent(mode)
+                rr.coherent = int(mode)
                 present()
             elif cmd == "scale":
                 rr.set_render_scale(float(parts[1]))

@@ -67,13 +67,23 @@ def build_parser():
     )
     p.add_argument(
         "--coherent", nargs="?", const="frame", default=None,
-        choices=("frame", "tile"), metavar="frame|tile",
+        choices=("off", "frame", "tile"), metavar="off|frame|tile",
         help="coherent sampling: pixels share RNG chains (frame-wide, or "
              "per 2048-ray packet tile), so bounce/NEE directions are "
-             "spatially coherent and trace faster — measured 2.15x/1.4x "
-             "(per-pixel estimates stay unbiased with unchanged "
-             "per-pixel variance; per-sample noise is blotchy instead "
-             "of high-frequency, which converges away with spp)",
+             "spatially coherent and trace ~2.4x faster. Per-pixel "
+             "estimates stay unbiased with unchanged per-pixel variance "
+             "(multi-scene equal-spp gate: tests/test_coherent_quality); "
+             "per-sample noise is blotchy instead of high-frequency, "
+             "which converges away with spp. DEFAULT: frame (the "
+             "shipped configuration); --coherent off restores fully "
+             "independent per-pixel chains",
+    )
+    p.add_argument(
+        "--sampler", choices=("pcg", "ld"), default=None,
+        help="sub-pixel sampler: pcg = the reference's hash chain; ld = "
+             "per-pixel Owen-scrambled Sobol jitter (stratified camera "
+             "samples, lower MSE at equal time; composes with "
+             "--coherent). Default env GLAZE_SAMPLER or pcg",
     )
     p.add_argument(
         "--denoise", action="store_true",
@@ -93,13 +103,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.coherent:
-        # set_coherent drops stale jit caches itself, so this is safe
-        # whether or not the integrator module was already imported
-        # (library callers / tests share the process)
-        from glaze_tpu.render.integrator import set_coherent
-
-        set_coherent(1 if args.coherent == "frame" else 2)
     from glaze_tpu.parser import parse
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
     from glaze_tpu.utils import (
@@ -127,6 +130,8 @@ def main(argv=None):
         parsed, width=width, height=height, integrator=integrator,
         seed=args.seed, samples_in_flight=args.sif,
         mesh="auto" if args.mesh else None,
+        coherent=args.coherent,  # None -> shipped default ('frame')
+        sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'pcg'
     )
     timer.mark("upload+bvh")
     setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0

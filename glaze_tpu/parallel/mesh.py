@@ -94,13 +94,14 @@ def unshard_state(state: integ.PathState) -> integ.PathState:
 
 @functools.lru_cache(maxsize=None)
 def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
-              steps, alpha_rounds):
+              steps, alpha_rounds, coherent, sampler="pcg"):
     """jit(shard_map(scan-of-launch_step)) for the pixel mode, cached per
     (mesh, state spec tree, statics). Each device runs the FULL launch —
     Morton sort, Pallas trace, shade — on its own contiguous pixel slice;
     no collectives anywhere in the loop (see module docstring)."""
 
-    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py):
+    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+              sampler_seed):
         size = jnp.asarray([width, height], jnp.float32)
 
         def body(st, inp):
@@ -108,7 +109,8 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
             st = integ.launch_step(
                 scene, st, seed, offset, cam2world, screen2cam, px, py,
                 size, is_persp=is_persp, direct_only=direct_only,
-                alpha_rounds=alpha_rounds,
+                alpha_rounds=alpha_rounds, coherent=coherent,
+                sampler=sampler, sampler_seed=sampler_seed,
             )
             return st, None
 
@@ -117,7 +119,8 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
 
     sharded = _shard_map(
         local, mesh=mesh,
-        in_specs=(P(), state_specs, P(), P(), P(), P(), P(AXIS), P(AXIS)),
+        in_specs=(P(), state_specs, P(), P(), P(), P(), P(AXIS), P(AXIS),
+                  P()),
         out_specs=state_specs,
         check_vma=False,
     )
@@ -141,7 +144,8 @@ def _placed_coords(mesh, width, height, spec):
 
 def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
                          mesh: Mesh, *, width, height, is_persp,
-                         direct_only, steps, alpha_rounds=0):
+                         direct_only, steps, alpha_rounds=0, coherent=None,
+                         sampler="pcg", sampler_seed=0):
     """`steps` launches with the pixel axis sharded over ``mesh``.
 
     shard_map, not GSPMD propagation: each device advances its own pixel
@@ -166,8 +170,10 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     state_specs = jax.tree.map(_pixel_spec, state)
     impl = _pix_impl(mesh, state_specs, width, height, is_persp,
-                     direct_only, steps, alpha_rounds)
-    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
+                     direct_only, steps, alpha_rounds,
+                     integ.resolve_coherent(coherent), sampler)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+                jnp.uint32(sampler_seed))
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +202,7 @@ def _spp_spec(x):
 
 @functools.lru_cache(maxsize=None)
 def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
-              steps, alpha_rounds):
+              steps, alpha_rounds, coherent):
     """jit(shard_map(...)) for the sample modes. ``axes`` = (sample_axis,
     pixel_axis_or_None): each device (or sample group) owns a slice of
     the leading sample axis; with a pixel axis the per-sample pixel
@@ -216,6 +222,7 @@ def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
                     scene, state_i, seed_i, offset, cam2world, screen2cam,
                     px, py, size, is_persp=is_persp,
                     direct_only=direct_only, alpha_rounds=alpha_rounds,
+                    coherent=coherent,
                 )
 
             return jax.vmap(one, in_axes=(0, 0))(st, seed), None
@@ -237,7 +244,8 @@ def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
 
 def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
                              screen2cam, mesh: Mesh, *, width, height,
-                             is_persp, direct_only, steps, alpha_rounds=0):
+                             is_persp, direct_only, steps, alpha_rounds=0,
+                             coherent=None):
     """``steps`` launches where each mesh slot advances its OWN full-image
     path state with its own seed (``seeds``: (steps, n) uint32). Combine
     with :func:`reduce_spp` for display."""
@@ -253,7 +261,8 @@ def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     state_specs = jax.tree.map(_spp_spec, state)
     impl = _spp_impl(mesh, state_specs, (AXIS, None), width, height,
-                     is_persp, direct_only, steps, alpha_rounds)
+                     is_persp, direct_only, steps, alpha_rounds,
+                     integ.resolve_coherent(coherent))
     return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
 
 
@@ -303,7 +312,8 @@ def _spp2d_spec(x):
 
 def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
                             screen2cam, mesh: Mesh, *, width, height,
-                            is_persp, direct_only, steps, alpha_rounds=0):
+                            is_persp, direct_only, steps, alpha_rounds=0,
+                            coherent=None):
     """``steps`` launches on a (samples, pixels) mesh.
 
     ``state`` comes from :func:`init_state_spp` with n = the number of
@@ -329,5 +339,6 @@ def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     state_specs = jax.tree.map(_spp2d_spec, state)
     impl = _spp_impl(mesh, state_specs, (SPP_AXIS, AXIS), width, height,
-                     is_persp, direct_only, steps, alpha_rounds)
+                     is_persp, direct_only, steps, alpha_rounds,
+                     integ.resolve_coherent(coherent))
     return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)

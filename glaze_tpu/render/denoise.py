@@ -398,13 +398,14 @@ def denoised_display_temporal(accum, count, gb, hist, prev, inv_map,
     jax.jit,
     static_argnames=("width", "height", "is_persp", "direct_only", "steps",
                      "alpha_rounds", "sif", "iterations",
-                     "launches_per_spp"),
+                     "launches_per_spp", "coherent", "sampler"),
 )
 def render_steps_denoised(scene, state, seeds, offsets, cam2world,
                           screen2cam, exposure, gb, inv_map, *, width,
                           height, is_persp, direct_only, steps,
                           alpha_rounds=0, sif=1, iterations=4,
-                          launches_per_spp=integ.PT_STEPS):
+                          launches_per_spp=integ.PT_STEPS, coherent=None,
+                          sampler="pcg", sampler_seed=None):
     """render_steps + the denoised display fused into ONE executable
     (the interactive path pays a single dispatch per frame, like
     render_steps_with_image). Returns (state, (ph, pw, 3) u8)."""
@@ -412,7 +413,8 @@ def render_steps_denoised(scene, state, seeds, offsets, cam2world,
         scene, state, seeds, offsets, cam2world, screen2cam,
         width=width, height=height, is_persp=is_persp,
         direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-        sif=sif,
+        sif=sif, coherent=coherent, sampler=sampler,
+        sampler_seed=sampler_seed,
     )
     pw, ph = integ.padded_dims(width, height)
     img = denoised_display(state.accum, state.count, gb, inv_map, exposure,
@@ -425,21 +427,24 @@ def render_steps_denoised(scene, state, seeds, offsets, cam2world,
     jax.jit,
     static_argnames=("width", "height", "is_persp", "direct_only", "steps",
                      "alpha_rounds", "sif", "iterations",
-                     "launches_per_spp"),
+                     "launches_per_spp", "coherent", "sampler"),
 )
 def render_steps_denoised_temporal(scene, state, hist, seeds, offsets,
                                    cam2world, screen2cam, exposure, gb,
                                    prev, inv_map, *, width, height,
                                    is_persp, direct_only, steps,
                                    alpha_rounds=0, sif=1, iterations=4,
-                                   launches_per_spp=integ.PT_STEPS):
+                                   launches_per_spp=integ.PT_STEPS,
+                                   coherent=None, sampler="pcg",
+                                   sampler_seed=None):
     """render_steps + temporal+spatial denoised display in ONE executable.
     Returns (state, new history, (ph, pw, 3) u8)."""
     state = integ.render_steps(
         scene, state, seeds, offsets, cam2world, screen2cam,
         width=width, height=height, is_persp=is_persp,
         direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-        sif=sif,
+        sif=sif, coherent=coherent, sampler=sampler,
+        sampler_seed=sampler_seed,
     )
     pw, ph = integ.padded_dims(width, height)
     img, hist = denoised_display_temporal(
@@ -453,14 +458,16 @@ def render_steps_denoised_temporal(scene, state, hist, seeds, offsets,
     jax.jit,
     static_argnames=("width", "height", "is_persp", "direct_only", "steps",
                      "alpha_rounds", "sif", "iterations",
-                     "launches_per_spp"),
+                     "launches_per_spp", "coherent", "sampler"),
 )
 def render_steps_denoised_temporal_gb(scene, state, hist, seeds, offsets,
                                       cam2world, screen2cam, exposure,
                                       prev, inv_map, *, width, height,
                                       is_persp, direct_only, steps,
                                       alpha_rounds=0, sif=1, iterations=4,
-                                      launches_per_spp=integ.PT_STEPS):
+                                      launches_per_spp=integ.PT_STEPS,
+                                      coherent=None, sampler="pcg",
+                                      sampler_seed=None):
     """The camera-moved (drag) frame: G-buffer + launch + temporal
     display in ONE executable, ONE primary trace. The caller restarts
     accumulation on camera moves, so the launch's first step traces
@@ -478,7 +485,8 @@ def render_steps_denoised_temporal_gb(scene, state, hist, seeds, offsets,
             scene, state, seeds[0], offsets[0], cam2world, screen2cam,
             px, py, size, is_persp=is_persp, direct_only=direct_only,
             alpha_rounds=alpha_rounds, rng_py=rng_py,
-            want_first_hit=True)
+            want_first_hit=True, coherent=coherent, sampler=sampler,
+            sampler_seed=sampler_seed)
         gb = _guides(scene, fh["origin"], fh["direction"], fh["missed"],
                      fh["t"], fh["shading_normal"], fh["material_id"],
                      fh["uv"])
@@ -487,7 +495,8 @@ def render_steps_denoised_temporal_gb(scene, state, hist, seeds, offsets,
                 scene, state, seeds[1:], offsets[1:], cam2world,
                 screen2cam, width=width, height=height, is_persp=is_persp,
                 direct_only=direct_only, steps=steps - 1,
-                alpha_rounds=alpha_rounds, sif=sif)
+                alpha_rounds=alpha_rounds, sif=sif, coherent=coherent,
+                sampler=sampler, sampler_seed=sampler_seed)
     else:
         # sif>1 lanes are sif copies per pixel; guides stay per-pixel,
         # so keep the dedicated (jitter-free) guide trace there.
@@ -498,7 +507,8 @@ def render_steps_denoised_temporal_gb(scene, state, hist, seeds, offsets,
             scene, state, seeds, offsets, cam2world, screen2cam,
             width=width, height=height, is_persp=is_persp,
             direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-            sif=sif,
+            sif=sif, coherent=coherent, sampler=sampler,
+            sampler_seed=sampler_seed,
         )
     pw, ph = integ.padded_dims(width, height)
     img, hist = denoised_display_temporal(

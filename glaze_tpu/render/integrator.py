@@ -68,6 +68,12 @@ class PathState(NamedTuple):
     last_specular: jnp.ndarray  # (P,) float32 (wi.w in the reference)
     accum: tuple  # 3 x (P,) radiance sum (RGB)
     count: jnp.ndarray  # (P,) sample count
+    # per-lane path (sample) index: increments when the lane REGENERATES
+    # a camera ray. The low-discrepancy sampler indexes each pixel's
+    # stratified point stream with it; dead weight (zeros) under the
+    # default PCG sampler. Appended LAST so older checkpoints (13
+    # leaves) load with a zero shim (renderer.load_checkpoint).
+    path_no: jnp.ndarray  # (P,) uint32
 
 
 def init_state(width: int, height: int, sif: int = 1) -> PathState:
@@ -87,6 +93,7 @@ def init_state(width: int, height: int, sif: int = 1) -> PathState:
         last_specular=z(),
         accum=(z(), z(), z()),
         count=z(),
+        path_no=jnp.zeros((p,), jnp.uint32),
     )
 
 
@@ -119,11 +126,11 @@ if os.environ.get("GLAZE_TILE"):
         raise ValueError("GLAZE_TILE must multiply to 2048 (one packet)")
 
 
-# Coherent sampling (GLAZE_COHERENT): lanes share PCG chains so bounce
-# directions from locally-flat geometry and NEE shadow rays toward the
-# shared light sample become row-coherent after the Morton trace sort,
-# shrinking the 128-lane row-union factor that bounds the walk+drain
-# phases (measured 1.85x on the 1080p bench headline).
+# Coherent sampling: lanes share PCG chains so bounce directions from
+# locally-flat geometry and NEE shadow rays toward the shared light
+# sample become row-coherent after the Morton trace sort, shrinking the
+# 128-lane row-union factor that bounds the walk+drain phases (measured
+# 2.4x on the 1080p bench headline, docs/PERF_LOG.md).
 #   1 = frame-shared: srand(seed, copy, copy) — every pixel of a launch
 #       draws the same light pick / light sample / BSDF uvw.
 #   2 = tile-shared: srand(seed, tile_id, copy) — one chain per 2048-ray
@@ -133,22 +140,46 @@ if os.environ.get("GLAZE_TILE"):
 # (samples are still independent ACROSS launches; sharing randoms across
 # lanes only correlates pixels spatially — the reference already shares
 # the sub-pixel jitter frame-wide the same way, raytracer.rs:1161-1206).
+#
+# The mode is a PER-CALL static argument of launch_step/render_steps
+# (renderers ship different defaults: frame for offline, tile for
+# interactive — render/renderer.py default_coherent). The module global
+# below is only the fallback for callers that don't pass one; the
+# GLAZE_COHERENT env var pins it AND the renderer defaults for A/Bs.
 COHERENT = int(os.environ.get("GLAZE_COHERENT", "0") or "0")
 
 
-def set_coherent(mode: int) -> bool:
-    """Switches coherent sampling at runtime (app/viewer `coherent`
-    command; the measured 1080p A/B lives in docs/PERF_LOG.md).
-
-    COHERENT is baked into every traced executable, so a change must
-    drop the jit caches — the next frame of every live renderer
-    recompiles (~20-40 s cold, instant from the persistent cache).
-    Returns True when the mode actually changed."""
-    global COHERENT
+def resolve_coherent(mode) -> int:
+    """None -> the module default; 'off'/'frame'/'tile' or 0/1/2 -> int."""
+    if mode is None:
+        return COHERENT
+    if isinstance(mode, str):
+        try:
+            mode = {"off": 0, "frame": 1, "tile": 2}[mode]
+        except KeyError:
+            raise ValueError(
+                f"coherent mode {mode!r}: expected off, frame or tile"
+            ) from None
     mode = int(mode)
     if mode not in (0, 1, 2):
         raise ValueError("coherent mode must be 0 (off), 1 (frame) or "
                          "2 (tile)")
+    return mode
+
+
+def set_coherent(mode: int) -> bool:
+    """Switches the module-DEFAULT coherent mode at runtime (legacy
+    global form — renderers now carry their own ``coherent`` attribute
+    and switching that needs no cache work, since the mode is a static
+    jit argument).
+
+    The default is baked into executables traced with coherent=None, so
+    a change drops the jit caches — the next frame of every live
+    renderer still relying on the default recompiles (~20-40 s cold,
+    instant from the persistent cache). Returns True when the mode
+    actually changed."""
+    global COHERENT
+    mode = resolve_coherent(int(mode))
     if mode == COHERENT:
         return False
     COHERENT = mode
@@ -522,17 +553,24 @@ def _expand_block(a, p: int):
 
 
 def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
-                  alpha_rounds=0, expand=None):
+                  alpha_rounds=0, expand=None, draws=None):
     """NEE (path_trace.rgen direct_light, :87-117). Advances the rng by 5
     draws unconditionally. Returns (rng, radiance (16, R)).
 
     ``expand`` maps chain-width draws to lane width when coherent
     sampling shares RNG chains across lanes (see sample_light) — the
     light pick and sample draws stay at chain width through every table
-    gather and are only block-broadcast where per-lane data mixes in."""
+    gather and are only block-broadcast where per-lane data mixes in.
+
+    ``draws``: optional 5-tuple of lane-width uniforms (pick, a, b, c,
+    bsdf) that REPLACES the chain draws — the low-discrepancy sampler's
+    stratified points (launch_step). The chain still advances so the
+    pcg/ld draw streams stay aligned."""
     ex = expand if expand is not None else (lambda a: a)
     rng = state_rng
     rng, r_pick = rng_mod.next_f32(rng)
+    if draws is not None:
+        r_pick = draws[0]
     lights_no_f = scene.lights_no.astype(jnp.float32)
     light_idx = jnp.minimum(
         (r_pick * lights_no_f).astype(jnp.int32), scene.lights_no - 1
@@ -541,10 +579,14 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
     rng, ra = rng_mod.next_f32(rng)
     rng, rb = rng_mod.next_f32(rng)
     rng, rc = rng_mod.next_f32(rng)
+    if draws is not None:
+        ra, rb, rc = draws[1], draws[2], draws[3]
     wiw, dist, emission, light_pdf = lights_mod.sample_light(
         scene, light_idx, hit["point"], (ra, rb, rc), expand=expand
     )
     rng, r_bsdf = rng_mod.next_f32(rng)
+    if draws is not None:
+        r_bsdf = draws[4]
 
     wo = shading.to_shading_space_v(wo_w, frame)
     wi = shading.to_shading_space_v(wiw, frame)
@@ -584,7 +626,9 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
                 screen2cam, px, py, launch_size, *, is_persp: bool,
                 direct_only: bool = False,
                 alpha_rounds: int = 0, rng_py=None,
-                want_first_hit: bool = False) -> PathState:
+                want_first_hit: bool = False,
+                coherent=None, sampler: str = "pcg",
+                sampler_seed=None) -> PathState:
     """One bounce for all pixels (path_trace.rgen main, :135-239).
 
     ``seed``: uint32 frame seed; ``pixel_offset``: (2,) sub-pixel jitter
@@ -600,14 +644,24 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     them on restart frames, where every lane traces a camera ray —
     saving the separate guide trace that otherwise doubles a drag
     frame's cost).
+
+    ``sampler='ld'``: the sub-pixel jitter comes from a PER-PIXEL
+    Owen-scrambled Sobol (0,2)-stream indexed by the lane's path count
+    (ops/sobol.py) instead of the launch-wide WorkScheduler offset —
+    each pixel's successive camera samples are stratified over the
+    pixel footprint, a direct MSE lever on primary visibility and
+    depth of field that composes with every coherent mode (path-space
+    draws keep their chains, so trace coherence is untouched).
+    ``sampler_seed``: uint32 scalar decorrelating renders.
     """
     p = px.shape[0]
+    coh = resolve_coherent(coherent)
     enabled = scene.lights_no > 0  # path_trace.rgen:137-141
 
     count = state.count + enabled.astype(jnp.float32)
 
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
-    if COHERENT == 1 and rng_py is None:
+    if coh == 1 and rng_py is None:
         # Frame-shared chain (srand(seed, 0, 0), identical values to the
         # (p,)-wide form) kept at shape (1,): the chain is lane-invariant,
         # so every draw-driven table lookup — NEE light pick, sky alias
@@ -617,7 +671,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         # where results are actually consumed.
         one = jnp.zeros((1,), jnp.float32)
         rng = rng_mod.srand_f32x3(seed_f[None], one, one)
-    elif COHERENT == 2 and p % (TILE_W * TILE_H) == 0:
+    elif coh == 2 and p % (TILE_W * TILE_H) == 0:
         # One chain per 2048-ray packet tile, kept at shape (n_tiles,):
         # lanes are tile-major (pixel_coords_np), so lane k belongs to
         # chain k // 2048 and every draw-driven table gather collapses
@@ -638,13 +692,13 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         chan = jnp.floor(pxb / TILE_W) + jnp.floor(pyb / TILE_H) * tiles_x
         rng = rng_mod.srand_f32x3(
             jnp.broadcast_to(seed_f, pxb.shape), chan, copy_b)
-    elif COHERENT:
+    elif coh:
         # rng_py - py is exactly the per-copy constant offset sif_lanes
         # added, so in-flight copies stay decorrelated while lanes
         # within a copy share draws.
         copy = (jnp.zeros((p,), jnp.float32) if rng_py is None
                 else rng_py - py)
-        if COHERENT == 2:
+        if coh == 2:
             # one chain per packet tile; tile ids are global (px/py and
             # launch_size are full-image even under shard_map)
             tiles_x = jnp.ceil(launch_size[0] / TILE_W)
@@ -656,8 +710,23 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         rng = rng_mod.srand_f32x3(jnp.broadcast_to(seed_f, (p,)), px,
                                   py if rng_py is None else rng_py)
 
-    ndc_x = -1.0 + 2.0 * (px + pixel_offset[0]) / launch_size[0]
-    ndc_y = -1.0 + 2.0 * (py + pixel_offset[1]) / launch_size[1]
+    pk = None
+    if sampler == "ld":
+        # per-pixel stratified jitter: the lane's path count indexes its
+        # own Owen-Sobol stream (the WorkScheduler offset is unused)
+        from glaze_tpu.ops import sobol as sobol_mod
+
+        pk = (px.astype(jnp.uint32)
+              + (py if rng_py is None else rng_py).astype(jnp.uint32)
+              * jnp.uint32(65536))
+        if sampler_seed is not None:
+            pk = pk ^ sampler_seed.astype(jnp.uint32)
+        ju, jv = sobol_mod.sobol02(state.path_no, pk, domain=0)
+    else:
+        ju = jnp.broadcast_to(pixel_offset[0], px.shape)
+        jv = jnp.broadcast_to(pixel_offset[1], py.shape)
+    ndc_x = -1.0 + 2.0 * (px + ju) / launch_size[0]
+    ndc_y = -1.0 + 2.0 * (py + jv) / launch_size[1]
     cam_origin, cam_dir = camera_rays(ndc_x, ndc_y, cam2world, screen2cam,
                                       is_persp)
 
@@ -665,6 +734,27 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         regen = jnp.ones((p,), bool)
     else:
         regen = state.bounce == 0.0
+    new_path_no = state.path_no + regen.astype(jnp.uint32)
+
+    # Full path-dimension stratification (incoherent lanes only —
+    # coherent modes NEED lane-shared draws, that's where their trace
+    # speed comes from): every decision of bounce b of a pixel's path i
+    # comes from dimension domain 1 + 9*b + slot of its Owen-Sobol
+    # stream at index i. Lanes regenerating this launch are starting
+    # path ``path_no`` (pre-increment was consumed by the jitter above);
+    # continuing lanes extend path ``path_no - 1``.
+    ld_draws = None
+    if sampler == "ld" and coh == 0:
+        samp_idx = jnp.where(regen, state.path_no, state.path_no - 1)
+        b_dom = jnp.uint32(1) + jnp.uint32(9) * state.bounce.astype(jnp.uint32)
+        d_pick = sobol_mod.sobol1(samp_idx, pk, b_dom)
+        d_la, d_lb = sobol_mod.sobol02(samp_idx, pk, b_dom + 1)
+        d_lc = sobol_mod.sobol1(samp_idx, pk, b_dom + 3)
+        d_bv = sobol_mod.sobol1(samp_idx, pk, b_dom + 4)
+        d_rr = sobol_mod.sobol1(samp_idx, pk, b_dom + 5)
+        d_sa, d_sb = sobol_mod.sobol02(samp_idx, pk, b_dom + 6)
+        d_sc = sobol_mod.sobol1(samp_idx, pk, b_dom + 8)
+        ld_draws = (d_pick, d_la, d_lb, d_lc, d_bv, d_rr, d_sa, d_sb, d_sc)
     origin = vec.where(regen, cam_origin, state.origin)
     direction = vec.where(regen, cam_dir, state.direction)
     importance = jnp.where(regen, spectra.one_t(p), state.importance)
@@ -704,7 +794,9 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     ex = lambda a: _expand_block(a, p)  # noqa: E731
     rng, nee_radiance = _direct_light(scene, rng, wo_w, frame, surf, mat,
                                       nee_active, alpha_rounds=alpha_rounds,
-                                      expand=ex)
+                                      expand=ex,
+                                      draws=(None if ld_draws is None
+                                             else ld_draws[:5]))
     nee_radiance = nee_radiance * importance
     nr, ng, nb = spectra.to_rgb_t(nee_radiance)
     nee_contrib = (
@@ -741,11 +833,14 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
             last_specular=jnp.where(enabled, new_specular, state.last_specular),
             accum=accum,
             count=count,
+            path_no=new_path_no,
         )
         return (st, fh) if want_first_hit else st
 
     # ---- Russian roulette (path_trace.rgen:196-211)
     rng, rr_roll = rng_mod.next_f32(rng)
+    if ld_draws is not None:
+        rr_roll = ld_draws[5]
     rr_active = state.bounce > RUSSIAN_ROULETTE
     kill_prob = jnp.maximum(0.05, 1.0 - spectra.luminance_t(importance))
     rr_kill = rr_active & (ex(rr_roll) < kill_prob)
@@ -756,6 +851,8 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     rng, sa = rng_mod.next_f32(rng)
     rng, sb_ = rng_mod.next_f32(rng)
     rng, sc = rng_mod.next_f32(rng)
+    if ld_draws is not None:
+        sa, sb_, sc = ld_draws[6], ld_draws[7], ld_draws[8]
     wo = shading.to_shading_space_v(wo_w, frame)
     wi, value, pdf = bsdf_mod.bsdf_sample(scene, mat, wo, surf["uv"],
                                           (ex(sa), ex(sb_), ex(sc)))
@@ -781,6 +878,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         last_specular=jnp.where(enabled, new_specular, state.last_specular),
         accum=accum,
         count=count,
+        path_no=new_path_no,
     )
     return (st, fh) if want_first_hit else st
 
@@ -845,11 +943,12 @@ def render_image(state: PathState, exposure, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "is_persp", "direct_only", "steps", "sif",
-                     "alpha_rounds"),
+                     "alpha_rounds", "coherent", "sampler"),
 )
 def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
                  width, height, is_persp, direct_only, steps,
-                 alpha_rounds=0, sif=1):
+                 alpha_rounds=0, sif=1, coherent=None, sampler="pcg",
+                 sampler_seed=None):
     """`steps` launches fused in one jit via lax.scan — the whole
     spp*PT_STEPS hot loop runs on device with zero host round-trips
     (replaces the fence ring of raytracer.rs:615-654).
@@ -869,7 +968,8 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
         st = launch_step(
             scene, st, seed, offset, cam2world, screen2cam, px, py, size,
             is_persp=is_persp, direct_only=direct_only,
-            alpha_rounds=alpha_rounds, rng_py=rng_py,
+            alpha_rounds=alpha_rounds, rng_py=rng_py, coherent=coherent,
+            sampler=sampler, sampler_seed=sampler_seed,
         )
         return st, None
 
@@ -880,11 +980,12 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "is_persp", "direct_only", "steps", "sif",
-                     "alpha_rounds"),
+                     "alpha_rounds", "coherent", "sampler"),
 )
 def render_steps_with_image(scene, state, seeds, offsets, cam2world,
                             screen2cam, exposure, *, width, height, is_persp,
-                            direct_only, steps, alpha_rounds=0, sif=1):
+                            direct_only, steps, alpha_rounds=0, sif=1,
+                            coherent=None, sampler="pcg", sampler_seed=None):
     """render_steps + the sRGB display conversion fused into ONE
     executable: the interactive path pays a single dispatch per frame
     (each dispatch costs ~25 ms through the remote-TPU tunnel)."""
@@ -892,7 +993,8 @@ def render_steps_with_image(scene, state, seeds, offsets, cam2world,
         scene, state, seeds, offsets, cam2world, screen2cam,
         width=width, height=height, is_persp=is_persp,
         direct_only=direct_only, steps=steps, alpha_rounds=alpha_rounds,
-        sif=sif,
+        sif=sif, coherent=coherent, sampler=sampler,
+        sampler_seed=sampler_seed,
     )
     accum, count = _fold_sif(state.accum, state.count, sif)
     return state, _display_chans(accum, count, exposure)

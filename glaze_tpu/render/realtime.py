@@ -59,7 +59,7 @@ class RealtimeRenderer:
     def __init__(self, parsed, width: int = 800, height: int = 600,
                  render_scale: float = 1.0,
                  presenter: Optional[Callable[[np.ndarray], None]] = None,
-                 seed=None):
+                 seed=None, coherent=None):
         self._parsed = parsed
         self.render_scale = float(render_scale)
         self.width = int(width)
@@ -79,6 +79,8 @@ class RealtimeRenderer:
             height=self._scaled(self.height),
             integrator=Integrator.PATH_TRACE,
             seed=seed,
+            coherent=coherent,
+            interactive=True,  # default coherent mode 'tile'
         )
         # the non-raytraced instant preview (the reference's raster
         # forward pass + skydome, renderer.rs:561-655, reinterpreted as a
@@ -320,6 +322,20 @@ class RealtimeRenderer:
     @denoise.setter
     def denoise(self, on: bool):
         self._rt.denoise = bool(on)
+
+    @property
+    def coherent(self) -> int:
+        """Coherent-sampling mode of the progressive renderer (0 off /
+        1 frame / 2 tile; default tile — renderer.default_coherent).
+        Switching selects a different compiled executable; in-flight
+        frames of the old mode are still presented."""
+        return self._rt.coherent
+
+    @coherent.setter
+    def coherent(self, mode):
+        from glaze_tpu.render import integrator as integ
+
+        self._rt.coherent = integ.resolve_coherent(mode)
 
     def get_image(self) -> np.ndarray:
         active = self._rt if self.use_raytracer else self._preview

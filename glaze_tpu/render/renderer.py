@@ -11,6 +11,7 @@ lax.scan chunks instead of a fence ring.
 from __future__ import annotations
 
 import enum
+import os
 from typing import Callable, Optional
 
 import jax
@@ -44,6 +45,22 @@ class Integrator(enum.Enum):
 _CHUNK = 32
 
 
+def default_coherent(interactive: bool = False) -> int:
+    """The SHIPPED coherent-sampling default: frame-shared chains for
+    offline renders (the 2.4x headline configuration, docs/PERF_LOG.md),
+    tile-shared for interactive renderers (independent noise realization
+    per 2048-ray packet tile — bounded blotches while dragging). Both
+    are unbiased with unchanged per-pixel variance; the multi-scene
+    equal-spp quality gate lives in tests/test_coherent_quality.py.
+
+    GLAZE_COHERENT overrides both defaults (including "0" = off), and a
+    ``coherent=`` constructor argument overrides everything."""
+    env = os.environ.get("GLAZE_COHERENT")
+    if env not in (None, ""):
+        return integ.resolve_coherent(env if not env.isdigit() else int(env))
+    return 2 if interactive else 1
+
+
 def _chunk_sizes(total: int):
     """Equal power-of-two chunks: the largest c <= _CHUNK dividing
     ``total``, repeated. ONE scan length per draw() call (each distinct
@@ -63,7 +80,8 @@ class RayTraceRenderer:
 
     def __init__(self, scene, camera=None, width: int = 1920, height: int = 1080,
                  integrator: Integrator = Integrator.PATH_TRACE, seed=None,
-                 samples_in_flight: Optional[int] = None, mesh=None):
+                 samples_in_flight: Optional[int] = None, mesh=None,
+                 coherent=None, interactive: bool = False, sampler=None):
         """``scene``: DeviceScene or ParsedScene (flattened on the spot).
 
         ``samples_in_flight``: independent per-pixel path states advanced
@@ -77,9 +95,18 @@ class RayTraceRenderer:
         visible devices) — ``draw()`` then runs the pixel-sharded
         collective-free launch, scaling offline renders linearly across
         chips. Measured at exact parity with the unsharded path on one
-        chip (docs/PERF_LOG.md); incompatible with samples_in_flight>1."""
-        import os
+        chip (docs/PERF_LOG.md); incompatible with samples_in_flight>1.
 
+        ``coherent``: 0/'off', 1/'frame' or 2/'tile' shared-RNG sampling
+        (see integrator.COHERENT). Default: the shipped configuration —
+        'frame' offline, 'tile' when ``interactive`` (the mode is a
+        static jit argument, so switching ``self.coherent`` at runtime
+        just selects a different compiled executable).
+
+        ``sampler``: 'pcg' (the reference's hash chain) or 'ld'
+        (per-pixel Owen-scrambled Sobol sub-pixel jitter, ops/sobol.py
+        — stratifies each pixel's camera samples; composes with every
+        coherent mode). Default env GLAZE_SAMPLER or 'pcg'."""
         from glaze_tpu.scene import DeviceScene, flatten_scene
 
         self.host = None
@@ -93,7 +120,18 @@ class RayTraceRenderer:
         self.height = int(height)
         self.integrator = integrator
         self.exposure: Optional[float] = None  # None = scene meta exposure
+        self.coherent = (default_coherent(interactive) if coherent is None
+                         else integ.resolve_coherent(coherent))
+        self.sampler = (sampler if sampler is not None
+                        else os.environ.get("GLAZE_SAMPLER", "pcg"))
+        if self.sampler not in ("pcg", "ld"):
+            raise ValueError(f"sampler {self.sampler!r}: expected pcg or ld")
         self._rng = np.random.default_rng(seed)
+        # LD stream decorrelation key: deterministic per seed, drawn from
+        # an INDEPENDENT generator so the launch-seed stream (and with it
+        # every stored golden) is untouched
+        self._sampler_seed = np.uint32(
+            np.random.default_rng(seed).integers(0, 2**32))
         self._scheduler = WorkScheduler()
         self.samples_in_flight = int(
             samples_in_flight if samples_in_flight is not None
@@ -323,7 +361,9 @@ class RayTraceRenderer:
                   is_persp=self.camera.is_perspective,
                   direct_only=self.integrator is Integrator.DIRECT,
                   steps=1, alpha_rounds=self._alpha_rounds,
-                  sif=self.samples_in_flight)
+                  sif=self.samples_in_flight, coherent=self.coherent,
+                  sampler=self.sampler,
+                  sampler_seed=jnp.uint32(self._sampler_seed))
         if return_image:
             exposure = (jnp.float32(self.exposure)
                         if self.exposure is not None
@@ -407,7 +447,9 @@ class RayTraceRenderer:
                     width=self.width, height=self.height,
                     is_persp=self.camera.is_perspective,
                     direct_only=self.integrator is Integrator.DIRECT,
-                    steps=n, alpha_rounds=self._alpha_rounds)
+                    steps=n, alpha_rounds=self._alpha_rounds,
+                    coherent=self.coherent, sampler=self.sampler,
+                    sampler_seed=jnp.uint32(self._sampler_seed))
         else:
             def steps_fn(state, seeds, offsets, n):
                 return integ.render_steps(
@@ -416,7 +458,9 @@ class RayTraceRenderer:
                     is_persp=self.camera.is_perspective,
                     direct_only=self.integrator is Integrator.DIRECT,
                     steps=n, alpha_rounds=self._alpha_rounds,
-                    sif=self.samples_in_flight)
+                    sif=self.samples_in_flight, coherent=self.coherent,
+                    sampler=self.sampler,
+                    sampler_seed=jnp.uint32(self._sampler_seed))
         # sif in-flight samples advance per step: the same per-pixel
         # sample budget takes 1/sif as many launches (rounded up)
         total = -(-spp * self.integrator.steps_per_sample
@@ -494,6 +538,8 @@ class RayTraceRenderer:
             height=self.height,
             samples_in_flight=self.samples_in_flight,
             integrator=self.integrator.value,
+            sampler=self.sampler,
+            sampler_seed=np.uint32(self._sampler_seed),
             # PCG64 state words are 128-bit ints; store as decimal strings
             rng_state=str(self._rng.bit_generator.state["state"]["state"]),
             rng_inc=str(self._rng.bit_generator.state["state"]["inc"]),
@@ -530,9 +576,17 @@ class RayTraceRenderer:
             self.samples_in_flight = ck_sif
             self.change_resolution(int(data["width"]), int(data["height"]))
         self.integrator = Integrator(str(data["integrator"]))
+        if "sampler" in data:
+            self.sampler = str(data["sampler"])
+            self._sampler_seed = np.uint32(data["sampler_seed"])
         leaves = [jnp.asarray(data[f"leaf_{i}"])
                   for i in range(int(data["n_leaves"]))]
-        _, treedef = jax.tree.flatten(self._state)
+        cur_leaves, treedef = jax.tree.flatten(self._state)
+        if len(leaves) == len(cur_leaves) - 1:
+            # round-3 checkpoint (no path_no leaf, the LAST field):
+            # resume with a zero path index — only the LD jitter
+            # stratification restarts, the estimator is unaffected
+            leaves.append(jnp.zeros_like(cur_leaves[-1]))
         self._state = jax.tree.unflatten(treedef, leaves)
         state = self._rng.bit_generator.state
         state["state"]["state"] = int(str(data["rng_state"]))

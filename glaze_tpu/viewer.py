@@ -312,12 +312,11 @@ class ViewerState:
 
             rt._rt.set_integrator(Integrator(str(val).lower()))
         elif act == "coherent":
-            # runtime GLAZE_COHERENT switch (0 off / 1 frame / 2 tile);
-            # tile-shared lifts progressive fps past the 10 fps bar at
-            # scale 0.2 with blotches bounded to one packet tile
-            from glaze_tpu.render import integrator as integ
-
-            integ.set_coherent(int(val))
+            # per-renderer coherent switch (0 off / 1 frame / 2 tile;
+            # default tile — tile-shared chains lift progressive fps
+            # past the 10 fps bar at scale 0.2 with blotches bounded to
+            # one packet tile). Static jit arg: no cache work needed.
+            rt.coherent = int(val)
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
         elif act == "save":

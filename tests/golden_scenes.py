@@ -168,9 +168,13 @@ class MatRowScene:
         return Meta(scene_centre=[0, 1, 0], scene_radius=10.0, exposure=1.0)
 
 
-def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP):
+def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP, coherent=0):
     """Renders the golden scene deterministically; returns (accum (P,3),
-    count (P,)) raw accumulation plus the display image."""
+    count (P,)) raw accumulation plus the display image.
+
+    ``coherent`` is explicit (not the renderer default) so each stored
+    golden pins ONE sampling configuration: matrow.npz is mode 0,
+    matrow_coh1/2.npz pin the shipped frame/tile modes."""
     import jax
     import numpy as np
 
@@ -178,7 +182,8 @@ def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP):
     from glaze_tpu.render.renderer import Integrator, RayTraceRenderer
 
     r = RayTraceRenderer(MatRowScene(), width=GOLDEN_W, height=GOLDEN_H,
-                         integrator=Integrator.PATH_TRACE, seed=seed)
+                         integrator=Integrator.PATH_TRACE, seed=seed,
+                         coherent=coherent)
     img = r.draw(spp)
     accum = np.stack([np.asarray(jax.device_get(c))
                       for c in r._state.accum], -1)

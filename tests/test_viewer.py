@@ -200,18 +200,16 @@ def test_integrator_switch(server):
     settle()
     assert rt._rt.integrator is Integrator.PATH_TRACE
 
-    # coherent-sampling toggle (GLAZE_COHERENT runtime switch): frames
-    # must keep flowing across the cache-dropping mode change
-    from glaze_tpu.render import integrator as integ
-
-    try:
-        post({"action": "coherent", "value": 2})
-        settle()
-        assert integ.COHERENT == 2
-    finally:
-        post({"action": "coherent", "value": 0})
-        settle()
-    assert integ.COHERENT == 0
+    # coherent-sampling toggle (per-renderer static-arg switch; the
+    # interactive default is 2/tile): frames must keep flowing across
+    # the mode change
+    assert rt.coherent == 2  # shipped interactive default
+    post({"action": "coherent", "value": 0})
+    settle()
+    assert rt.coherent == 0
+    post({"action": "coherent", "value": 2})
+    settle()
+    assert rt.coherent == 2
 
 
 def test_control_settings(server):

@@ -21,18 +21,25 @@ def main():
         os.path.abspath(__file__))), "tests"))
     import golden_scenes as gs
 
-    accum, count, img = gs.render_golden()
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "goldens", "matrow.npz")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez_compressed(out, accum=accum.astype(np.float32),
-                        count=count.astype(np.float32),
-                        spp=gs.GOLDEN_SPP, seed=gs.GOLDEN_SEED)
-    print(f"wrote {out}: accum {accum.shape}, mean {accum.mean():.4f}, "
-          f"count {count.mean():.1f}")
     from PIL import Image
 
-    Image.fromarray(img).save(out.replace(".npz", ".png"))
+    gdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens")
+    os.makedirs(gdir, exist_ok=True)
+    # one golden per sampling configuration: mode 0 (independent chains)
+    # plus the SHIPPED coherent modes (1=frame offline default, 2=tile
+    # interactive default) — each pins its exact accumulation bits
+    for mode, name in ((0, "matrow.npz"), (1, "matrow_coh1.npz"),
+                       (2, "matrow_coh2.npz")):
+        accum, count, img = gs.render_golden(coherent=mode)
+        out = os.path.join(gdir, name)
+        np.savez_compressed(out, accum=accum.astype(np.float32),
+                            count=count.astype(np.float32),
+                            spp=gs.GOLDEN_SPP, seed=gs.GOLDEN_SEED)
+        print(f"wrote {out}: accum {accum.shape}, mean {accum.mean():.4f}, "
+              f"count {count.mean():.1f}")
+        Image.fromarray(img).save(out.replace(".npz", ".png"))
+    out = os.path.join(gdir, "matrow.npz")
 
     frame = gs.render_preview_golden()
     pout = os.path.join(os.path.dirname(out), "preview.npz")
