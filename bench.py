@@ -81,6 +81,9 @@ def main():
 
     t_setup = time.perf_counter()
     parsed = build_scene()
+    # the renderer's SHIPPED defaults (coherent='frame' offline unless
+    # GLAZE_COHERENT overrides) — the headline must measure the config a
+    # user actually gets (VERDICT r3 #1)
     r = RayTraceRenderer(parsed, width=WIDTH, height=HEIGHT, seed=3)
     p = integ.pixel_count(WIDTH, HEIGHT)
     c2w, s2c = integ.camera_matrices(r.camera, WIDTH, HEIGHT)
@@ -90,7 +93,8 @@ def main():
     # the row-union factor (tools/bench_density.py measurements)
     sif = int(os.environ.get("GLAZE_SIF", "1"))
     kw = dict(width=WIDTH, height=HEIGHT, is_persp=True, direct_only=False,
-              steps=STEPS, alpha_rounds=r._alpha_rounds, sif=sif)
+              steps=STEPS, alpha_rounds=r._alpha_rounds, sif=sif,
+              coherent=r.coherent)
     # fresh entropy per run: the TPU tunnel dedupes identical
     # (executable, inputs) pairs ACROSS PROCESSES, so a fixed seed makes
     # repeat runs of an unchanged build return cached results at ~0 ms
@@ -173,7 +177,8 @@ def main():
         size = jnp.asarray([WIDTH, HEIGHT], jnp.float32)
         px_, py_, rng_py = integ.sif_lanes(WIDTH, HEIGHT, sif)
         ckw = dict(is_persp=True, direct_only=False,
-                   alpha_rounds=r._alpha_rounds, rng_py=rng_py)
+                   alpha_rounds=r._alpha_rounds, rng_py=rng_py,
+                   coherent=r.coherent)
 
         names = []  # filled at trace time (strings can't ride jit outputs)
 
@@ -317,49 +322,79 @@ def main():
         except Exception as e:  # never fail the headline number
             fps = {"fps_error": str(e)[:200]}
 
-    # Coherent-sampling segment (opt-in --coherent / GLAZE_COHERENT;
-    # unbiased, unchanged per-pixel variance — tools/bench_coherent_quality
-    # pins equal MSE-vs-truth at equal spp). Runs LAST: switching the
-    # mode changes the traced graph in place, so it needs clear_caches
-    # and everything after it would recompile. Skipped when the whole
-    # bench already runs under GLAZE_COHERENT (the A/B usage).
+    # Incoherent (mode 0) A/B leg: the headline above runs the SHIPPED
+    # coherent default; this segment re-times the launch with fully
+    # independent per-pixel chains so the coherent win stays measured
+    # round-over-round (r1-r3 headlines were mode 0). Skipped when the
+    # whole bench is already pinned to a mode via GLAZE_COHERENT.
     coh = {}
-    if (os.environ.get("GLAZE_BENCH_COHERENT", "1") == "1"
-            and integ.COHERENT == 0):
+    if (os.environ.get("GLAZE_BENCH_INCOHERENT", "1") == "1"
+            and os.environ.get("GLAZE_COHERENT") in (None, "")):
         try:
-            # mode 1 = frame-shared chains (--coherent; the 2.15x
-            # headline mover), mode 2 = tile-shared (blotches bounded
-            # to one packet tile; the fps variant the viewer toggles)
-            for mode in (1, 2):
-                integ.COHERENT = mode
-                jax.clear_caches()
-                st = integ.init_state(WIDTH, HEIGHT, sif)
-                st = run(st)
-                sync(st.count)
-                dt = float("inf")
-                for _ in range(REPEATS):
-                    t0 = time.perf_counter()
-                    st = run(st)
-                    sync(st.count)
-                    dt = min(dt, time.perf_counter() - t0)
-                coh[f"coherent{mode}_mrays"] = round(
-                    p * STEPS * sif / dt / 1e6, 3)
-                coh[f"coherent{mode}_launch_ms"] = round(
-                    dt / STEPS * 1e3, 1)
-                coh[f"coherent{mode}_tt256_s"] = round(
-                    SPP_TARGET * integ.PT_STEPS * dt / STEPS / sif, 1)
-            if os.environ.get("GLAZE_BENCH_FPS", "1") == "1":
-                from glaze_tpu.render.realtime import RealtimeRenderer
+            kw0 = dict(kw, coherent=0)
 
-                rrc = RealtimeRenderer(parsed, width=WIDTH, height=HEIGHT,
-                                       render_scale=0.2, seed=11)
-                coh["coherent2_progressive_fps_scale02"] = round(
-                    timed_fps(rrc), 2)
+            def run0(state):
+                seeds = jnp.asarray(
+                    rng.integers(0, 2**32, STEPS, dtype=np.uint32))
+                oshape = (STEPS, 2) if sif == 1 else (STEPS, sif, 2)
+                offs = jnp.asarray(rng.random(oshape, np.float32))
+                return integ.render_steps(r.scene, state, seeds, offs,
+                                          c2w, s2c, **kw0)
+
+            st = integ.init_state(WIDTH, HEIGHT, sif)
+            st = run0(st)
+            sync(st.count)
+            dt = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                st = run0(st)
+                sync(st.count)
+                dt = min(dt, time.perf_counter() - t0)
+            coh["incoherent_mrays"] = round(p * STEPS * sif / dt / 1e6, 3)
+            coh["incoherent_launch_ms"] = round(dt / STEPS * 1e3, 1)
         except Exception as e:  # never fail the headline number
-            coh["coherent_error"] = str(e)[:200]
-        finally:
-            integ.COHERENT = 0
-            jax.clear_caches()
+            coh["incoherent_error"] = str(e)[:200]
+
+    # Time-to-quality segment (VERDICT r3 #2): wall seconds to reach a
+    # fixed display-MSE vs a converged truth at a reduced frame — the
+    # number a user actually feels, measured for the SHIPPED defaults
+    # and for the Owen-Sobol jitter sampler (GLAZE_SAMPLER=ld) so the
+    # sampler A/B is recorded in every round's artifact.
+    ttq = {}
+    if os.environ.get("GLAZE_BENCH_TTQ", "1") == "1":
+        try:
+            tw, th = 384, 216  # scale 0.2 of the 1080p frame
+            target = float(os.environ.get("GLAZE_TTMSE_TARGET", "30"))
+            tr = RayTraceRenderer(parsed, width=tw, height=th, seed=777)
+            truth = np.asarray(tr.draw(160), float)
+            del tr
+
+            def time_to_mse(**kwargs):
+                rr = RayTraceRenderer(parsed, width=tw, height=th,
+                                      seed=int(rng.integers(1, 2**31)),
+                                      **kwargs)
+                wall = 0.0
+                ladder = []
+                for _ in range(12):  # ≤96 spp
+                    t0 = time.perf_counter()
+                    img = rr.draw(8)
+                    wall += time.perf_counter() - t0
+                    mse = float(((np.asarray(img, float) - truth) ** 2)
+                                .mean())
+                    ladder.append(round(mse, 1))
+                    if mse <= target:
+                        return round(wall, 1), ladder
+                return None, ladder  # did not reach target within 96 spp
+
+            t_def, lad_def = time_to_mse()
+            ttq = {"ttq_target_mse": target,
+                   "time_to_mse_s": t_def,
+                   "ttq_ladder_default": lad_def}
+            t_ld, lad_ld = time_to_mse(sampler="ld")
+            ttq["time_to_mse_ld_s"] = t_ld
+            ttq["ttq_ladder_ld"] = lad_ld
+        except Exception as e:  # never fail the headline number
+            ttq = {"ttq_error": str(e)[:200]}
 
     rays = p * STEPS * sif
     mrays = rays / best / 1e6
@@ -382,11 +417,13 @@ def main():
         "sif": sif,
         "sort": integ.SORT_MODE,
         "tree": os.environ.get("GLAZE_TREE", "classic"),
-        "coherent": int(os.environ.get("GLAZE_COHERENT", "0") or "0"),
+        "coherent": r.coherent,
+        "alpha_rounds": r._alpha_rounds,
         **phases,
         **sharded,
         **fps,
         **coh,
+        **ttq,
     }))
 
 
