@@ -40,6 +40,8 @@ HELP = """commands:
   tex add <path> [srgb|norm|gray]   load an image as a new texture
   tex del <id>        remove an unused texture
   tex format <id> <srgb|norm|gray>  reinterpret pixel format
+  tex show <id> [path]  write a texture's pixels as PNG (the imgui
+                      textures-window preview; default /tmp/glaze_tex_<id>.png)
   light               list lights
   light <id> intensity <v>
   light <id> color <r> <g> <b>   (0-1 rgb, converted to spectrum)
@@ -55,6 +57,8 @@ HELP = """commands:
   exposure <v>        output exposure multiplier
   stats               fps / progressive sample count
   info                device info (ui.rs info window / DeviceInfo)
+  load <path>         open another scene on a background thread with
+                      progress, frames keep flowing (ui.rs:88-95)
   save                in-place scene update (ParsedScene::update)
   saveas <path>
   shot <path>         write current frame as PNG
@@ -286,6 +290,24 @@ def main(argv=None):
             elif cmd == "tex" and parts[1] == "del":
                 rr.remove_texture(int(parts[2]))
                 present()
+            elif cmd == "tex" and parts[1] == "show":
+                # texture pixel preview (the reference's imgui textures
+                # window renders the texture via scene descriptors,
+                # vulkan/imgui.rs:39-628; headless equivalent = PNG)
+                tid = int(parts[2])
+                t = rr.textures()[tid]
+                out = (parts[3] if len(parts) > 3
+                       else f"/tmp/glaze_tex_{tid}.png")
+                Image.fromarray(t.data[0]).save(out)
+                print(f"texture [{tid}] {t.info.width}x{t.info.height} "
+                      f"{t.info.format.name} -> {out}", file=sys.stderr)
+                if args.terminal:
+                    import numpy as np
+
+                    arr = t.data[0]
+                    if arr.ndim == 2:
+                        arr = np.stack([arr] * 3, -1)
+                    print(_terminal_preview(arr[..., :3]))
             elif cmd == "tex" and parts[1] == "format":
                 from glaze_tpu.core import TextureFormat
 
@@ -361,6 +383,26 @@ def main(argv=None):
                     print("  no accelerated device")
                 else:
                     print(f"  {inst.info}")
+            elif cmd == "load":
+                # background-thread scene load with progress while the
+                # render loop keeps presenting (ui.rs:88-95 + 1101+)
+                from glaze_tpu.loader import BackgroundSceneLoader
+
+                ld = BackgroundSceneLoader(parts[1])
+                while not ld.done:
+                    rr.draw_frame(pipelined=True)
+                    print(f"\rloading {parts[1]}: {ld.stage} "
+                          f"{ld.fraction * 100:3.0f}%", end="",
+                          file=sys.stderr, flush=True)
+                print(file=sys.stderr)
+                if ld.error is not None:
+                    print(f"load failed: {ld.error}", file=sys.stderr)
+                else:
+                    rr.change_scene(ld.result)
+                    print(f"loaded {parts[1]}: "
+                          f"{len(rr.materials())} materials, "
+                          f"{len(rr.lights())} lights", file=sys.stderr)
+                    present()
             elif cmd == "save":
                 rr.save()
                 print("scene updated in place", file=sys.stderr)

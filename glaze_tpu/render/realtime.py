@@ -265,6 +265,24 @@ class RealtimeRenderer:
         self._rt.camera.look_around(theta, phi)
         self.set_camera(self._rt.camera)
 
+    def change_scene(self, parsed, camera=None):
+        """Full scene swap (the app's background-load completion path —
+        ui.rs:1101+; device upload + BVH build happen here, on the
+        caller's thread). ``parsed`` is any ParsedScene duck type, e.g.
+        a :class:`glaze_tpu.loader.PreloadedScene`."""
+        self._parsed = parsed
+        self._inflight.clear()
+        self._rt.change_scene(parsed, camera=camera)
+        from glaze_tpu.render.preview import FlatPreviewRenderer
+
+        self._preview = FlatPreviewRenderer(
+            self._rt.scene,
+            camera=self._rt.camera,
+            width=self._rt.width,
+            height=self._rt.height,
+            host=self._rt.host,
+        )
+
     # -- frame loop ----------------------------------------------------------
     def draw_frame(self, pipelined: bool = False) -> np.ndarray:
         """One progressive launch + present (renderer.rs:415-545).

@@ -56,6 +56,8 @@ _PAGE = """<!doctype html>
  <button onclick="ctl('save')">save</button>
  <button onclick="{const p = prompt('save as path:');
    if (p) ctl('save', p);}">save as</button>
+ <button onclick="{const p = prompt('scene path to load:');
+   if (p) ctl('load', p);}">load scene</button>
  <span id="stats"></span>
 </div>
 <img id="view" src="/stream">
@@ -113,7 +115,9 @@ window.addEventListener('mousemove', ev => {
 setInterval(async () => {
   const r = await fetch('/stats'); const s = await r.json();
   document.getElementById('stats').textContent =
-    ` ${s.fps.toFixed(1)} fps  spp ${s.spp}  ${s.mode}`;
+    ` ${s.fps.toFixed(1)} fps  spp ${s.spp}  ${s.mode}` +
+    (s.loading ? `  [loading ${s.loading.stage} ` +
+                 `${(s.loading.fraction*100).toFixed(0)}%]` : '');
 }, 1000);
 // live material/light edit panel (the ui.rs materials/lights windows)
 const MTYPES = ['flat','lambert','mirror','glass','metal','frosted','uber'];
@@ -183,7 +187,11 @@ async function refreshScene() {
   const FORMATS = ['Gray', 'RgbaNorm', 'RgbaSrgb'];
   for (const t of sc.textures) {
     const row = document.createElement('div');
-    row.append(`tex[${t.id}] ${t.name} ${t.size[0]}x${t.size[1]} `);
+    const th = document.createElement('img');   // pixel preview
+    th.src = `/tex/${t.id}?s=${Date.now()}`;    // (imgui textures window)
+    th.height = 40; th.style.verticalAlign = 'middle';
+    row.append(th);
+    row.append(` tex[${t.id}] ${t.name} ${t.size[0]}x${t.size[1]} `);
     row.append(sel(FORMATS, t.format,
       v => ctl('tex', {id: t.id, field: 'format', value: v})));
     if (t.id > 0) {
@@ -237,6 +245,7 @@ class ViewerState:
         self.seq = 0
         self.commands = []
         self.running = True
+        self.loader = None  # in-flight BackgroundSceneLoader
         # camera step per keypress: scene-constant, fetched once (a
         # per-command device read would add ~33 ms to every keypress)
         self.step = float(np.asarray(rt._rt.scene.scene_radius)) * 0.05
@@ -268,6 +277,19 @@ class ViewerState:
                 self._apply(c)
             except Exception as e:  # bad command: keep serving
                 print(f"viewer: command {c} failed: {e}")
+        # background scene load completion (ui.rs:1101+): the worker
+        # thread decoded everything; upload + BVH build happen here on
+        # the render thread, then the next frame shows the new scene
+        ld = self.loader
+        if ld is not None and ld.done:
+            self.loader = None
+            if ld.error is not None:
+                print(f"viewer: scene load failed: {ld.error}")
+            else:
+                self.rt.change_scene(ld.result)
+                self.step = float(
+                    np.asarray(self.rt._rt.scene.scene_radius)) * 0.05
+                print(f"viewer: loaded {ld.path}")
 
     def _apply(self, c):
         rt = self.rt
@@ -319,6 +341,14 @@ class ViewerState:
             rt.coherent = int(val)
         elif act == "exposure":
             rt._rt.set_exposure(float(val))
+        elif act == "load":
+            # background-thread scene load with progress (ui.rs:88-95);
+            # frames keep flowing from the old scene while it decodes
+            from glaze_tpu.loader import BackgroundSceneLoader
+
+            if self.loader is not None and not self.loader.done:
+                raise ValueError("a scene load is already in flight")
+            self.loader = BackgroundSceneLoader(str(val))
         elif act == "save":
             # scene save / save-as (ui.rs save buttons, scene.rs:477-511)
             if val:
@@ -445,10 +475,14 @@ class ViewerState:
                    // rt._rt.integrator.steps_per_sample)
         except Exception:
             pass
+        ld = self.loader
         return {"fps": rt.stats.fps, "spp": spp,
                 "mode": (rt._rt.integrator.value if rt.use_raytracer
                          else "preview"),
-                "scale": rt.render_scale}
+                "scale": rt.render_scale,
+                "loading": (None if ld is None or ld.done
+                            else {"stage": ld.stage,
+                                  "fraction": ld.fraction})}
 
 
 def render_loop(state: ViewerState):
@@ -504,6 +538,27 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.dumps(self.state.scene_listing()).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.startswith("/tex/"):
+            # texture pixel preview (the imgui textures window renders
+            # texture contents via descriptors, vulkan/imgui.rs:39-628)
+            try:
+                tid = int(self.path[5:].split("?")[0])
+                tex = self.state.rt.textures()[tid]
+            except (ValueError, IndexError):
+                self.send_error(404, "no such texture")
+                return
+            import io as _io
+
+            from PIL import Image
+
+            buf = _io.BytesIO()
+            Image.fromarray(tex.data[0]).save(buf, "PNG")
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -359,6 +359,7 @@ def test_app_texture_editor(tmp_path):
         "tex del 2\n"
         f"tex add {tex_png}\n"
         "mat 1 tex diffuse 2\n"
+        f"tex show 2 {tmp_path / 'tex_show.png'}\n"
         f"saveas {edited}\n"
         "quit\n"
     )
@@ -371,6 +372,36 @@ def test_app_texture_editor(tmp_path):
     assert len(p.textures()) == 3  # default + MTL map + re-added red.png
     assert p.textures()[2].info.name == "red.png"
     assert p.materials()[1].diffuse == 2
+    # `tex show` wrote the texture pixels (imgui textures-window preview)
+    shown = np.asarray(Image.open(tmp_path / "tex_show.png"))
+    assert shown.shape[:2] == (8, 8) and shown[..., 0].min() == 255
+
+
+def test_app_background_load(tmp_path):
+    """The `load` command: a worker thread decodes the new scene with
+    progress while frames keep flowing, then the renderer swaps
+    (ui.rs:88-95 background load + progress channel)."""
+    if not os.path.exists(OBJ):
+        pytest.skip("cube.obj missing")
+    from PIL import Image
+
+    path = _lit_cube_scene(tmp_path)
+    script = tmp_path / "load_script.txt"
+    script.write_text(
+        "frames 1\n"
+        "load /root/reference/resources/mattest.glaze\n"
+        "frames 1\n"
+        f"shot {tmp_path / 'after_load.png'}\n"
+        "quit\n"
+    )
+    from glaze_tpu.app import main
+
+    rc = main([path, "--out", str(tmp_path / "v.png"), "--res", "24x24",
+               "--script", str(script)])
+    assert rc == 0
+    assert (tmp_path / "after_load.png").exists()
+    img = np.asarray(Image.open(tmp_path / "after_load.png"))
+    assert img.shape == (24, 24, 3)
 
 
 def test_texture_remove_guard(tmp_path):

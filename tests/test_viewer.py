@@ -287,3 +287,49 @@ def test_stream_yields_parts(server):
             assert chunk, "stream ended early"
             data += chunk
     assert b"Content-Type: image/jpeg" in data
+
+
+def test_tex_endpoint(server):
+    """/tex/<id> serves texture pixels as PNG (the imgui textures-window
+    preview, vulkan/imgui.rs:39-628); bad ids 404."""
+    url, state, rt = server
+    t0 = rt.textures()[1]
+    status, ctype, body = _get(url + "/tex/1")
+    assert status == 200 and ctype == "image/png"
+    import io
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    assert img.shape[:2] == (t0.info.height, t0.info.width)
+    with pytest.raises(Exception):
+        _get(url + "/tex/999")
+    # the page embeds the thumbnails
+    assert b"/tex/" in _get(url + "/")[2]
+
+
+def test_background_scene_load(server):
+    """POST {"action":"load"}: a worker thread decodes the scene while
+    frames keep flowing; the render thread swaps on completion
+    (ui.rs:88-95 + 1101+). /stats reports progress meanwhile."""
+    import time
+
+    url, state, rt = server
+    n_before = len(rt.materials())
+    req = urllib.request.Request(
+        url + "/control",
+        data=json.dumps({"action": "load",
+                         "value": "/root/reference/resources/cube.obj"}
+                        ).encode(),
+        method="POST")
+    urllib.request.urlopen(req, timeout=30)
+    # frames must keep arriving during the load
+    _, seq = state.wait_frame(-1)
+    jpeg, _ = state.wait_frame(seq, timeout=120)
+    assert jpeg is not None
+    for _ in range(600):  # wait for the swap to land
+        if state.loader is None and len(rt.materials()) != n_before:
+            break
+        time.sleep(0.2)
+    assert len(rt.materials()) == 2  # converted cube.obj
+    s = json.loads(_get(url + "/stats")[2])
+    assert s["loading"] is None
