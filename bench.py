@@ -364,9 +364,13 @@ def main():
     if os.environ.get("GLAZE_BENCH_TTQ", "1") == "1":
         try:
             tw, th = 384, 216  # scale 0.2 of the 1080p frame
-            target = float(os.environ.get("GLAZE_TTMSE_TARGET", "30"))
+            # target must sit WELL above the truth's own error floor
+            # (a 192-spp truth floors display-MSE around ~15-40 on
+            # scenes of this class — CPU ladder, tools/bench_coherent_
+            # quality.py); 60 is ~32-spp-quality on the bench scene
+            target = float(os.environ.get("GLAZE_TTMSE_TARGET", "60"))
             tr = RayTraceRenderer(parsed, width=tw, height=th, seed=777)
-            truth = np.asarray(tr.draw(160), float)
+            truth = np.asarray(tr.draw(192), float)
             del tr
 
             def time_to_mse(**kwargs):

@@ -29,8 +29,8 @@ from glaze_tpu.scene import flatten as fl
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "is_persp",
                                     "alpha_rounds"))
-def flat_pass(scene, cam2world, screen2cam, exposure, *, width, height,
-              is_persp, alpha_rounds=0):
+def flat_pass(scene, cam2world, screen2cam, exposure, cone_scale, *, width,
+              height, is_persp, alpha_rounds=0):
     """One flat-shaded frame: (P', 3) uint8 channels (tile-swizzled).
 
     Per-material preview looks (the reference keys one raster pipeline
@@ -62,7 +62,21 @@ def flat_pass(scene, cam2world, screen2cam, exposure, *, width, height,
     surf = integ._interpolate_hit(scene, hit)
     mat_id = surf["material_id"]
     tex = scene.mat_tex[mat_id][:, fl.MT_DIFFUSE]
-    r, g, b = tx.sample_rgb_v(scene.atlas, tex, surf["uv"][0], surf["uv"][1])
+    # Footprint-based mip selection (the reference's raster preview gets
+    # hardware trilinear over the blitted mip chain, texture.rs:96-235):
+    # pixel world footprint = hit distance x pixel cone width (constant
+    # for ortho), widened at grazing incidence; texel world size comes
+    # from the interpolated position derivative |dP/du| vs the texture's
+    # u resolution. log2 of their ratio is the classic isotropic LOD.
+    ndotv_g = jnp.abs(vec.dot(surf["geom_normal"], direction))
+    fw = (hit["t"] * cone_scale if is_persp
+          else jnp.broadcast_to(cone_scale, hit["t"].shape))
+    fw = fw / jnp.maximum(ndotv_g, 0.25)
+    du = jnp.sqrt(jnp.maximum(vec.dot(surf["dpdu"], surf["dpdu"]), 1e-12))
+    texel_w = du / scene.atlas.width[tex].astype(jnp.float32)
+    lod = jnp.log2(jnp.maximum(fw / jnp.maximum(texel_w, 1e-12), 1e-6))
+    r, g, b = tx.sample_rgb_lod_v(scene.atlas, tex, surf["uv"][0],
+                                  surf["uv"][1], lod)
     s = scene.mat_scalars[mat_id]
     r = r * s[:, fl.MS_DIFFUSE_R]
     g = g * s[:, fl.MS_DIFFUSE_G]
@@ -148,12 +162,23 @@ class FlatPreviewRenderer:
         self.width, self.height = int(width), int(height)
         self._request_new_frame = True
 
+    def _cone_scale(self) -> float:
+        """Per-pixel footprint scale for mip selection: world width per
+        unit distance (perspective) or per pixel (ortho)."""
+        import math
+
+        if self.camera.is_perspective:
+            return 2.0 * math.tan(self.camera.inner.fovx * 0.5) / self.width
+        # ortho rays span the ndc [-1, 1] box in camera space
+        return 2.0 / self.width
+
     def draw_frame(self, return_image: bool = False):
         c2w, s2c = integ.camera_matrices(self.camera, self.width, self.height)
         exposure = (jnp.float32(self.exposure) if self.exposure is not None
                     else self.scene.exposure)
         self._frame = flat_pass(
             self.scene, jnp.asarray(c2w), jnp.asarray(s2c), exposure,
+            jnp.float32(self._cone_scale()),
             width=self.width, height=self.height,
             is_persp=self.camera.is_perspective,
             alpha_rounds=self._alpha_rounds,

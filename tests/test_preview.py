@@ -113,3 +113,89 @@ def test_preview_opacity_discard(tmp_path):
     left = img[13:20, 11:15].mean()
     right = img[13:20, 17:21, 0].mean()
     assert right > 80 and left < 5, (left, right)
+
+
+def test_preview_mip_selection_reduces_minification_aliasing():
+    """Footprint-based mip selection in the raster preview (the
+    reference's hardware trilinear over the blitted mip chain,
+    texture.rs:96-235 + scene.rs:1012+): a checkerboard at a grazing
+    view must alias far LESS with the mip chain than with mip 0 only,
+    at a similar mean (the chain converges to the checker average)."""
+    import numpy as np
+
+    from glaze_tpu.core import (Camera, Light, LightType, Material,
+                                MaterialType, Mesh, MeshInstance,
+                                PerspectiveCam, Texture, TextureFormat,
+                                TextureInfo, Transform, Vertex)
+    from glaze_tpu.core.texture import gen_mipmaps_np
+    from glaze_tpu.parser import Meta
+    from glaze_tpu.render.preview import FlatPreviewRenderer
+    from glaze_tpu.scene import flatten_scene
+
+    n = 256
+    i = np.arange(n)
+    chk = ((i[:, None] // 8 + i[None, :] // 8) % 2).astype(np.uint8)
+    img = np.zeros((n, n, 4), np.uint8)
+    img[..., :3] = np.where(chk[..., None] > 0, 255, 0)
+    img[..., 3] = 255
+    mips = gen_mipmaps_np(img)
+
+    def scene(levels):
+        class S:
+            def vertices(self):
+                vs = []
+                for p, uv in (([-50, 0, -100], [0, 0]),
+                              ([50, 0, -100], [100, 0]),
+                              ([50, 0, 2], [100, 100]),
+                              ([-50, 0, 2], [0, 100])):
+                    vs.append(Vertex(np.asarray(p, np.float32),
+                                     np.asarray([0, 1, 0], np.float32),
+                                     np.asarray(uv, np.float32)))
+                return vs
+
+            def meshes(self):
+                return [Mesh(0, [0, 1, 2, 0, 2, 3], 0)]
+
+            def transforms(self):
+                return [Transform.identity()]
+
+            def instances(self):
+                return [MeshInstance(0, 0)]
+
+            def cameras(self):
+                return [Camera.Perspective(PerspectiveCam(
+                    position=[0, 1.0, 0], target=[0, 0.5, -20],
+                    up=[0, 1, 0]))]
+
+            def textures(self):
+                return [Texture.default(),
+                        Texture(TextureInfo("chk", n, n,
+                                            TextureFormat.RgbaSrgb),
+                                levels)]
+
+            def materials(self):
+                return [Material(name="floor", mtype=MaterialType.LAMBERT,
+                                 diffuse=1)]
+
+            def lights(self):
+                return [Light(ltype=LightType.OMNI, position=[0, 5, 0],
+                              intensity=5.0)]
+
+            def meta(self):
+                return Meta(scene_centre=[0, 0, -10], scene_radius=60.0,
+                            exposure=1.0)
+
+        return S()
+
+    def render(levels):
+        sc, cam, host = flatten_scene(scene(levels))
+        r = FlatPreviewRenderer(sc, camera=cam, width=96, height=64,
+                                host=host)
+        return r.get_image().astype(float)
+
+    full = render(mips)
+    mip0 = render([mips[0]])
+    strip = slice(28, 40)  # distant floor rows, just below the horizon
+    assert full[strip].std() < 0.6 * mip0[strip].std(), (
+        full[strip].std(), mip0[strip].std())
+    assert abs(full[strip].mean() - mip0[strip].mean()) < 15.0
