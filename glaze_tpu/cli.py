@@ -86,6 +86,13 @@ def build_parser():
              "--coherent). Default env GLAZE_SAMPLER or pcg",
     )
     p.add_argument(
+        "--adaptive", choices=("on", "off"), default=None,
+        help="per-tile adaptive stopping: display-converged tiles stop "
+             "sampling so wall time concentrates on the noisy ones "
+             "(per-pixel estimates unchanged). Default on; the reference "
+             "refines uniformly",
+    )
+    p.add_argument(
         "--denoise", action="store_true",
         help="apply the edge-aware SVGF-style reconstruction filter to "
              "the SAVED image (render/denoise.py; display-time only — "
@@ -132,6 +139,8 @@ def main(argv=None):
         mesh="auto" if args.mesh else None,
         coherent=args.coherent,  # None -> shipped default ('frame')
         sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'pcg'
+        adaptive=(None if args.adaptive is None
+                  else args.adaptive == "on"),
     )
     timer.mark("upload+bvh")
     setup_ms = (timer.marks["parse"] + timer.marks["upload+bvh"]) * 1000.0

@@ -71,9 +71,14 @@ class PathState(NamedTuple):
     # per-lane path (sample) index: increments when the lane REGENERATES
     # a camera ray. The low-discrepancy sampler indexes each pixel's
     # stratified point stream with it; dead weight (zeros) under the
-    # default PCG sampler. Appended LAST so older checkpoints (13
-    # leaves) load with a zero shim (renderer.load_checkpoint).
+    # default PCG sampler. Appended (with ``sq``) AFTER the reference
+    # fields so older checkpoints load with zero shims
+    # (renderer.load_checkpoint).
     path_no: jnp.ndarray  # (P,) uint32
+    # sum of squared per-launch luminance contributions: with (accum,
+    # count) this yields each pixel's estimator variance on device —
+    # the adaptive sampler's stopping statistic (tile_error below)
+    sq: jnp.ndarray  # (P,) float32
 
 
 def init_state(width: int, height: int, sif: int = 1) -> PathState:
@@ -94,6 +99,7 @@ def init_state(width: int, height: int, sif: int = 1) -> PathState:
         accum=(z(), z(), z()),
         count=z(),
         path_no=jnp.zeros((p,), jnp.uint32),
+        sq=z(),
     )
 
 
@@ -628,7 +634,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
                 alpha_rounds: int = 0, rng_py=None,
                 want_first_hit: bool = False,
                 coherent=None, sampler: str = "pcg",
-                sampler_seed=None) -> PathState:
+                sampler_seed=None, lane_active=None) -> PathState:
     """One bounce for all pixels (path_trace.rgen main, :135-239).
 
     ``seed``: uint32 frame seed; ``pixel_offset``: (2,) sub-pixel jitter
@@ -653,12 +659,19 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     depth of field that composes with every coherent mode (path-space
     draws keep their chains, so trace coherence is untouched).
     ``sampler_seed``: uint32 scalar decorrelating renders.
+
+    ``lane_active``: optional (P,) bool — the adaptive sampler's tile
+    mask. Lanes whose tile has converged PARK at their next path
+    boundary (bounce==0): no new camera ray, no count increment, no
+    contribution, and their closest trace is culled so Morton-sorted
+    rows of parked lanes retire immediately. Mid-flight paths always
+    finish first, so every pixel's accumulation holds only whole-path
+    contributions counted exactly like the reference's ratio estimator
+    (update_count, path_trace.rgen:119-133).
     """
     p = px.shape[0]
     coh = resolve_coherent(coherent)
     enabled = scene.lights_no > 0  # path_trace.rgen:137-141
-
-    count = state.count + enabled.astype(jnp.float32)
 
     seed_f = seed.astype(jnp.float32)  # vec3(uint seed, ...) converts to float
     if coh == 1 and rng_py is None:
@@ -734,6 +747,13 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         regen = jnp.ones((p,), bool)
     else:
         regen = state.bounce == 0.0
+    if lane_active is not None:
+        # adaptive stop: converged tiles park at the path boundary
+        parked = regen & ~lane_active
+        regen = regen & lane_active
+    else:
+        parked = jnp.zeros((p,), bool)
+    count = state.count + (enabled & ~parked).astype(jnp.float32)
     new_path_no = state.path_no + regen.astype(jnp.uint32)
 
     # Full path-dimension stratification (incoherent lanes only —
@@ -764,13 +784,21 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
             "phase": "closest", "o": origin, "d": direction,
             "bounce": state.bounce, "regen": regen,
         })
-    hit = trace_alpha_sorted(scene, origin, direction,
-                             alpha_rounds=alpha_rounds)
+    if lane_active is None:
+        hit = trace_alpha_sorted(scene, origin, direction,
+                                 alpha_rounds=alpha_rounds)
+    else:
+        # parked lanes: cap -1 culls their packet walk (they compact to
+        # the tail of the trace sort and whole rows retire)
+        hit = trace_alpha_sorted(
+            scene, origin, direction,
+            t_max=jnp.where(parked, -1.0, jnp.float32(np.inf)),
+            alpha_rounds=alpha_rounds)
     missed = hit["tri"] < 0
 
     # ---- miss: sky radiance only on camera rays / after specular bounces
     sky_visible = (state.bounce == 0.0) | (state.last_specular == 1.0)
-    add_sky = missed & sky_visible & (scene.sky_tex > 0)
+    add_sky = missed & sky_visible & (scene.sky_tex > 0) & ~parked
     sr, sg, sb = _sky_radiance(scene, direction)
     sky_spec = importance * spectra.from_illuminant_color_t(sr, sg, sb)
     mr, mg, mb = spectra.to_rgb_t(sky_spec)
@@ -788,7 +816,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
     mat = bsdf_mod.gather_material(scene, surf["material_id"])
     mat_specular = mat["scalars"][fl.MS_IS_SPECULAR] > 0.5
 
-    nee_active = ~missed & ~mat_specular
+    nee_active = ~missed & ~mat_specular & ~parked
     # chain width -> lane width expander (identity unless a coherent
     # mode keeps the chain narrower than the wavefront, see _expand_block)
     ex = lambda a: _expand_block(a, p)  # noqa: E731
@@ -814,6 +842,12 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         state.accum[i] + en * (miss_contrib[i] + nee_contrib[i])
         for i in range(3)
     )
+    # per-launch luminance contribution, squared (estimator variance for
+    # the adaptive stopping statistic; zero-cost fused elementwise math)
+    c_lum = en * (0.2126 * (miss_contrib[0] + nee_contrib[0])
+                  + 0.7152 * (miss_contrib[1] + nee_contrib[1])
+                  + 0.0722 * (miss_contrib[2] + nee_contrib[2]))
+    sq = state.sq + c_lum * c_lum
 
     fh = None
     if want_first_hit:
@@ -834,6 +868,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
             accum=accum,
             count=count,
             path_no=new_path_no,
+            sq=sq,
         )
         return (st, fh) if want_first_hit else st
 
@@ -879,6 +914,7 @@ def launch_step(scene, state: PathState, seed, pixel_offset, cam2world,
         accum=accum,
         count=count,
         path_no=new_path_no,
+        sq=sq,
     )
     return (st, fh) if want_first_hit else st
 
@@ -948,7 +984,7 @@ def render_image(state: PathState, exposure, width: int, height: int,
 def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
                  width, height, is_persp, direct_only, steps,
                  alpha_rounds=0, sif=1, coherent=None, sampler="pcg",
-                 sampler_seed=None):
+                 sampler_seed=None, lane_active=None):
     """`steps` launches fused in one jit via lax.scan — the whole
     spp*PT_STEPS hot loop runs on device with zero host round-trips
     (replaces the fence ring of raytracer.rs:615-654).
@@ -970,6 +1006,7 @@ def render_steps(scene, state, seeds, offsets, cam2world, screen2cam, *,
             is_persp=is_persp, direct_only=direct_only,
             alpha_rounds=alpha_rounds, rng_py=rng_py, coherent=coherent,
             sampler=sampler, sampler_seed=sampler_seed,
+            lane_active=lane_active,
         )
         return st, None
 
@@ -998,3 +1035,58 @@ def render_steps_with_image(scene, state, seeds, offsets, cam2world,
     )
     accum, count = _fold_sif(state.accum, state.count, sif)
     return state, _display_chans(accum, count, exposure)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive sample allocation (no reference equivalent — its WorkScheduler
+# refines uniformly, raytracer.rs:1161-1206): per-TILE stopping from the
+# on-device variance statistic. A tile (one 2048-lane traversal packet =
+# one TILE_W x TILE_H image block) whose pixels' estimator standard
+# errors are all far below their means carries no visible noise; parking
+# it (launch_step lane_active) makes its Morton-sorted rows retire
+# immediately, so the remaining wall time concentrates on the tiles that
+# still need samples. Per-pixel estimates are untouched: each keeps its
+# own count and stops only at path boundaries.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("sif",))
+def tile_error(state: PathState, sif: int = 1):
+    """Per-tile relative standard error of the luminance estimate.
+
+    Returns (T,) float32 where T = lanes / (TILE_W*TILE_H): the
+    tile-mean of  se_p / (mean_p + eps), with  se_p = sqrt(var_p / n)
+    from the running (accum, sq, count) moments. sif in-flight copies
+    of a pixel fold into one estimate first."""
+    accum, count = _fold_sif(state.accum, state.count, sif)
+    if sif == 1:
+        sq = state.sq
+    else:
+        pp = state.count.shape[0] // sif
+        sq = state.sq.reshape(sif, pp).sum(0)
+    n = jnp.maximum(count, 1.0)
+    lum = (0.2126 * accum[0] + 0.7152 * accum[1] + 0.0722 * accum[2])
+    mean = lum / n
+    var = jnp.maximum(sq / n - mean * mean, 0.0) * (n / jnp.maximum(n - 1.0, 1.0))
+    se = jnp.sqrt(var / n)
+    rel = se / (mean + 1e-3)
+    blk = TILE_W * TILE_H
+    return rel.reshape(-1, blk).mean(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("sif", "tau", "min_count"))
+def adaptive_lane_mask(state: PathState, sif: int = 1, tau: float = 0.01,
+                       min_count: float = 64.0):
+    """(P,) bool lane mask for launch_step/render_steps ``lane_active``:
+    True while the lane's tile still needs samples. A tile stays active
+    until every pixel has ``min_count`` launches AND its mean relative
+    standard error drops below ``tau`` (display-quality converged)."""
+    err = tile_error(state, sif)
+    accum, count = _fold_sif(state.accum, state.count, sif)
+    blk = TILE_W * TILE_H
+    min_n = count.reshape(-1, blk).min(axis=1)
+    active_t = (err > tau) | (min_n < min_count)
+    per_pixel = jnp.repeat(active_t, blk)
+    if sif == 1:
+        return per_pixel
+    return jnp.tile(per_pixel, sif)

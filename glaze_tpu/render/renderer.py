@@ -81,7 +81,8 @@ class RayTraceRenderer:
     def __init__(self, scene, camera=None, width: int = 1920, height: int = 1080,
                  integrator: Integrator = Integrator.PATH_TRACE, seed=None,
                  samples_in_flight: Optional[int] = None, mesh=None,
-                 coherent=None, interactive: bool = False, sampler=None):
+                 coherent=None, interactive: bool = False, sampler=None,
+                 adaptive=None):
         """``scene``: DeviceScene or ParsedScene (flattened on the spot).
 
         ``samples_in_flight``: independent per-pixel path states advanced
@@ -106,7 +107,16 @@ class RayTraceRenderer:
         ``sampler``: 'pcg' (the reference's hash chain) or 'ld'
         (per-pixel Owen-scrambled Sobol sub-pixel jitter, ops/sobol.py
         — stratifies each pixel's camera samples; composes with every
-        coherent mode). Default env GLAZE_SAMPLER or 'pcg'."""
+        coherent mode). Default env GLAZE_SAMPLER or 'pcg'.
+
+        ``adaptive``: per-tile adaptive stopping in ``draw()`` —
+        converged tiles (relative standard error below GLAZE_ADAPTIVE_TAU,
+        default 1%, after >= GLAZE_ADAPTIVE_MIN launches, default 64)
+        park so wall time concentrates on the tiles still carrying
+        noise (integrator.adaptive_lane_mask). Per-pixel estimates are
+        unchanged — pixels keep their own counts and stop only at path
+        boundaries. Default env GLAZE_ADAPTIVE or ON; not yet applied
+        under ``mesh``."""
         from glaze_tpu.scene import DeviceScene, flatten_scene
 
         self.host = None
@@ -124,6 +134,12 @@ class RayTraceRenderer:
                          else integ.resolve_coherent(coherent))
         self.sampler = (sampler if sampler is not None
                         else os.environ.get("GLAZE_SAMPLER", "pcg"))
+        self.adaptive = bool(int(os.environ.get("GLAZE_ADAPTIVE", "1"))
+                             if adaptive is None else adaptive)
+        self.adaptive_tau = float(os.environ.get("GLAZE_ADAPTIVE_TAU",
+                                                 "0.01"))
+        self.adaptive_min = float(os.environ.get("GLAZE_ADAPTIVE_MIN",
+                                                 "64"))
         if self.sampler not in ("pcg", "ld"):
             raise ValueError(f"sampler {self.sampler!r}: expected pcg or ld")
         self._rng = np.random.default_rng(seed)
@@ -452,6 +468,14 @@ class RayTraceRenderer:
                     sampler_seed=jnp.uint32(self._sampler_seed))
         else:
             def steps_fn(state, seeds, offsets, n):
+                lane_active = None
+                if self.adaptive:
+                    # park tiles whose pixels are all display-converged
+                    # (the mask is a tiny fused reduction per chunk)
+                    lane_active = integ.adaptive_lane_mask(
+                        state, sif=self.samples_in_flight,
+                        tau=self.adaptive_tau,
+                        min_count=self.adaptive_min)
                 return integ.render_steps(
                     self.scene, state, seeds, offsets, c2w, s2c,
                     width=self.width, height=self.height,
@@ -460,7 +484,8 @@ class RayTraceRenderer:
                     steps=n, alpha_rounds=self._alpha_rounds,
                     sif=self.samples_in_flight, coherent=self.coherent,
                     sampler=self.sampler,
-                    sampler_seed=jnp.uint32(self._sampler_seed))
+                    sampler_seed=jnp.uint32(self._sampler_seed),
+                    lane_active=lane_active)
         # sif in-flight samples advance per step: the same per-pixel
         # sample budget takes 1/sif as many launches (rounded up)
         total = -(-spp * self.integrator.steps_per_sample
@@ -582,11 +607,12 @@ class RayTraceRenderer:
         leaves = [jnp.asarray(data[f"leaf_{i}"])
                   for i in range(int(data["n_leaves"]))]
         cur_leaves, treedef = jax.tree.flatten(self._state)
-        if len(leaves) == len(cur_leaves) - 1:
-            # round-3 checkpoint (no path_no leaf, the LAST field):
-            # resume with a zero path index — only the LD jitter
-            # stratification restarts, the estimator is unaffected
-            leaves.append(jnp.zeros_like(cur_leaves[-1]))
+        while len(leaves) < len(cur_leaves):
+            # older checkpoint: the trailing leaves (path_no, sq) are
+            # newer additions — resume with zeros (the LD stratification
+            # restarts and the adaptive variance statistic re-warms; the
+            # estimator itself is unaffected)
+            leaves.append(jnp.zeros_like(cur_leaves[len(leaves)]))
         self._state = jax.tree.unflatten(treedef, leaves)
         state = self._rng.bit_generator.state
         state["state"]["state"] = int(str(data["rng_state"]))
