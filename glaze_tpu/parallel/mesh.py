@@ -101,7 +101,7 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
     no collectives anywhere in the loop (see module docstring)."""
 
     def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
-              sampler_seed):
+              sampler_seed, lane_active):
         size = jnp.asarray([width, height], jnp.float32)
 
         def body(st, inp):
@@ -111,6 +111,7 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
                 size, is_persp=is_persp, direct_only=direct_only,
                 alpha_rounds=alpha_rounds, coherent=coherent,
                 sampler=sampler, sampler_seed=sampler_seed,
+                lane_active=lane_active,
             )
             return st, None
 
@@ -120,7 +121,7 @@ def _pix_impl(mesh, state_specs, width, height, is_persp, direct_only,
     sharded = _shard_map(
         local, mesh=mesh,
         in_specs=(P(), state_specs, P(), P(), P(), P(), P(AXIS), P(AXIS),
-                  P()),
+                  P(), P(AXIS)),
         out_specs=state_specs,
         check_vma=False,
     )
@@ -145,7 +146,7 @@ def _placed_coords(mesh, width, height, spec):
 def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
                          mesh: Mesh, *, width, height, is_persp,
                          direct_only, steps, alpha_rounds=0, coherent=None,
-                         sampler="pcg", sampler_seed=0):
+                         sampler="pcg", sampler_seed=0, lane_active=None):
     """`steps` launches with the pixel axis sharded over ``mesh``.
 
     shard_map, not GSPMD propagation: each device advances its own pixel
@@ -169,11 +170,15 @@ def render_steps_sharded(scene, state, seeds, offsets, cam2world, screen2cam,
     )
     scene = jax.tree.map(lambda x: _put_once(x, repl), scene)
     state_specs = jax.tree.map(_pixel_spec, state)
+    if lane_active is None:
+        lane_active = jnp.ones((p,), bool)
+    lane_active = _put_once(lane_active,
+                            NamedSharding(mesh, P(AXIS)))
     impl = _pix_impl(mesh, state_specs, width, height, is_persp,
                      direct_only, steps, alpha_rounds,
                      integ.resolve_coherent(coherent), sampler)
     return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
-                jnp.uint32(sampler_seed))
+                jnp.uint32(sampler_seed), lane_active)
 
 
 # ---------------------------------------------------------------------------

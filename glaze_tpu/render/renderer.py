@@ -457,6 +457,11 @@ class RayTraceRenderer:
             scene = pmesh.place_replicated(self.scene, self._mesh)
 
             def steps_fn(state, seeds, offsets, n):
+                lane_active = None
+                if self.adaptive:
+                    lane_active = integ.adaptive_lane_mask(
+                        state, sif=1, tau=self.adaptive_tau,
+                        min_count=self.adaptive_min)
                 # donated state: draw's rebind below is the only use
                 return pmesh.render_steps_sharded(
                     scene, state, seeds, offsets, c2w, s2c, self._mesh,
@@ -465,7 +470,8 @@ class RayTraceRenderer:
                     direct_only=self.integrator is Integrator.DIRECT,
                     steps=n, alpha_rounds=self._alpha_rounds,
                     coherent=self.coherent, sampler=self.sampler,
-                    sampler_seed=jnp.uint32(self._sampler_seed))
+                    sampler_seed=jnp.uint32(self._sampler_seed),
+                    lane_active=lane_active)
         else:
             def steps_fn(state, seeds, offsets, n):
                 lane_active = None

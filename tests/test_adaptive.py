@@ -157,3 +157,28 @@ def test_lane_active_gating_unit():
     np.testing.assert_array_equal(np.asarray(half.sq)[~m], 0.0)
     assert (np.asarray(half.path_no)[~m] == 0).all()
     assert (np.asarray(half.path_no)[m] == 1).all()
+
+
+def test_adaptive_sharded_matches_unsharded():
+    """Adaptive parking under the pixel mesh: identical tile decisions
+    and bit-identical accumulation vs the unsharded adaptive draw."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from glaze_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+
+    def run(use_mesh):
+        r = RayTraceRenderer(_sky_heavy_scene(), width=128, height=64,
+                             seed=3, adaptive=True,
+                             mesh=mesh if use_mesh else None)
+        r.adaptive_min = 32.0
+        r.draw(32)
+        return (np.asarray(jax.device_get(r._state.count)),
+                r.get_image())
+
+    cnt_flat, img_flat = run(False)
+    cnt_mesh, img_mesh = run(True)
+    np.testing.assert_array_equal(cnt_mesh, cnt_flat)
+    np.testing.assert_array_equal(img_mesh, img_flat)
+    assert cnt_flat.min() < cnt_flat.max()  # parking actually happened
