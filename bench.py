@@ -207,9 +207,10 @@ def main():
         if "anyhit_nee" in bufs:
             bs = bufs["anyhit_nee"]
             t_shadow = timed_phase(
-                lambda eps: integ._any_hit_sorted(
+                lambda eps: integ._occlusion_sorted(
                     r.scene, tuple(c + eps for c in bs["o"]), bs["d"],
-                    bs["tmax"], bs["active"]).astype(jnp.float32))
+                    bs["tmax"], bs["active"],
+                    r._alpha_rounds).astype(jnp.float32))
             phases["anyhit_shadow_mrays"] = round(
                 p * sif / t_shadow / 1e6, 2)
             phases["shadow_active_frac"] = round(

@@ -479,6 +479,38 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
     return dict(zip(keys, _perm_rows(inv, [hit[k] for k in keys])))
 
 
+def _occlusion_sorted(scene, origin, direction, t_max, active,
+                      alpha_rounds: int):
+    """Alpha-aware shadow occlusion in ONE coherence-sorted pass:
+    early-exit any-hit against the OPAQUE tree, then the alpha-tree
+    accepted-hit test only for lanes the opaque pass left unblocked
+    (their rows are already sorted; blocked/inactive lanes carry cap -1
+    and retire). Falls back to the whole-scene re-trace when the scene
+    has no tree split."""
+    if alpha_rounds <= 0 or getattr(scene, "bvh_alpha", None) is None:
+        sh = trace_alpha_sorted(scene, origin, direction,
+                                t_max=jnp.where(active, t_max, -1.0),
+                                alpha_rounds=alpha_rounds)
+        return sh["tri"] >= 0
+    perm = _trace_perm(scene, origin, direction, active=active)
+    inv = jnp.argsort(perm)
+    cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                           origin[0].shape)
+    s = _perm_rows(perm, list(origin) + list(direction) + [cap, active])
+    o, d, cap_s, act = tuple(s[0:3]), tuple(s[3:6]), s[6], s[7]
+    if scene.bvh_opaque is not None:
+        blocked = accel.any_hit_soa_auto(scene.bvh_opaque, o, d, cap_s,
+                                         active=act)
+    else:
+        blocked = jnp.zeros_like(act)
+    probe = act & ~blocked
+    hit_a = _alpha_tree_closest(scene, o, d,
+                                jnp.where(probe, cap_s, -1.0),
+                                alpha_rounds)
+    blocked = blocked | (probe & (hit_a["tri"] >= 0))
+    return blocked[inv]
+
+
 def _any_hit_sorted(scene, origin, direction, t_max, active):
     """Shadow trace with coherence-sorted packets (sky/light-sampled
     directions are incoherent in pixel order); inactive lanes compact to
@@ -494,13 +526,95 @@ def _any_hit_sorted(scene, origin, direction, t_max, active):
     return hit[inv]
 
 
+def _remap_hit(hit, tri_map):
+    """Subset-tree slot ids -> full-tree attribute rows (misses stay -1)."""
+    tri = hit["tri"]
+    g = tri_map[jnp.maximum(tri, 0)]
+    return dict(hit, tri=jnp.where(tri >= 0, g, -1))
+
+
+def _miss_hit(r):
+    z = jnp.zeros((r,), jnp.float32)
+    return {"t": jnp.full((r,), np.inf, jnp.float32),
+            "tri": jnp.full((r,), -1, jnp.int32), "u": z, "v": z}
+
+
+def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
+    """Closest ACCEPTED (opacity >= 0.5) hit inside the small alpha tree
+    (global tri ids; t=inf / tri=-1 when none within ``cap``). The
+    re-trace rounds run here — against the handful of alpha-tested
+    triangles — instead of the whole scene."""
+    r = origin[0].shape[0]
+    hit = accel.closest_hit_soa_auto(scene.bvh_alpha, origin, direction,
+                                     cap)
+    hit = _remap_hit(hit, scene.bvh_alpha_map)
+    o = origin
+    offset = jnp.zeros((r,), jnp.float32)
+    for _ in range(alpha_rounds):
+        alpha = _hit_alpha(scene, hit)
+        transparent = (hit["tri"] >= 0) & (alpha < 0.5)
+        step = jnp.where(transparent, hit["t"] - offset + 1e-3, 0.0)
+        o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
+        offset = offset + jnp.where(transparent, step, 0.0)
+        re_cap = jnp.where(transparent, cap - offset, -1.0)
+        rehit = accel.closest_hit_soa_auto(scene.bvh_alpha, o, direction,
+                                           re_cap)
+        rehit = _remap_hit(rehit, scene.bvh_alpha_map)
+        hit = {
+            "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),
+            "tri": jnp.where(transparent, rehit["tri"], hit["tri"]),
+            "u": jnp.where(transparent, rehit["u"], hit["u"]),
+            "v": jnp.where(transparent, rehit["v"], hit["v"]),
+        }
+    beyond = hit["t"] > cap
+    return {
+        "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+        "tri": jnp.where(beyond, -1, hit["tri"]),
+        "u": hit["u"], "v": hit["v"],
+    }
+
+
 def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     """Closest hit with alpha-tested transparency (the reference's any-hit
     shader, raytrace_hit.rahit): hits whose opacity sample is < 0.5 are
     skipped by re-tracing from just past them, up to ``alpha_rounds``
     times. ``alpha_rounds=0`` (scenes without opacity maps) is a plain
     closest-hit trace.
+
+    With the opaque/alpha tree split (scene.bvh_opaque/bvh_alpha —
+    acceleration.rs:137-141 OPAQUE-flag parity) the main geometry is
+    traced ONCE with the plain closest-hit kernel and only the small
+    alpha tree pays the re-test rounds; without it (older DeviceScenes)
+    the whole-scene re-trace fallback below runs.
     """
+    if alpha_rounds > 0 and getattr(scene, "bvh_alpha", None) is not None:
+        r = origin[0].shape[0]
+        cap = jnp.full((r,), np.inf, jnp.float32)
+        if t_max is not None:
+            cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+        if scene.bvh_opaque is not None:
+            hit_o = accel.closest_hit_soa_auto(
+                scene.bvh_opaque, origin, direction,
+                None if t_max is None else cap)
+            hit_o = _remap_hit(hit_o, scene.bvh_opaque_map)
+        else:
+            hit_o = _miss_hit(r)
+        # alpha hits beyond the nearest opaque hit are irrelevant; the
+        # epsilon keeps an exactly-coincident alpha surface testable
+        cap_a = jnp.minimum(cap, hit_o["t"] + 1e-4)
+        hit_a = _alpha_tree_closest(scene, origin, direction, cap_a,
+                                    alpha_rounds)
+        use_a = hit_a["t"] < hit_o["t"]
+        hit = {k: jnp.where(use_a, hit_a[k], hit_o[k])
+               for k in ("t", "tri", "u", "v")}
+        if t_max is not None:
+            beyond = hit["t"] > cap
+            hit = {
+                "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+                "tri": jnp.where(beyond, -1, hit["tri"]),
+                "u": hit["u"], "v": hit["v"],
+            }
+        return hit
     r = origin[0].shape[0]
     cap = jnp.full((r,), np.inf, jnp.float32)
     if t_max is not None:
@@ -607,12 +721,11 @@ def _direct_light(scene, state_rng, wo_w, frame, hit, mat, active,
         })
     if alpha_rounds > 0:
         # alpha-tested occlusion: transparent surfaces don't shadow
-        # (occlusion_tester + rahit semantics)
-        sh = trace_alpha_sorted(
-            scene, hit["point"], wiw,
-            t_max=jnp.where(active & usable, dist - 1e-3, -1.0),
-            alpha_rounds=alpha_rounds)
-        shadow_hit = sh["tri"] >= 0
+        # (occlusion_tester + rahit semantics); opaque geometry still
+        # blocks at early-exit any-hit speed via the tree split
+        shadow_hit = _occlusion_sorted(
+            scene, hit["point"], wiw, dist - 1e-3, active & usable,
+            alpha_rounds)
     else:
         shadow_hit = _any_hit_sorted(
             scene, hit["point"], wiw, dist - 1e-3, active & usable

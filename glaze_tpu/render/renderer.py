@@ -188,6 +188,21 @@ class RayTraceRenderer:
     # acceleration.rs:137-141)
     _ALPHA_ROUNDS = 4
 
+    def _alpha_tri_mask(self):
+        """Per-ORIGINAL-tri 'material has an opacity map' mask, from the
+        host instance tables (None when host data is unavailable)."""
+        h = self.host
+        if h is None or not h.inst_tri_count:
+            return None
+        opac = np.asarray([m.opacity != 0 for m in h.materials])
+        n = max(f + c for f, c in zip(h.inst_tri_first, h.inst_tri_count))
+        mask = np.zeros(n, bool)
+        for m, f, c in zip(h.inst_material, h.inst_tri_first,
+                           h.inst_tri_count):
+            if 0 <= m < opac.size and opac[m]:
+                mask[f:f + c] = True
+        return mask
+
     def _refresh_alpha_rounds(self):
         if self.host is not None:
             has = any(m.opacity != 0 for m in self.host.materials)
@@ -198,6 +213,38 @@ class RayTraceRenderer:
                 ).any()
             )
         self._alpha_rounds = self._ALPHA_ROUNDS if has else 0
+        # opaque/alpha tree split staleness (material edits can move
+        # triangles between the sets): rebuild when the per-tri mask
+        # changed since flatten/the last rebuild
+        mask = self._alpha_tri_mask()
+        if mask is None or self.host.tri_order is None:
+            return
+        cached = getattr(self, "_alpha_mask_cache", None)
+        if cached is not None and cached.shape == mask.shape \
+                and (cached == mask).all():
+            return
+        if cached is None:
+            # first call (construction): flatten already built the split
+            self._alpha_mask_cache = mask
+            return
+        from glaze_tpu.accel.bvh import SENTINEL
+        from glaze_tpu.scene import flatten as fl
+
+        tri_pos = np.asarray(
+            jax.device_get(self.scene.tri_pos_orig)).reshape(-1, 3, 3)
+        order = np.asarray(self.host.tri_order)
+        sentinel_rows = order == SENTINEL
+        order = np.where(sentinel_rows, 0, order).astype(np.int64)
+        tri_mat = np.zeros(mask.shape[0], np.int64)
+        for m, f, c in zip(self.host.inst_material,
+                           self.host.inst_tri_first,
+                           self.host.inst_tri_count):
+            tri_mat[f:f + c] = m
+        mat_tex = fl.flatten_materials(self.host.materials)["mat_tex"]
+        split = fl.build_alpha_split(tri_pos, tri_mat, mat_tex, order,
+                                     sentinel_rows)
+        self.scene = self.scene._replace(**split)
+        self._alpha_mask_cache = mask
 
     # -- configuration ------------------------------------------------------
     def set_integrator(self, integrator: Integrator):

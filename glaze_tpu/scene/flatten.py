@@ -87,6 +87,17 @@ _SCENE_FIELDS = (
     "bvh_any",  # classic BVH for any-hit traces in hybrid mode, else
     #             None (any-hit returns only booleans, so its tree may
     #             order triangles differently with no id remapping)
+    # Opaque/alpha tree split (the reference's per-BLAS OPAQUE flag,
+    # acceleration.rs:137-141, as two trees): scenes with opacity-mapped
+    # materials trace the OPAQUE tree with plain closest/any-hit kernels
+    # (no alpha re-rounds, early-exit occlusion) and run the alpha
+    # re-test loop only inside the small ALPHA tree. None without
+    # opacity maps. The *_map arrays take each subset tree's leaf-slot
+    # ids back to the FULL tree's attribute rows.
+    "bvh_opaque",  # ChunkedBVH | None
+    "bvh_opaque_map",  # (No,) int32 | None
+    "bvh_alpha",  # ChunkedBVH | None
+    "bvh_alpha_map",  # (Na,) int32 | None
     "tri_attr",  # (N, 33) fused shading attributes, see ATTR_*
     "tri_material",  # (N,) int32
     # geometry in original (pre-BVH) order, for area-light sampling
@@ -519,6 +530,58 @@ class HostSceneData(NamedTuple):
     inst_material: list  # per expanded instance: material id
     inst_tri_first: list  # triangle range in original order
     inst_tri_count: list
+    # the full tree's leaf permutation (SENTINEL padding intact): lets
+    # material edits rebuild the opaque/alpha tree split without
+    # re-flattening the whole scene (renderer._refresh_alpha_rounds)
+    tri_order: object = None
+
+
+def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
+                      sentinel_rows):
+    """Opaque/alpha tree split (acceleration.rs:137-141 OPAQUE-flag
+    parity): returns the four bvh_opaque/bvh_alpha DeviceScene fields.
+
+    ``tri_pos``: (N, 3, 3) ORIGINAL-order world triangles; ``tri_mat``:
+    (N,) material ids; ``mat_tex``: (M, 5) texture table (opacity slot
+    MT_OPACITY); ``full_order``/``sentinel_rows``: the full tree's leaf
+    permutation, used to remap subset-tree slots to the full tree's
+    attribute rows."""
+    from glaze_tpu.accel import build_bvh_chunked
+    from glaze_tpu.accel.bvh import SENTINEL
+
+    none = {"bvh_opaque": None, "bvh_opaque_map": None,
+            "bvh_alpha": None, "bvh_alpha_map": None}
+    n = tri_pos.shape[0]
+    if n == 0:
+        return none
+    opac_mat = np.asarray(mat_tex)[:, MT_OPACITY] != 0
+    has_alpha = opac_mat[np.asarray(tri_mat, np.int64)]
+    if not has_alpha.any():
+        return none
+
+    # full-tree row of each ORIGINAL tri id
+    inv_full = np.zeros(n, np.int64)
+    rows = np.nonzero(~sentinel_rows)[0]
+    inv_full[full_order[~sentinel_rows]] = rows
+
+    def subset(sel):
+        if sel.size == 0:
+            return None, None
+        tree, order_s = build_bvh_chunked(
+            np.ascontiguousarray(tri_pos[sel]))
+        order_s = np.asarray(order_s)
+        sent = order_s == SENTINEL
+        local = np.where(sent, 0, order_s).astype(np.int64)
+        m = inv_full[sel[local]].astype(np.int32)
+        m = np.where(sent, 0, m)  # sentinel slots: degenerate, never hit
+        return tree, jnp.asarray(m)
+
+    sel_a = np.nonzero(has_alpha)[0]
+    sel_o = np.nonzero(~has_alpha)[0]
+    t_a, m_a = subset(sel_a)
+    t_o, m_o = subset(sel_o)
+    return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
+            "bvh_alpha": t_a, "bvh_alpha_map": m_a}
 
 
 def flatten_scene(parsed):
@@ -608,6 +671,8 @@ def flatten_scene(parsed):
     order = np.where(sentinel_rows, 0, order).astype(np.int64)
 
     mats = flatten_materials(materials)
+    split = build_alpha_split(tri_pos, tri_mat, mats["mat_tex"], order,
+                              sentinel_rows)
     lts = flatten_lights(lights, inst_mat, inst_first, inst_count)
     sky = build_sky_tables(lights, textures)
     atlas = build_atlas(textures)
@@ -654,6 +719,7 @@ def flatten_scene(parsed):
     dev = DeviceScene(
         bvh=bvh,
         bvh_any=bvh_any,
+        **split,
         # static specialization sets from the HOST copies: computing them
         # in __init__ would np.asarray device arrays, and the FIRST
         # device->host transfer through the axon tunnel costs ~60-130 s of
@@ -683,5 +749,6 @@ def flatten_scene(parsed):
         inst_material=inst_mat,
         inst_tri_first=inst_first,
         inst_tri_count=inst_count,
+        tri_order=np.where(sentinel_rows, SENTINEL, order.astype(np.uint32)),
     )
     return dev, camera, host

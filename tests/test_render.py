@@ -758,3 +758,57 @@ def test_coherent_tile_block_chain_equivalence():
     assert out.shape == (16, 8)
     np.testing.assert_array_equal(out[:, :4], np.broadcast_to(
         np.asarray(s)[:, :1], (16, 4)))
+
+
+def test_alpha_split_trees_match_fallback():
+    """The opaque/alpha tree split (flatten.build_alpha_split — the
+    reference's per-BLAS OPAQUE flag, acceleration.rs:137-141) must
+    reproduce the whole-scene re-trace fallback: same camera-ray hits,
+    same NEE occlusion, same rendered image."""
+    sb = SceneBuilder()
+    op = np.zeros((2, 2), np.uint8)
+    op[:, 1] = 255
+    sb._textures.append(
+        Texture(TextureInfo("op", 2, 2, TextureFormat.Gray), [op])
+    )
+    sb._materials = [
+        Material(name="screen", mtype=MaterialType.LAMBERT, opacity=1),
+        Material(name="wall", mtype=MaterialType.LAMBERT),
+    ]
+    sb.add_quad([-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1], [0, 0, 1], 0)
+    sb.add_quad([-5, -5, -1], [5, -5, -1], [5, 5, -1], [-5, 5, -1],
+                [0, 0, 1], 1)
+    sb._lights = [Light(ltype=LightType.OMNI, position=[0, 0, 3],
+                        intensity=5.0)]
+    from glaze_tpu.scene.flatten import flatten_scene
+
+    scene, cam, host = flatten_scene(sb)
+    assert scene.bvh_alpha is not None and scene.bvh_opaque is not None
+
+    # the fallback = same scene with the split removed
+    scene_fb = scene._replace(bvh_opaque=None, bvh_opaque_map=None,
+                              bvh_alpha=None, bvh_alpha_map=None)
+
+    o = (jnp.asarray([-0.5, 0.5, -0.5]), jnp.asarray([0.1, 0.1, 0.1]),
+         jnp.asarray([5.0, 5.0, 5.0]))
+    d = (jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 0.0]),
+         jnp.asarray([-1.0, -1.0, -1.0]))
+    h_split = integ.trace_alpha(scene, o, d, alpha_rounds=4)
+    h_fb = integ.trace_alpha(scene_fb, o, d, alpha_rounds=4)
+    np.testing.assert_allclose(np.asarray(h_split["t"]),
+                               np.asarray(h_fb["t"]), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(h_split["tri"]),
+                                  np.asarray(h_fb["tri"]))
+
+    # full renders agree (identical RNG, same estimator; tiny epsilon
+    # differences in re-trace offsets stay below display precision)
+    r_split = RayTraceRenderer(scene, camera=cam, width=16, height=16,
+                               seed=3)
+    r_split.host = host
+    r_split._alpha_rounds = 4
+    img_a = r_split.draw(4)
+    r_fb = RayTraceRenderer(scene_fb, camera=cam, width=16, height=16,
+                            seed=3)
+    r_fb._alpha_rounds = 4
+    img_b = r_fb.draw(4)
+    assert np.abs(img_a.astype(int) - img_b.astype(int)).max() <= 2
