@@ -399,12 +399,14 @@ def _spread3(x):
 SORT_MODE = os.environ.get("GLAZE_SORT", "morton")
 
 
-def _trace_perm(scene, origin, direction, active=None):
+def _trace_perm(scene, origin, direction, active=None, first=None):
     """Stable coherence sort for a trace phase: [inactive-last |
-    direction octant | origin Morton]. Stability preserves pixel-tile
-    order within equal keys. Inactive lanes (shadow rays whose NEE sample
-    is unusable) compact to the tail so whole 128-lane rows retire
-    instead of idling inside mixed rows."""
+    candidates-first | direction octant | origin Morton]. Stability
+    preserves pixel-tile order within equal keys. Inactive lanes (shadow
+    rays whose NEE sample is unusable) compact to the tail so whole
+    128-lane rows retire instead of idling inside mixed rows; ``first``
+    lanes (alpha-tree candidates) compact to the HEAD so the alpha leg
+    can run on a static prefix slice instead of the whole wavefront."""
     key = (
         (direction[0] >= 0).astype(jnp.int32)
         | ((direction[1] >= 0).astype(jnp.int32) << 1)
@@ -419,9 +421,46 @@ def _trace_perm(scene, origin, direction, active=None):
                          0, 31)
             m = m | (_spread3(q) << i)
         key = (key << 15) | m
+    if first is not None:
+        key = key | jnp.where(first, 0, jnp.int32(1) << 18)
     if active is not None:
         key = key | jnp.where(active, 0, jnp.int32(1) << 19)
     return jnp.argsort(key, stable=True)
+
+
+def _alpha_candidates(scene, origin, direction, cap):
+    """Lanes whose segment [T_MIN, cap] can touch alpha-tested geometry:
+    elementwise slab tests against the (few) alpha cluster AABBs
+    (scene.alpha_boxes). A miss here PROVES the alpha tree is
+    irrelevant for the lane."""
+    boxes = scene.alpha_boxes
+    k = boxes.shape[0]
+    inv = []
+    for i in range(3):
+        tiny = jnp.abs(direction[i]) < 1e-20
+        inv.append(jnp.where(tiny, 1e20,
+                             1.0 / jnp.where(tiny, 1.0, direction[i])))
+    out = jnp.zeros(origin[0].shape, bool)
+    for b in range(k):
+        tn = jnp.full(origin[0].shape, 1e-4, jnp.float32)
+        tf = cap
+        for i in range(3):
+            t0 = (boxes[b, i] - origin[i]) * inv[i]
+            t1 = (boxes[b, i + 3] - origin[i]) * inv[i]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        out = out | (tn <= tf)
+    return out
+
+
+def _alpha_prefix_budget(p: int) -> int:
+    """Static prefix length for the compacted alpha leg: a quarter of
+    the wavefront, packet-aligned (2048 lanes), min one packet."""
+    blk = TILE_W * TILE_H
+    if p <= 4 * blk:
+        return p
+    b = max(blk, (p // 4 // blk) * blk)
+    return b
 
 
 def _perm_rows(perm, arrays):
@@ -462,19 +501,72 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
     (.at[].set) fuse into multi-ms serial ops on TPU, gathers don't —
     and both directions pack all arrays into one row gather each
     (:func:`_perm_rows`)."""
+    p_ = origin[0].shape[0]
+    split = alpha_rounds > 0 and getattr(scene, "bvh_alpha", None) is not None
     ins = list(origin) + list(direction)
     act = None
+    cap0 = None
     if t_max is not None:
-        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
-                               origin[0].shape)
-        ins.append(cap)
-        act = cap > 0.0  # negative cap = lane culled by the caller
-    perm = _trace_perm(scene, origin, direction, active=act)
+        cap0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                origin[0].shape)
+        ins.append(cap0)
+        act = cap0 > 0.0  # negative cap = lane culled by the caller
+    cand = None
+    if split:
+        # alpha-leg candidates sort to the HEAD: the (expensive per-lane)
+        # alpha re-test runs on a static prefix slice only
+        seg_cap = (cap0 if cap0 is not None
+                   else jnp.full((p_,), np.inf, jnp.float32))
+        cand = _alpha_candidates(scene, origin, direction, seg_cap)
+        if act is not None:
+            cand = cand & act
+    perm = _trace_perm(scene, origin, direction, active=act, first=cand)
     inv = jnp.argsort(perm)
-    s = _perm_rows(perm, ins)
+    s = _perm_rows(perm, ins + ([cand] if cand is not None else []))
     o, d = tuple(s[0:3]), tuple(s[3:6])
     cap = s[6] if t_max is not None else None
-    hit = trace_alpha(scene, o, d, cap, alpha_rounds)
+    if not split:
+        hit = trace_alpha(scene, o, d, cap, alpha_rounds)
+    else:
+        cand_s = s[-1]
+        # opaque geometry: ONE plain closest-hit pass, full width
+        if scene.bvh_opaque is not None:
+            hit_o = accel.closest_hit_soa_auto(scene.bvh_opaque, o, d, cap)
+            hit_o = _remap_hit(hit_o, scene.bvh_opaque_map)
+        else:
+            hit_o = _miss_hit(p_)
+        cap_full = (cap if cap is not None
+                    else jnp.full((p_,), np.inf, jnp.float32))
+        cap_a = jnp.minimum(cap_full, hit_o["t"] + 1e-4)
+        cap_a = jnp.where(cand_s, cap_a, -1.0)
+        b = _alpha_prefix_budget(p_)
+        overflow = cand_s.sum() > jnp.int32(b)
+
+        def prefix_leg(_):
+            ha = _alpha_tree_closest(
+                scene, tuple(c[:b] for c in o), tuple(c[:b] for c in d),
+                cap_a[:b], alpha_rounds)
+            miss = _miss_hit(p_ - b)
+            return {k: jnp.concatenate([ha[k], miss[k]]) for k in
+                    ("t", "tri", "u", "v")}
+
+        def full_leg(_):
+            return _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)
+
+        if b >= p_:
+            hit_a = full_leg(None)
+        else:
+            hit_a = jax.lax.cond(overflow, full_leg, prefix_leg, None)
+        use_a = hit_a["t"] < hit_o["t"]
+        hit = {k: jnp.where(use_a, hit_a[k], hit_o[k])
+               for k in ("t", "tri", "u", "v")}
+        if cap is not None:
+            beyond = hit["t"] > cap
+            hit = {
+                "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+                "tri": jnp.where(beyond, -1, hit["tri"]),
+                "u": hit["u"], "v": hit["v"],
+            }
     keys = list(hit)  # keys drive the unsort: new hit fields ride along
     return dict(zip(keys, _perm_rows(inv, [hit[k] for k in keys])))
 
@@ -492,22 +584,43 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
                                 t_max=jnp.where(active, t_max, -1.0),
                                 alpha_rounds=alpha_rounds)
         return sh["tri"] >= 0
-    perm = _trace_perm(scene, origin, direction, active=active)
-    inv = jnp.argsort(perm)
+    p_ = origin[0].shape[0]
     cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            origin[0].shape)
-    s = _perm_rows(perm, list(origin) + list(direction) + [cap, active])
-    o, d, cap_s, act = tuple(s[0:3]), tuple(s[3:6]), s[6], s[7]
+    cand = _alpha_candidates(scene, origin, direction,
+                             jnp.where(active, cap, -1.0)) & active
+    perm = _trace_perm(scene, origin, direction, active=active,
+                       first=cand)
+    inv = jnp.argsort(perm)
+    s = _perm_rows(perm, list(origin) + list(direction)
+                   + [cap, active, cand])
+    o, d, cap_s, act, cand_s = (tuple(s[0:3]), tuple(s[3:6]), s[6], s[7],
+                                s[8])
     if scene.bvh_opaque is not None:
         blocked = accel.any_hit_soa_auto(scene.bvh_opaque, o, d, cap_s,
                                          active=act)
     else:
         blocked = jnp.zeros_like(act)
-    probe = act & ~blocked
-    hit_a = _alpha_tree_closest(scene, o, d,
-                                jnp.where(probe, cap_s, -1.0),
-                                alpha_rounds)
-    blocked = blocked | (probe & (hit_a["tri"] >= 0))
+    probe = act & ~blocked & cand_s
+    cap_a = jnp.where(probe, cap_s, -1.0)
+    b = _alpha_prefix_budget(p_)
+    overflow = cand_s.sum() > jnp.int32(b)
+
+    def prefix_leg(_):
+        ha = _alpha_tree_closest(
+            scene, tuple(c[:b] for c in o), tuple(c[:b] for c in d),
+            cap_a[:b], alpha_rounds)
+        pad = jnp.full((p_ - b,), -1, jnp.int32)
+        return jnp.concatenate([ha["tri"], pad])
+
+    def full_leg(_):
+        return _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)["tri"]
+
+    if b >= p_:
+        tri_a = full_leg(None)
+    else:
+        tri_a = jax.lax.cond(overflow, full_leg, prefix_leg, None)
+    blocked = blocked | (probe & (tri_a >= 0))
     return blocked[inv]
 
 

@@ -98,6 +98,11 @@ _SCENE_FIELDS = (
     "bvh_opaque_map",  # (No,) int32 | None
     "bvh_alpha",  # ChunkedBVH | None
     "bvh_alpha_map",  # (Na,) int32 | None
+    "alpha_boxes",  # (K, 6) f32 AABBs of the alpha-tested instance
+    #                 clusters (contiguous original-order runs) | None.
+    #                 Cheap elementwise prefilter: lanes whose segment
+    #                 misses every box skip the alpha tree entirely
+    #                 (integrator trace sort packs candidates first)
     "tri_attr",  # (N, 33) fused shading attributes, see ATTR_*
     "tri_material",  # (N,) int32
     # geometry in original (pre-BVH) order, for area-light sampling
@@ -550,7 +555,8 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
     from glaze_tpu.accel.bvh import SENTINEL
 
     none = {"bvh_opaque": None, "bvh_opaque_map": None,
-            "bvh_alpha": None, "bvh_alpha_map": None}
+            "bvh_alpha": None, "bvh_alpha_map": None,
+            "alpha_boxes": None}
     n = tri_pos.shape[0]
     if n == 0:
         return none
@@ -580,8 +586,33 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
     sel_o = np.nonzero(~has_alpha)[0]
     t_a, m_a = subset(sel_a)
     t_o, m_o = subset(sel_o)
+
+    # cluster AABBs: contiguous original-order runs of alpha triangles
+    # (instances are contiguous ranges), merged down to <= 64 boxes
+    runs = []
+    start = None
+    for i in range(n + 1):
+        a = has_alpha[i] if i < n else False
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            runs.append((start, i))
+            start = None
+    boxes = []
+    for lo, hi in runs:
+        t = tri_pos[lo:hi]
+        boxes.append(np.concatenate([t.reshape(-1, 3).min(0),
+                                     t.reshape(-1, 3).max(0)]))
+    boxes = np.asarray(boxes, np.float32)
+    while boxes.shape[0] > 64:  # merge adjacent pairs
+        k = boxes.shape[0] // 2 * 2
+        merged = np.concatenate([
+            np.minimum(boxes[0:k:2, :3], boxes[1:k:2, :3]),
+            np.maximum(boxes[0:k:2, 3:], boxes[1:k:2, 3:])], axis=1)
+        boxes = np.concatenate([merged, boxes[k:]], axis=0)
     return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
-            "bvh_alpha": t_a, "bvh_alpha_map": m_a}
+            "bvh_alpha": t_a, "bvh_alpha_map": m_a,
+            "alpha_boxes": jnp.asarray(boxes)}
 
 
 def flatten_scene(parsed):
