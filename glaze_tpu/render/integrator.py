@@ -453,16 +453,6 @@ def _alpha_candidates(scene, origin, direction, cap):
     return out
 
 
-def _alpha_prefix_budget(p: int) -> int:
-    """Static prefix length for the compacted alpha leg: a quarter of
-    the wavefront, packet-aligned (2048 lanes), min one packet."""
-    blk = TILE_W * TILE_H
-    if p <= 4 * blk:
-        return p
-    b = max(blk, (p // 4 // blk) * blk)
-    return b
-
-
 def _perm_rows(perm, arrays):
     """Applies ``perm`` to many (R,) arrays with ONE (R, K) row gather.
 
@@ -513,14 +503,16 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
         act = cap0 > 0.0  # negative cap = lane culled by the caller
     cand = None
     if split:
-        # alpha-leg candidates sort to the HEAD: the (expensive per-lane)
-        # alpha re-test runs on a static prefix slice only
+        # alpha-leg candidate mask: lanes whose segment misses every
+        # alpha cluster AABB carry cap -1 into the alpha leg (their
+        # rows retire immediately); the sort stays pure Morton so the
+        # OPAQUE walk keeps full coherence
         seg_cap = (cap0 if cap0 is not None
                    else jnp.full((p_,), np.inf, jnp.float32))
         cand = _alpha_candidates(scene, origin, direction, seg_cap)
         if act is not None:
             cand = cand & act
-    perm = _trace_perm(scene, origin, direction, active=act, first=cand)
+    perm = _trace_perm(scene, origin, direction, active=act)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, ins + ([cand] if cand is not None else []))
     o, d = tuple(s[0:3]), tuple(s[3:6])
@@ -539,24 +531,12 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
                     else jnp.full((p_,), np.inf, jnp.float32))
         cap_a = jnp.minimum(cap_full, hit_o["t"] + 1e-4)
         cap_a = jnp.where(cand_s, cap_a, -1.0)
-        b = _alpha_prefix_budget(p_)
-        overflow = cand_s.sum() > jnp.int32(b)
-
-        def prefix_leg(_):
-            ha = _alpha_tree_closest(
-                scene, tuple(c[:b] for c in o), tuple(c[:b] for c in d),
-                cap_a[:b], alpha_rounds)
-            miss = _miss_hit(p_ - b)
-            return {k: jnp.concatenate([ha[k], miss[k]]) for k in
-                    ("t", "tri", "u", "v")}
-
-        def full_leg(_):
-            return _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)
-
-        if b >= p_:
-            hit_a = full_leg(None)
-        else:
-            hit_a = jax.lax.cond(overflow, full_leg, prefix_leg, None)
+        # full width, candidates sorted to the head, non-candidates
+        # culled (cap -1): their rows retire immediately. (A static
+        # prefix slice behind lax.cond measured ~6x SLOWER through this
+        # stack — Pallas calls inside conditionals fall off the fast
+        # path — so the leg stays unconditional.)
+        hit_a = _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)
         use_a = hit_a["t"] < hit_o["t"]
         hit = {k: jnp.where(use_a, hit_a[k], hit_o[k])
                for k in ("t", "tri", "u", "v")}
@@ -589,8 +569,7 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
                            origin[0].shape)
     cand = _alpha_candidates(scene, origin, direction,
                              jnp.where(active, cap, -1.0)) & active
-    perm = _trace_perm(scene, origin, direction, active=active,
-                       first=cand)
+    perm = _trace_perm(scene, origin, direction, active=active)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, list(origin) + list(direction)
                    + [cap, active, cand])
@@ -603,23 +582,8 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
         blocked = jnp.zeros_like(act)
     probe = act & ~blocked & cand_s
     cap_a = jnp.where(probe, cap_s, -1.0)
-    b = _alpha_prefix_budget(p_)
-    overflow = cand_s.sum() > jnp.int32(b)
-
-    def prefix_leg(_):
-        ha = _alpha_tree_closest(
-            scene, tuple(c[:b] for c in o), tuple(c[:b] for c in d),
-            cap_a[:b], alpha_rounds)
-        pad = jnp.full((p_ - b,), -1, jnp.int32)
-        return jnp.concatenate([ha["tri"], pad])
-
-    def full_leg(_):
-        return _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)["tri"]
-
-    if b >= p_:
-        tri_a = full_leg(None)
-    else:
-        tri_a = jax.lax.cond(overflow, full_leg, prefix_leg, None)
+    # full width, unconditional (see trace_alpha_sorted note on lax.cond)
+    tri_a = _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)["tri"]
     blocked = blocked | (probe & (tri_a >= 0))
     return blocked[inv]
 
@@ -652,19 +616,65 @@ def _miss_hit(r):
             "tri": jnp.full((r,), -1, jnp.int32), "u": z, "v": z}
 
 
+def _hit_alpha_tree(scene, hit):
+    """Opacity at an ALPHA-TREE hit (slot ids, pre-remap): one fused
+    (R, 10) attribute gather + one atlas quad gather — the whole-scene
+    path's three separate table gathers (tri_attr 34-col, mat_tex,
+    atlas meta) fold into alpha_attr at flatten time. Math identical to
+    _hit_alpha/sample_r (bilinear .r with sRGB decode)."""
+    slot = jnp.maximum(hit["tri"], 0)
+    a = scene.alpha_attr[slot]
+    bu = hit["u"]
+    bv = hit["v"]
+    bw = 1.0 - bu - bv
+    u = bw * a[:, 0] + bu * a[:, 2] + bv * a[:, 4]
+    v = bw * a[:, 1] + bu * a[:, 3] + bv * a[:, 5]
+    w = a[:, 7]
+    h = a[:, 8]
+    srgb = a[:, 9] > 0.5
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    x0i = jnp.remainder(x0.astype(jnp.int32), wi)
+    y0i = jnp.remainder(y0.astype(jnp.int32), hi)
+    quad = scene.atlas.texels[a[:, 6].astype(jnp.int32) + y0i * wi + x0i]
+    sc = jnp.float32(1.0 / 255.0)
+
+    def tap(k):
+        r = (quad[:, k].astype(jnp.uint32) & jnp.uint32(0xFF))             .astype(jnp.float32) * sc
+        return jnp.where(srgb, tx.srgb_to_linear(r), r)
+
+    c00, c10, c01, c11 = tap(0), tap(1), tap(2), tap(3)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
     """Closest ACCEPTED (opacity >= 0.5) hit inside the small alpha tree
     (global tri ids; t=inf / tri=-1 when none within ``cap``). The
     re-trace rounds run here — against the handful of alpha-tested
-    triangles — instead of the whole scene."""
+    triangles — and the per-round opacity test costs two row gathers
+    (_hit_alpha_tree); slot->global remapping happens ONCE at exit."""
     r = origin[0].shape[0]
     hit = accel.closest_hit_soa_auto(scene.bvh_alpha, origin, direction,
                                      cap)
-    hit = _remap_hit(hit, scene.bvh_alpha_map)
+    fast = getattr(scene, "alpha_attr", None) is not None
     o = origin
     offset = jnp.zeros((r,), jnp.float32)
     for _ in range(alpha_rounds):
-        alpha = _hit_alpha(scene, hit)
+        if fast:
+            alpha = _hit_alpha_tree(scene, hit)
+        else:
+            alpha = _hit_alpha(scene, _remap_hit(hit,
+                                                 scene.bvh_alpha_map))
         transparent = (hit["tri"] >= 0) & (alpha < 0.5)
         step = jnp.where(transparent, hit["t"] - offset + 1e-3, 0.0)
         o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
@@ -672,7 +682,6 @@ def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
         re_cap = jnp.where(transparent, cap - offset, -1.0)
         rehit = accel.closest_hit_soa_auto(scene.bvh_alpha, o, direction,
                                            re_cap)
-        rehit = _remap_hit(rehit, scene.bvh_alpha_map)
         hit = {
             "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),
             "tri": jnp.where(transparent, rehit["tri"], hit["tri"]),
@@ -680,11 +689,12 @@ def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
             "v": jnp.where(transparent, rehit["v"], hit["v"]),
         }
     beyond = hit["t"] > cap
-    return {
+    hit = {
         "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
         "tri": jnp.where(beyond, -1, hit["tri"]),
         "u": hit["u"], "v": hit["v"],
     }
+    return _remap_hit(hit, scene.bvh_alpha_map)
 
 
 def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):

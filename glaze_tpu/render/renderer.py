@@ -183,10 +183,13 @@ class RayTraceRenderer:
         self._dn_prev = None
         self._refresh_alpha_rounds()
 
-    # alpha-tested transparency costs extra trace rounds; only enabled when
-    # some material actually has an opacity map (rahit/OPAQUE-flag parity,
-    # acceleration.rs:137-141)
-    _ALPHA_ROUNDS = 4
+    # alpha-tested transparency costs extra re-test rounds in the alpha
+    # tree; only enabled when some material actually has an opacity map
+    # (rahit/OPAQUE-flag parity, acceleration.rs:137-141). Two rounds
+    # resolve up to two stacked transparent boundary layers per segment
+    # — a third layer is treated opaque (each round costs two full-width
+    # row gathers + a culled trace; GLAZE_ALPHA_ROUNDS overrides)
+    _ALPHA_ROUNDS = int(os.environ.get("GLAZE_ALPHA_ROUNDS", "2"))
 
     def _alpha_tri_mask(self):
         """Per-ORIGINAL-tri 'material has an opacity map' mask, from the

@@ -98,6 +98,13 @@ _SCENE_FIELDS = (
     "bvh_opaque_map",  # (No,) int32 | None
     "bvh_alpha",  # ChunkedBVH | None
     "bvh_alpha_map",  # (Na,) int32 | None
+    "alpha_attr",  # (Na, 10) f32 fused alpha-test attributes per
+    #                ALPHA-TREE slot: uv0/uv1/uv2 (6), atlas texel
+    #                offset, width, height, srgb flag — the re-test
+    #                loop's opacity lookup is ONE row gather here plus
+    #                one atlas quad gather (gather cost is per ROW, so
+    #                fusing the three separate tables halves the
+    #                dominant per-round cost) | None
     "alpha_boxes",  # (K, 6) f32 AABBs of the alpha-tested instance
     #                 clusters (contiguous original-order runs) | None.
     #                 Cheap elementwise prefilter: lanes whose segment
@@ -541,29 +548,114 @@ class HostSceneData(NamedTuple):
     tri_order: object = None
 
 
+def _classify_alpha_tris(tri_uv, tri_idx, tex):
+    """EXACT per-triangle opacity classification against a Gray opacity
+    texture: a bilinear sample is a convex combination of its 4 texels,
+    so a triangle whose uv footprint (+1 texel bilinear support) covers
+    only texels >= 128 is opaque EVERYWHERE on the triangle, only
+    texels <= 127 transparent everywhere; anything else is MIXED and
+    keeps the runtime alpha re-test. Returns int8 codes per tri:
+    0 = mixed, 1 = opaque, 2 = transparent."""
+    from glaze_tpu.core.texture import TextureFormat
+
+    arr = tex.array(0)
+    if arr.ndim == 3:  # alpha-in-gray convention: sample_r reads .r
+        arr = arr[..., 0]
+    h, w = arr.shape
+    # the runtime test is sample_r(...) < 0.5 AFTER any sRGB decode
+    # (ops/texture.py): the decode is monotonic, so the texel threshold
+    # is its inverse image — 128 raw for Gray/Norm, 188 for sRGB
+    thr = 188 if tex.format() == TextureFormat.RgbaSrgb else 128
+    opaque_t = (arr >= thr)
+    # integral image with one row/col of zeros in front
+    ii = np.zeros((h + 1, w + 1), np.int64)
+    ii[1:, 1:] = opaque_t.cumsum(0).cumsum(1)
+
+    def count(y0, y1, x0, x1):
+        """# opaque texels in rows [y0, y1) x cols [x0, x1), wrapped."""
+        total = 0
+        area = 0
+        for ya, yb in _wrap_ranges(y0, y1, h):
+            for xa, xb in _wrap_ranges(x0, x1, w):
+                total += (ii[yb, xb] - ii[ya, xb] - ii[yb, xa]
+                          + ii[ya, xa])
+                area += (yb - ya) * (xb - xa)
+        return total, area
+
+    codes = np.zeros(tri_idx.shape[0], np.int8)
+    uvs = tri_uv[tri_idx]  # (K, 3, 2)
+    # texel-space footprints (bilinear support: -0.5 offset, +1 margin)
+    xs = uvs[..., 0] * w - 0.5
+    ys = uvs[..., 1] * h - 0.5
+    x0 = np.floor(xs.min(1)).astype(np.int64)
+    x1 = np.floor(xs.max(1)).astype(np.int64) + 2
+    y0 = np.floor(ys.min(1)).astype(np.int64)
+    y1 = np.floor(ys.max(1)).astype(np.int64) + 2
+    wide = ((x1 - x0) >= w) | ((y1 - y0) >= h)
+    for k in range(tri_idx.shape[0]):
+        if wide[k]:
+            continue  # footprint wraps the whole texture: mixed
+        total, area = count(y0[k], y1[k], x0[k], x1[k])
+        if total == area:
+            codes[k] = 1
+        elif total == 0:
+            codes[k] = 2
+    return codes
+
+
+def _wrap_ranges(a, b, n):
+    """[a, b) modulo n as at most two in-bounds ranges (b - a < n)."""
+    a_m = a % n
+    span = b - a
+    if a_m + span <= n:
+        return [(a_m, a_m + span)]
+    return [(a_m, n), (0, a_m + span - n)]
+
+
 def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
-                      sentinel_rows):
+                      sentinel_rows, tri_uv=None, textures=None,
+                      atlas=None):
     """Opaque/alpha tree split (acceleration.rs:137-141 OPAQUE-flag
-    parity): returns the four bvh_opaque/bvh_alpha DeviceScene fields.
+    parity): returns the five bvh_opaque/bvh_alpha/alpha_boxes
+    DeviceScene fields.
 
     ``tri_pos``: (N, 3, 3) ORIGINAL-order world triangles; ``tri_mat``:
     (N,) material ids; ``mat_tex``: (M, 5) texture table (opacity slot
     MT_OPACITY); ``full_order``/``sentinel_rows``: the full tree's leaf
     permutation, used to remap subset-tree slots to the full tree's
-    attribute rows."""
+    attribute rows. With ``tri_uv``/``textures``, alpha-material
+    triangles are first CLASSIFIED exactly (see _classify_alpha_tris):
+    provably-opaque ones join the opaque tree, provably-transparent
+    ones are dropped, and only the mixed boundary triangles pay the
+    runtime re-test — typically a small fraction for the mostly-binary
+    opacity maps real scenes carry."""
     from glaze_tpu.accel import build_bvh_chunked
     from glaze_tpu.accel.bvh import SENTINEL
 
     none = {"bvh_opaque": None, "bvh_opaque_map": None,
             "bvh_alpha": None, "bvh_alpha_map": None,
-            "alpha_boxes": None}
+            "alpha_boxes": None, "alpha_attr": None}
     n = tri_pos.shape[0]
     if n == 0:
         return none
-    opac_mat = np.asarray(mat_tex)[:, MT_OPACITY] != 0
-    has_alpha = opac_mat[np.asarray(tri_mat, np.int64)]
+    tri_mat = np.asarray(tri_mat, np.int64)
+    opac_tex = np.asarray(mat_tex)[:, MT_OPACITY]
+    has_alpha = (opac_tex != 0)[tri_mat]
     if not has_alpha.any():
         return none
+
+    dropped = np.zeros(n, bool)
+    if tri_uv is not None and textures is not None:
+        for t in np.unique(opac_tex[opac_tex != 0]):
+            sel = np.nonzero(has_alpha & (opac_tex[tri_mat] == t))[0]
+            if sel.size == 0 or int(t) >= len(textures):
+                continue
+            codes = _classify_alpha_tris(tri_uv, sel, textures[int(t)])
+            has_alpha[sel[codes == 1]] = False  # provably opaque
+            dropped[sel[codes == 2]] = True     # provably transparent
+        has_alpha = has_alpha & ~dropped
+        if not has_alpha.any() and not dropped.any():
+            return none
 
     # full-tree row of each ORIGINAL tri id
     inv_full = np.zeros(n, np.int64)
@@ -572,7 +664,7 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
 
     def subset(sel):
         if sel.size == 0:
-            return None, None
+            return None, None, None
         tree, order_s = build_bvh_chunked(
             np.ascontiguousarray(tri_pos[sel]))
         order_s = np.asarray(order_s)
@@ -580,39 +672,67 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
         local = np.where(sent, 0, order_s).astype(np.int64)
         m = inv_full[sel[local]].astype(np.int32)
         m = np.where(sent, 0, m)  # sentinel slots: degenerate, never hit
-        return tree, jnp.asarray(m)
+        return tree, jnp.asarray(m), sel[local]
 
     sel_a = np.nonzero(has_alpha)[0]
-    sel_o = np.nonzero(~has_alpha)[0]
-    t_a, m_a = subset(sel_a)
-    t_o, m_o = subset(sel_o)
+    sel_o = np.nonzero(~(has_alpha | dropped))[0]
+    t_a, m_a, orig_a = subset(sel_a)
+    t_o, m_o, _ = subset(sel_o)
+    if t_a is None:
+        # classification emptied the re-test set (fully binary opacity
+        # away from hole boundaries is impossible — boundaries are
+        # always mixed — but a fully-opaque or fully-transparent map is)
+        return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
+                "bvh_alpha": None, "bvh_alpha_map": None,
+                "alpha_boxes": None, "alpha_attr": None}
 
-    # cluster AABBs: contiguous original-order runs of alpha triangles
-    # (instances are contiguous ranges), merged down to <= 64 boxes
-    runs = []
-    start = None
-    for i in range(n + 1):
-        a = has_alpha[i] if i < n else False
-        if a and start is None:
-            start = i
-        elif not a and start is not None:
-            runs.append((start, i))
-            start = None
-    boxes = []
-    for lo, hi in runs:
-        t = tri_pos[lo:hi]
-        boxes.append(np.concatenate([t.reshape(-1, 3).min(0),
-                                     t.reshape(-1, 3).max(0)]))
-    boxes = np.asarray(boxes, np.float32)
-    while boxes.shape[0] > 64:  # merge adjacent pairs
-        k = boxes.shape[0] // 2 * 2
-        merged = np.concatenate([
-            np.minimum(boxes[0:k:2, :3], boxes[1:k:2, :3]),
-            np.maximum(boxes[0:k:2, 3:], boxes[1:k:2, 3:])], axis=1)
-        boxes = np.concatenate([merged, boxes[k:]], axis=0)
+    # cluster AABBs over the MIXED set for the elementwise candidate
+    # prefilter: spatial median splits down to <= 64 tight boxes
+    cent = tri_pos[sel_a].mean(axis=1)
+    groups = [sel_a]
+    while len(groups) < 64:
+        sizes = []
+        for g in groups:
+            ext = (tri_pos[g].reshape(-1, 3).max(0)
+                   - tri_pos[g].reshape(-1, 3).min(0))
+            sizes.append(float(ext.max()) if g.size else 0.0)
+        i = int(np.argmax(sizes))
+        g = groups[i]
+        if g.size < 32 or sizes[i] <= 0.0:
+            break
+        c = cent[np.searchsorted(sel_a, g)]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        med = np.median(c[:, axis])
+        left = g[c[:, axis] <= med]
+        right = g[c[:, axis] > med]
+        if left.size == 0 or right.size == 0:
+            break
+        groups[i] = left
+        groups.append(right)
+    boxes = np.asarray([
+        np.concatenate([tri_pos[g].reshape(-1, 3).min(0),
+                        tri_pos[g].reshape(-1, 3).max(0)])
+        for g in groups if g.size], np.float32)
+
+    # fused alpha-test attributes per ALPHA-TREE slot (see _SCENE_FIELDS)
+    attr = None
+    if tri_uv is not None and atlas is not None:
+        na = orig_a.shape[0]
+        attr = np.zeros((na, 10), np.float32)
+        attr[:, 0:6] = tri_uv[orig_a].reshape(na, 6)
+        tex_ids = opac_tex[tri_mat[orig_a]].astype(np.int64)
+        off = np.asarray(atlas.offset)
+        wid = np.asarray(atlas.width)
+        hei = np.asarray(atlas.height)
+        srgb = np.asarray(atlas.srgb)
+        attr[:, 6] = off[tex_ids].astype(np.float32)
+        attr[:, 7] = wid[tex_ids].astype(np.float32)
+        attr[:, 8] = hei[tex_ids].astype(np.float32)
+        attr[:, 9] = srgb[tex_ids]
+        attr = jnp.asarray(attr)
     return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
             "bvh_alpha": t_a, "bvh_alpha_map": m_a,
-            "alpha_boxes": jnp.asarray(boxes)}
+            "alpha_boxes": jnp.asarray(boxes), "alpha_attr": attr}
 
 
 def flatten_scene(parsed):
@@ -702,11 +822,12 @@ def flatten_scene(parsed):
     order = np.where(sentinel_rows, 0, order).astype(np.int64)
 
     mats = flatten_materials(materials)
+    atlas = build_atlas(textures)
     split = build_alpha_split(tri_pos, tri_mat, mats["mat_tex"], order,
-                              sentinel_rows)
+                              sentinel_rows, tri_uv=tri_uv,
+                              textures=textures, atlas=atlas)
     lts = flatten_lights(lights, inst_mat, inst_first, inst_count)
     sky = build_sky_tables(lights, textures)
-    atlas = build_atlas(textures)
 
     camera = cameras[0] if cameras else None
 
