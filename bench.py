@@ -365,24 +365,29 @@ def main():
     if os.environ.get("GLAZE_BENCH_TTQ", "1") == "1":
         try:
             tw, th = 384, 216  # scale 0.2 of the 1080p frame
-            # target must sit WELL above the truth's own error floor
-            # (a 192-spp truth floors display-MSE around ~15-40 on
-            # scenes of this class — CPU ladder, tools/bench_coherent_
-            # quality.py); 60 is ~32-spp-quality on the bench scene
-            target = float(os.environ.get("GLAZE_TTMSE_TARGET", "60"))
+            # target sits between the 8-spp MSE (~35-50 here) and the
+            # 192-spp truth floor; r4 first-run ladders hit 60 on the
+            # first rung, so 30 with 4-spp rungs gives real resolution
+            target = float(os.environ.get("GLAZE_TTMSE_TARGET", "30"))
             tr = RayTraceRenderer(parsed, width=tw, height=th, seed=777)
             truth = np.asarray(tr.draw(192), float)
             del tr
 
             def time_to_mse(**kwargs):
+                # warm the executables first (fresh configs would bill
+                # their XLA compile to the first rung's wall time)
+                rw = RayTraceRenderer(parsed, width=tw, height=th,
+                                      seed=1, **kwargs)
+                rw.draw(4)
+                del rw
                 rr = RayTraceRenderer(parsed, width=tw, height=th,
                                       seed=int(rng.integers(1, 2**31)),
                                       **kwargs)
                 wall = 0.0
                 ladder = []
-                for _ in range(12):  # ≤96 spp
+                for _ in range(24):  # ≤96 spp in 4-spp rungs
                     t0 = time.perf_counter()
-                    img = rr.draw(8)
+                    img = rr.draw(4)
                     wall += time.perf_counter() - t0
                     mse = float(((np.asarray(img, float) - truth) ** 2)
                                 .mean())

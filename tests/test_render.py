@@ -282,6 +282,7 @@ def test_samples_in_flight_fold():
             for c in state.accum),
         count=jnp.asarray(np.asarray(state.count).reshape(3, p).sum(0)),
         path_no=state.path_no[:p],
+        sq=jnp.asarray(np.asarray(state.sq).reshape(3, p).sum(0)),
     )
     exposure = float(np.asarray(r3.scene.exposure))
     np.testing.assert_array_equal(
@@ -366,11 +367,16 @@ def test_sharded_launch_has_no_collectives():
     scene_sh = pmesh.place_replicated(scene, mesh)
     px, py = pmesh._placed_coords(mesh, 16, 16, P(pmesh.AXIS))
     specs = jax.tree.map(pmesh._pixel_spec, state)
-    impl = pmesh._pix_impl(mesh, specs, 16, 16, True, False, 2, 0, 0)
+    impl = pmesh._pix_impl(mesh, specs, 16, 16, True, False, 2, 0, 0,
+                           "pcg")
     seeds = jnp.zeros(2, jnp.uint32)
     offs = jnp.zeros((2, 2), jnp.float32)
+    lane_active = jax.device_put(
+        jnp.ones((integ.pixel_count(16, 16),), bool),
+        NamedSharding(mesh, P(pmesh.AXIS)))
     txt = impl.lower(scene_sh, state, seeds, offs, jnp.asarray(c2w),
-                     jnp.asarray(s2c), px, py).compile().as_text()
+                     jnp.asarray(s2c), px, py, jnp.uint32(0),
+                     lane_active).compile().as_text()
     for op in ("all-gather", "all-reduce", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in txt, f"collective {op!r} in the sharded hot loop"

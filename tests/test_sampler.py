@@ -126,12 +126,13 @@ def test_ld_checkpoint_and_legacy_shim(tmp_path):
     np.testing.assert_array_equal(np.asarray(r2._state.path_no),
                                   np.asarray(r._state.path_no))
 
-    # legacy: strip the path_no leaf and the sampler keys
+    # legacy (round-3) checkpoint: no sampler keys and neither of the
+    # two trailing leaves (path_no, sq)
     data = dict(np.load(path, allow_pickle=False))
     n = int(data["n_leaves"])
-    del data[f"leaf_{n - 1}"]
+    del data[f"leaf_{n - 1}"], data[f"leaf_{n - 2}"]
     del data["sampler"], data["sampler_seed"]
-    data["n_leaves"] = n - 1
+    data["n_leaves"] = n - 2
     legacy = str(tmp_path / "legacy.npz")
     np.savez_compressed(legacy, **data)
     r3 = RayTraceRenderer(_floor_scene(), width=8, height=8, seed=9,

@@ -36,12 +36,15 @@ LANES = 128
 
 
 def _make_kernel(dtype):
-    one = jnp.asarray(1.0, dtype)
+    import numpy as _np
+
+    one = _np.dtype(dtype).type(1.0) if dtype != jnp.bfloat16 else None
 
     def kernel(o_ref, i_ref, n_ref, out_ref):
         ox = o_ref[:]
         ix = i_ref[:]
-        t_cap = ox * one  # register-resident running cap
+        one_ = jnp.ones((), dtype)
+        t_cap = ox * one_  # register-resident running cap
 
         def body(k, carry):
             t_cap, acc = carry
@@ -54,8 +57,8 @@ def _make_kernel(dtype):
             # same registers the way the kernel's (8,128) blocks do.
             t0x = (b - ox) * ix
             t1x = (b + ox) * ix
-            t0y = (b - ox * one) * ix
-            t1y = (b + ox * one) * ix
+            t0y = (b - ox * one_) * ix
+            t1y = (b + ox * one_) * ix
             t0z = (b - ix) * ox
             t1z = (b + ix) * ox
             tn = jnp.maximum(
@@ -64,7 +67,12 @@ def _make_kernel(dtype):
             tf = jnp.minimum(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z))
-            hit = (tn <= tf) & (tf >= 0)
+            # boolean compares on PACKED bf16 don't lower in Mosaic
+            # (arith.cmpf on vector<8x128x2xbf16> fails); keep min/max
+            # in-dtype and do the two compares in f32 — the op mix
+            # stays representative
+            hit = (tn.astype(jnp.float32) <= tf.astype(jnp.float32)) \
+                & (tf.astype(jnp.float32) >= 0)
             acc = acc + hit.astype(dtype)
             t_cap = jnp.where(hit, jnp.minimum(t_cap, tf), t_cap)
             return t_cap, acc
@@ -86,8 +94,8 @@ def run(dtype, rows):
     fn = jax.jit(lambda o, i, n: pl.pallas_call(
         _make_kernel(dtype),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(o, i, n))
 
     # warm + fresh inputs per timed call (the tunnel dedupes identical
