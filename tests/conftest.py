@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent XLA cache aborts the process on corrupt/racy entries
+# (Fatal Python error inside compilation_cache reads — observed twice in
+# full-suite runs; app/cli tests enable the cache dir via their mains).
+# Tests pay the recompiles instead of risking a mid-suite hard abort.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 

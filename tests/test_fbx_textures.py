@@ -190,7 +190,7 @@ def test_fbx_textured_convert_and_render(tmp_path):
                        up=[0.0, 1.0, 0.0])))
     c2w, s2c = integ.camera_matrices(r.camera, 32, 32)
     chans = flat_pass(r.scene, np.asarray(c2w), np.asarray(s2c), 1.0,
-                      width=32, height=32, is_persp=True)
+                      np.float32(0.05), width=32, height=32, is_persp=True)
     fmap_px, fmap_py = integ.pixel_coords_np(32, 32)
     keep = (fmap_px < 32) & (fmap_py < 32)
     rgb = np.asarray(chans)[keep][:, :3]
