@@ -80,10 +80,10 @@ def build_parser():
     )
     p.add_argument(
         "--sampler", choices=("pcg", "ld"), default=None,
-        help="sub-pixel sampler: pcg = the reference's hash chain; ld = "
-             "per-pixel Owen-scrambled Sobol jitter (stratified camera "
-             "samples, lower MSE at equal time; composes with "
-             "--coherent). Default env GLAZE_SAMPLER or pcg",
+        help="sub-pixel sampler: ld = per-pixel Owen-scrambled Sobol "
+             "jitter (stratified camera samples, measured 1.33x faster "
+             "to the display-MSE target; the DEFAULT); pcg = the "
+             "reference's hash chain. Env GLAZE_SAMPLER overrides",
     )
     p.add_argument(
         "--adaptive", choices=("on", "off"), default=None,

@@ -107,7 +107,7 @@ class RayTraceRenderer:
         ``sampler``: 'pcg' (the reference's hash chain) or 'ld'
         (per-pixel Owen-scrambled Sobol sub-pixel jitter, ops/sobol.py
         — stratifies each pixel's camera samples; composes with every
-        coherent mode). Default env GLAZE_SAMPLER or 'pcg'.
+        coherent mode, SHIPPED DEFAULT). Env GLAZE_SAMPLER overrides.
 
         ``adaptive``: per-tile adaptive stopping in ``draw()`` —
         converged tiles (relative standard error below GLAZE_ADAPTIVE_TAU,
@@ -132,8 +132,13 @@ class RayTraceRenderer:
         self.exposure: Optional[float] = None  # None = scene meta exposure
         self.coherent = (default_coherent(interactive) if coherent is None
                          else integ.resolve_coherent(coherent))
+        # 'ld' (Owen-Sobol stratified jitter) is the shipped default
+        # since round 4: measured 1.33x faster to the display-MSE
+        # target on the bench scene (BENCH ttq segment), estimator-
+        # neutral by test; GLAZE_SAMPLER=pcg restores the reference's
+        # hash chain
         self.sampler = (sampler if sampler is not None
-                        else os.environ.get("GLAZE_SAMPLER", "pcg"))
+                        else os.environ.get("GLAZE_SAMPLER", "ld"))
         self.adaptive = bool(int(os.environ.get("GLAZE_ADAPTIVE", "1"))
                              if adaptive is None else adaptive)
         self.adaptive_tau = float(os.environ.get("GLAZE_ADAPTIVE_TAU",

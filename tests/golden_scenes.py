@@ -168,7 +168,8 @@ class MatRowScene:
         return Meta(scene_centre=[0, 1, 0], scene_radius=10.0, exposure=1.0)
 
 
-def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP, coherent=0):
+def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP, coherent=0,
+                  sampler="pcg"):
     """Renders the golden scene deterministically; returns (accum (P,3),
     count (P,)) raw accumulation plus the display image.
 
@@ -183,7 +184,7 @@ def render_golden(seed=GOLDEN_SEED, spp=GOLDEN_SPP, coherent=0):
 
     r = RayTraceRenderer(MatRowScene(), width=GOLDEN_W, height=GOLDEN_H,
                          integrator=Integrator.PATH_TRACE, seed=seed,
-                         coherent=coherent)
+                         coherent=coherent, sampler=sampler)
     img = r.draw(spp)
     accum = np.stack([np.asarray(jax.device_get(c))
                       for c in r._state.accum], -1)

@@ -96,3 +96,17 @@ def test_golden_coherent_within_noise_of_mode0(golden, mode):
     assert abs(ca.mean() - cg.mean()) < 0.03 * max(cg.mean(), 1e-6)
     mad = np.abs(ca - cg).mean()
     assert mad < 0.06, f"per-pixel MAD {mad} exceeds MC noise bound"
+
+
+def test_golden_exact_shipped_config():
+    """The FULL shipped sampling configuration — coherent frame chains +
+    Owen-Sobol 'ld' jitter (the round-4 defaults) — has its own pinned
+    golden: same-seed re-render reproduces the stored accumulation."""
+    path = GOLDEN.replace("matrow.npz", "matrow_ld.npz")
+    if not os.path.exists(path):
+        pytest.skip("ld golden not generated (tools/make_goldens.py)")
+    g = np.load(path)
+    accum, count, _ = gs.render_golden(seed=gs.GOLDEN_SEED, coherent=1,
+                                       sampler="ld")
+    np.testing.assert_array_equal(count, g["count"])
+    np.testing.assert_allclose(accum, g["accum"], rtol=2e-3, atol=2e-3)

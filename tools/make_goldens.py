@@ -29,9 +29,13 @@ def main():
     # one golden per sampling configuration: mode 0 (independent chains)
     # plus the SHIPPED coherent modes (1=frame offline default, 2=tile
     # interactive default) — each pins its exact accumulation bits
-    for mode, name in ((0, "matrow.npz"), (1, "matrow_coh1.npz"),
-                       (2, "matrow_coh2.npz")):
-        accum, count, img = gs.render_golden(coherent=mode)
+    for mode, name, sampler in (
+            (0, "matrow.npz", "pcg"), (1, "matrow_coh1.npz", "pcg"),
+            (2, "matrow_coh2.npz", "pcg"),
+            # the SHIPPED configuration: coherent frame + Owen-Sobol
+            (1, "matrow_ld.npz", "ld")):
+        accum, count, img = gs.render_golden(coherent=mode,
+                                             sampler=sampler)
         out = os.path.join(gdir, name)
         np.savez_compressed(out, accum=accum.astype(np.float32),
                             count=count.astype(np.float32),
