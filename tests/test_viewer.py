@@ -29,6 +29,10 @@ def server():
     with state.cond:
         state.cond.notify_all()
     srv.shutdown()
+    # JOIN the render thread: a live thread still dispatching XLA after
+    # this module would race every later test's compiles (rare
+    # full-suite segfaults pointed here)
+    t.join(timeout=300)
 
 
 def _get(url, timeout=120):
