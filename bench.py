@@ -94,7 +94,8 @@ def main():
     sif = int(os.environ.get("GLAZE_SIF", "1"))
     kw = dict(width=WIDTH, height=HEIGHT, is_persp=True, direct_only=False,
               steps=STEPS, alpha_rounds=r._alpha_rounds, sif=sif,
-              coherent=r.coherent)
+              coherent=r.coherent, sampler=r.sampler,
+              sampler_seed=jnp.uint32(r._sampler_seed))
     # fresh entropy per run: the TPU tunnel dedupes identical
     # (executable, inputs) pairs ACROSS PROCESSES, so a fixed seed makes
     # repeat runs of an unchanged build return cached results at ~0 ms
@@ -178,7 +179,8 @@ def main():
         px_, py_, rng_py = integ.sif_lanes(WIDTH, HEIGHT, sif)
         ckw = dict(is_persp=True, direct_only=False,
                    alpha_rounds=r._alpha_rounds, rng_py=rng_py,
-                   coherent=r.coherent)
+                   coherent=r.coherent, sampler=r.sampler,
+                   sampler_seed=jnp.uint32(r._sampler_seed))
 
         names = []  # filled at trace time (strings can't ride jit outputs)
 
@@ -428,6 +430,7 @@ def main():
         "sort": integ.SORT_MODE,
         "tree": os.environ.get("GLAZE_TREE", "classic"),
         "coherent": r.coherent,
+        "sampler": r.sampler,
         "alpha_rounds": r._alpha_rounds,
         **phases,
         **sharded,
