@@ -138,7 +138,7 @@ def main(argv=None):
         seed=args.seed, samples_in_flight=args.sif,
         mesh="auto" if args.mesh else None,
         coherent=args.coherent,  # None -> shipped default ('frame')
-        sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'pcg'
+        sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'ld'
         adaptive=(None if args.adaptive is None
                   else args.adaptive == "on"),
     )

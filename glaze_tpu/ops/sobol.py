@@ -103,6 +103,15 @@ def seed_keys(pixel_key, domain):
 
 
 _INV32 = np.float32(2.3283064365386963e-10)  # 2^-32
+# uint32 * 2^-32 in float32 ROUNDS: lanes >= 0xFFFFFF80 land on exactly
+# 1.0, violating the [0, 1) contract (the ld jitter would bleed into the
+# neighboring pixel and 1.0 draws reach light/BSDF sampling). Clamp to
+# one-minus-epsilon as pbrt does.
+_ONE_MINUS_EPS = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+def _to_unit(x):
+    return jnp.minimum(x.astype(jnp.float32) * _INV32, _ONE_MINUS_EPS)
 
 
 def sobol02(index, pixel_key, domain: int):
@@ -122,7 +131,7 @@ def sobol02(index, pixel_key, domain: int):
         y = y ^ jnp.where((j >> k) & 1, jnp.uint32(_V2[k]), jnp.uint32(0))
     u = nested_uniform_scramble(x, s_u)
     v = nested_uniform_scramble(y, s_v)
-    return u.astype(jnp.float32) * _INV32, v.astype(jnp.float32) * _INV32
+    return _to_unit(u), _to_unit(v)
 
 
 def sobol1(index, pixel_key, domain: int):
@@ -131,4 +140,4 @@ def sobol1(index, pixel_key, domain: int):
     s_shuf, s_u, _ = seed_keys(pixel_key, domain)
     j = nested_uniform_scramble(index.astype(jnp.uint32), s_shuf)
     u = nested_uniform_scramble(reverse_bits(j), s_u)
-    return u.astype(jnp.float32) * _INV32
+    return _to_unit(u)

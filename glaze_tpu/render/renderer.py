@@ -21,6 +21,9 @@ import numpy as np
 from glaze_tpu.core import Camera
 from glaze_tpu.render import integrator as integ
 from glaze_tpu.render.scheduler import WorkScheduler
+from glaze_tpu.utils.log import get_logger
+
+log = get_logger("renderer")
 
 
 class Integrator(enum.Enum):
@@ -115,8 +118,9 @@ class RayTraceRenderer:
         park so wall time concentrates on the tiles still carrying
         noise (integrator.adaptive_lane_mask). Per-pixel estimates are
         unchanged — pixels keep their own counts and stop only at path
-        boundaries. Default env GLAZE_ADAPTIVE or ON; not yet applied
-        under ``mesh``."""
+        boundaries. Default env GLAZE_ADAPTIVE (offline default per the
+        r5 multi-scene time-to-quality gate, docs/PERF_LOG.md); applies
+        under ``mesh`` too (the lane mask shards over the pixel axis)."""
         from glaze_tpu.scene import DeviceScene, flatten_scene
 
         self.host = None
@@ -668,13 +672,24 @@ class RayTraceRenderer:
         leaves = [jnp.asarray(data[f"leaf_{i}"])
                   for i in range(int(data["n_leaves"]))]
         cur_leaves, treedef = jax.tree.flatten(self._state)
+        shimmed = len(leaves) < len(cur_leaves)
         while len(leaves) < len(cur_leaves):
             # older checkpoint: the trailing leaves (path_no, sq) are
             # newer additions — resume with zeros (the LD stratification
-            # restarts and the adaptive variance statistic re-warms; the
-            # estimator itself is unaffected)
+            # restarts; the estimator itself is unaffected)
             leaves.append(jnp.zeros_like(cur_leaves[len(leaves)]))
         self._state = jax.tree.unflatten(treedef, leaves)
+        if shimmed and self.adaptive:
+            # a zero-shimmed ``sq`` next to a large ``count`` makes
+            # tile_error read var = 0, so every tile would park
+            # PERMANENTLY on the first adaptive mask (parked lanes never
+            # accumulate sq, so the statistic cannot re-warm). Disable
+            # adaptive for this resumed render; the estimator is exact
+            # either way.
+            log.warning(
+                "checkpoint predates the adaptive variance statistic; "
+                "disabling adaptive sampling for this resumed render")
+            self.adaptive = False
         state = self._rng.bit_generator.state
         state["state"]["state"] = int(str(data["rng_state"]))
         state["state"]["inc"] = int(str(data["rng_inc"]))
