@@ -218,37 +218,44 @@ def main():
             phases["shadow_active_frac"] = round(
                 float(jnp.mean(bs["active"].astype(jnp.float32))), 3)
 
-    # Sharded path on the real device set (n=1 on a single chip — still
-    # proves the GSPMD executable compiles AND runs on TPU hardware,
-    # which the CPU multichip dryrun cannot; VERDICT r2 next #8).
-    # --mesh pix|spp selects the sharding mode; default pix.
+    # Sharded paths on the real device set (n=1 on a single chip — still
+    # proves the GSPMD executables compile AND run on TPU hardware,
+    # which the CPU multichip dryrun cannot; VERDICT r2 next #8). ALL
+    # THREE modes are timed every round (VERDICT r4 next #6: spp/2d
+    # carried the pod extrapolation without ever being timed on chip):
+    # pix = pixel-axis shard (the headline's mode, key sharded_mrays),
+    # spp = sample-axis (full image per slot), 2d = samples x pixels.
     sharded = {}
     if os.environ.get("GLAZE_BENCH_SHARDED", "1") == "1":
         from glaze_tpu.parallel import mesh as pmesh
 
-        mode = "pix"
-        for a in sys.argv[1:]:
-            if a.startswith("--mesh"):
-                mode = (a.split("=", 1)[1] if "=" in a else "pix")
-        try:
+        # the sharded wrappers run sif=1 (samples-in-flight is an
+        # unsharded-path knob); don't forward it
+        kw_sh = {k: v for k, v in kw.items() if k != "sif"}
+
+        def time_sharded(mode):
             m = pmesh.make_mesh()
             n_dev = int(m.devices.size)
             if mode == "spp":
                 st = pmesh.init_state_spp(WIDTH, HEIGHT, n_dev)
                 fn = pmesh.render_steps_spp_sharded
+            elif mode == "2d":
+                # n=1 chip: a (1, 1) mesh; on a pod this would be
+                # (n_samples, n/n_samples)
+                m = pmesh.make_mesh_2d(1)
+                st = pmesh.init_state_spp(WIDTH, HEIGHT, 1)
+                fn = pmesh.render_steps_2d_sharded
             else:
                 st = integ.init_state(WIDTH, HEIGHT)
                 fn = pmesh.render_steps_sharded
+            n_grp = (n_dev if mode == "spp" else
+                     (1 if mode == "2d" else None))
             # place the replicated scene ONCE (an unconditional per-call
             # device_put measured ~250 ms/call, tools/bench_sharded_gap)
             scene_sh = pmesh.place_replicated(r.scene, m)
 
-            # the sharded wrappers run sif=1 (samples-in-flight is an
-            # unsharded-path knob); don't forward it
-            kw_sh = {k: v for k, v in kw.items() if k != "sif"}
-
             def run_sh(st):
-                shape = (STEPS, n_dev) if mode == "spp" else (STEPS,)
+                shape = (STEPS,) if n_grp is None else (STEPS, n_grp)
                 seeds = jnp.asarray(
                     rng.integers(0, 2**32, shape, dtype=np.uint32))
                 offs = jnp.asarray(rng.random((STEPS, 2), np.float32))
@@ -262,15 +269,22 @@ def main():
                 st = run_sh(st)
                 sync(st.count)
                 dt = min(dt, time.perf_counter() - t0)
-            rays_sh = p * STEPS * (n_dev if mode == "spp" else 1)
-            sharded = {
-                "sharded_ok": True,
-                "sharded_mode": mode,
-                "sharded_devices": n_dev,
-                "sharded_mrays": round(rays_sh / dt / 1e6, 3),
-            }
-        except Exception as e:  # never fail the headline number
-            sharded = {"sharded_ok": False, "sharded_error": str(e)[:200]}
+            rays_sh = p * STEPS * (n_grp or 1)
+            return n_dev, round(rays_sh / dt / 1e6, 3)
+
+        for mode, key in (("pix", "sharded_mrays"),
+                          ("spp", "sharded_spp_mrays"),
+                          ("2d", "sharded_2d_mrays")):
+            try:
+                n_dev, mr = time_sharded(mode)
+                sharded[key] = mr
+                sharded["sharded_ok"] = True
+                sharded["sharded_devices"] = n_dev
+            except Exception as e:  # never fail the headline number
+                sharded[key] = None
+                sharded[f"sharded_{mode}_error"] = str(e)[:200]
+        sharded.setdefault("sharded_ok", False)
+        sharded["sharded_mode"] = "pix+spp+2d"
 
     # Interactive fps (BASELINE's >10 fps progressive bar) measured on the
     # same scene so the claim lives in the driver-recorded artifact, not
@@ -358,11 +372,14 @@ def main():
         except Exception as e:  # never fail the headline number
             coh["incoherent_error"] = str(e)[:200]
 
-    # Time-to-quality segment (VERDICT r3 #2): wall seconds to reach a
-    # fixed display-MSE vs a converged truth at a reduced frame — the
-    # number a user actually feels, measured for the SHIPPED defaults
-    # and for the Owen-Sobol jitter sampler (GLAZE_SAMPLER=ld) so the
-    # sampler A/B is recorded in every round's artifact.
+    # Time-to-quality segment (VERDICT r3 #2, REBUILT per VERDICT r4
+    # weak #1: the r4 artifact compared ld against itself after the ld
+    # default landed, and single-seed TTQ spread exceeded the claimed
+    # effect). Both samplers now run EXPLICITLY, each over ≥3 seeds;
+    # the artifact records medians AND the per-seed values so the
+    # separation can be judged against the spread. A coherent-off
+    # ladder (1 seed per sampler — it is ~2x slower per spp) keeps the
+    # incoherent sampler comparison measured too.
     ttq = {}
     if os.environ.get("GLAZE_BENCH_TTQ", "1") == "1":
         try:
@@ -371,20 +388,14 @@ def main():
             # 192-spp truth floor; r4 first-run ladders hit 60 on the
             # first rung, so 30 with 4-spp rungs gives real resolution
             target = float(os.environ.get("GLAZE_TTMSE_TARGET", "30"))
+            seeds_n = int(os.environ.get("GLAZE_TTQ_SEEDS", "3"))
             tr = RayTraceRenderer(parsed, width=tw, height=th, seed=777)
             truth = np.asarray(tr.draw(192), float)
             del tr
 
-            def time_to_mse(**kwargs):
-                # warm the executables first (fresh configs would bill
-                # their XLA compile to the first rung's wall time)
-                rw = RayTraceRenderer(parsed, width=tw, height=th,
-                                      seed=1, **kwargs)
-                rw.draw(4)
-                del rw
+            def time_to_mse(seed, **kwargs):
                 rr = RayTraceRenderer(parsed, width=tw, height=th,
-                                      seed=int(rng.integers(1, 2**31)),
-                                      **kwargs)
+                                      seed=seed, **kwargs)
                 wall = 0.0
                 ladder = []
                 for _ in range(24):  # ≤96 spp in 4-spp rungs
@@ -398,13 +409,33 @@ def main():
                         return round(wall, 1), ladder
                 return None, ladder  # did not reach target within 96 spp
 
-            t_def, lad_def = time_to_mse()
-            ttq = {"ttq_target_mse": target,
-                   "time_to_mse_s": t_def,
-                   "ttq_ladder_default": lad_def}
-            t_ld, lad_ld = time_to_mse(sampler="ld")
-            ttq["time_to_mse_ld_s"] = t_ld
-            ttq["ttq_ladder_ld"] = lad_ld
+            def ttq_leg(key, n_seeds, **kwargs):
+                # warm the executables first (fresh configs would bill
+                # their XLA compile to the first rung's wall time)
+                rw = RayTraceRenderer(parsed, width=tw, height=th,
+                                      seed=1, **kwargs)
+                rw.draw(4)
+                del rw
+                walls, ladders = [], []
+                for _ in range(n_seeds):
+                    t, lad = time_to_mse(int(rng.integers(1, 2**31)),
+                                         **kwargs)
+                    walls.append(t)
+                    ladders.append(lad)
+                ok = [w for w in walls if w is not None]
+                ttq[f"ttq_{key}_s_all"] = walls
+                ttq[f"ttq_{key}_s_median"] = (
+                    round(float(np.median(ok)), 1) if ok else None)
+                ttq[f"ttq_{key}_ladder0"] = ladders[0]
+
+            ttq["ttq_target_mse"] = target
+            ttq_leg("pcg", seeds_n, sampler="pcg")
+            ttq_leg("ld", seeds_n, sampler="ld")
+            ttq_leg("pcg_incoh", 1, sampler="pcg", coherent=0)
+            ttq_leg("ld_incoh", 1, sampler="ld", coherent=0)
+            # cross-round continuity: time_to_mse_s = SHIPPED default
+            ttq["time_to_mse_s"] = ttq.get(
+                f"ttq_{r.sampler}_s_median")
         except Exception as e:  # never fail the headline number
             ttq = {"ttq_error": str(e)[:200]}
 

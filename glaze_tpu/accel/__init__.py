@@ -199,6 +199,46 @@ def closest_hit_soa_auto(bvh, origin3, direction3, t_max=None):
                        t_max)
 
 
+def closest_hit_soa_masked_auto(bvh, origin3, direction3, t_max=None):
+    """closest_hit_soa_auto honoring baked opacity-mask payloads
+    (bvh.attach_tri_payload + pack_alpha_masks): provably-transparent
+    cell hits are skipped in the walk; the extra ``mixed`` flag marks
+    accepted hits that still need the exact texture test. Trees without
+    payload behave exactly like closest_hit_soa_auto with every hit
+    flagged mixed."""
+    import jax.numpy as jnp
+
+    if isinstance(bvh, ChunkedBVH):
+        hit = None
+        for chunk, off in zip(bvh.chunks, bvh.offsets):
+            cap = t_max if hit is None else hit["t"]
+            h = closest_hit_soa_masked_auto(chunk, origin3, direction3, cap)
+            if hit is None:
+                hit = dict(h)
+                hit["tri"] = jnp.where(h["tri"] >= 0, h["tri"] + off, -1)
+            else:
+                better = h["tri"] >= 0
+                hit = {
+                    "t": jnp.where(better, h["t"], hit["t"]),
+                    "tri": jnp.where(better, h["tri"] + off, hit["tri"]),
+                    "u": jnp.where(better, h["u"], hit["u"]),
+                    "v": jnp.where(better, h["v"], hit["v"]),
+                    "mixed": jnp.where(better, h["mixed"], hit["mixed"]),
+                }
+        return hit
+    if isinstance(bvh, FatBVH):
+        out = closest_hit_soa_auto(bvh, origin3, direction3, t_max)
+        return dict(out, mixed=out["tri"] >= 0)
+    if _on_tpu():
+        from glaze_tpu.accel.traverse_pallas import closest_hit_soa_masked
+
+        return closest_hit_soa_masked(bvh, origin3, direction3, t_max)
+    from glaze_tpu.accel.bvh import closest_hit_masked
+
+    return closest_hit_masked(bvh, jnp.stack(origin3, -1),
+                              jnp.stack(direction3, -1), t_max)
+
+
 def any_hit_soa_auto(bvh, origin3, direction3, t_max, t_min=1e-3, active=None):
     if isinstance(bvh, ChunkedBVH):
         return _chunked_any(
@@ -234,4 +274,5 @@ __all__ = [
     "closest_hit", "any_hit", "closest_hit_fat", "any_hit_fat",
     "closest_hit_auto", "any_hit_auto",
     "closest_hit_soa_auto", "any_hit_soa_auto",
+    "closest_hit_soa_masked_auto",
 ]

@@ -528,6 +528,79 @@ def build_bvh_chunked(tri_verts: np.ndarray, leaf_size: int = LEAF_SIZE,
 
 
 # ---------------------------------------------------------------------------
+# Per-triangle payloads (baked opacity cell masks)
+# ---------------------------------------------------------------------------
+
+# Payload slot layout inside a 16-slot triangle row: [0:9] v0/e1/e2,
+# [9:9+K] caller payload words (int32 bits viewed as float32 — the same
+# bit-carrier convention the node rows use for meta/skip). The traversal
+# kernels bitcast the loaded row to int32 BEFORE any lane gather, so the
+# bits move bitwise end to end.
+TRI_PAYLOAD_BASE = 9
+TRI_PAYLOAD_MAX = 16 - TRI_PAYLOAD_BASE
+
+# 8x8 barycentric opacity mask: 64 cells x 2 bits packed little-endian
+# into 4 int32 words at payload slots 0..3. Cell (cu, cv) with
+# cu = min(floor(u*8), 7), cv = min(floor(v*8), 7), index c = cv*8+cu,
+# word c>>4, shift (c&15)*2. Codes match _classify_alpha_tris:
+#   0 = MIXED (must be texture-tested; the all-zero default is safe)
+#   1 = OPAQUE (provably alpha >= 0.5 everywhere in the cell)
+#   2 = TRANSPARENT (provably alpha < 0.5 — the kernel skips the hit)
+ALPHA_MASK_GRID = 8
+ALPHA_MASK_WORDS = (ALPHA_MASK_GRID * ALPHA_MASK_GRID * 2 + 31) // 32
+
+
+def attach_tri_payload(bvh, payload: np.ndarray):
+    """Rebuilds ``bvh`` with ``payload`` (N_pad, K<=7) int32 words packed
+    into the free slots of every triangle row (slots 9..9+K of the
+    16-slot stride). Row order is the tree's padded leaf order (the
+    ``tri_order`` returned by the build). Works for :class:`BVH` and
+    :class:`ChunkedBVH` (payload sliced by chunk row ranges)."""
+    payload = np.ascontiguousarray(payload, np.int32)
+    if isinstance(bvh, ChunkedBVH):
+        out = []
+        base = 0
+        for c in bvh.chunks:
+            rows = c.tri.shape[0]
+            out.append(attach_tri_payload(c, payload[base:base + rows]))
+            base += rows
+        assert base == payload.shape[0]
+        return ChunkedBVH(out, bvh.offsets, bvh.n_tris)
+    k = payload.shape[1]
+    assert k <= TRI_PAYLOAD_MAX, k
+    tri = np.asarray(bvh.tri)[:, :TRI_PAYLOAD_BASE]
+    assert payload.shape[0] == tri.shape[0], (payload.shape, tri.shape)
+    full = np.concatenate([tri, payload.view(np.float32)], axis=1)
+    return BVH(bvh.nodes, jnp.asarray(full),
+               bvh.nodes16, jnp.asarray(_pack_lane_dense(full, 8, 16)),
+               bvh.n_nodes, bvh.n_tris)
+
+
+def pack_alpha_masks(codes: np.ndarray) -> np.ndarray:
+    """(N, 64) cell codes {0,1,2} -> (N, ALPHA_MASK_WORDS) int32 payload."""
+    n = codes.shape[0]
+    out = np.zeros((n, ALPHA_MASK_WORDS), np.uint32)
+    c = codes.astype(np.uint32)
+    for cell in range(codes.shape[1]):
+        out[:, cell >> 4] |= c[:, cell] << ((cell & 15) * 2)
+    return out.view(np.int32)
+
+
+def _mask_bits(trow, u, v):
+    """Cell code for barycentric (u, v) from a payload-bearing tri row
+    ((..., >=13) float32). Returns (..., ) int32 in {0, 1, 2}; rows
+    without payload read the zero padding -> 0 (MIXED, always safe)."""
+    g = ALPHA_MASK_GRID
+    cu = jnp.clip((u * g).astype(jnp.int32), 0, g - 1)
+    cv = jnp.clip((v * g).astype(jnp.int32), 0, g - 1)
+    cell = cv * g + cu
+    words = trow[..., TRI_PAYLOAD_BASE:TRI_PAYLOAD_BASE
+                 + ALPHA_MASK_WORDS].view(jnp.int32)
+    w = jnp.take_along_axis(words, (cell >> 4)[..., None], axis=-1)[..., 0]
+    return (w >> ((cell & 15) * 2)) & 3
+
+
+# ---------------------------------------------------------------------------
 # Traversal
 # ---------------------------------------------------------------------------
 
@@ -635,6 +708,87 @@ def closest_hit(bvh: BVH, origin, direction, t_max=None):
     _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
     t = jnp.where(tri >= 0, t, INF)
     return {"t": t, "tri": tri, "u": u, "v": v}
+
+
+def closest_hit_masked(bvh: BVH, origin, direction, t_max=None):
+    """Closest hit honoring baked 8x8 barycentric opacity masks
+    (:func:`pack_alpha_masks` payload in slots 9..12 of each triangle
+    row): hits whose cell is provably TRANSPARENT are skipped during the
+    walk (the in-kernel equivalent of raytrace_hit.rahit's
+    ignoreIntersectionEXT, with zero re-trace cost), and the returned
+    ``mixed`` flag marks accepted hits whose cell still needs the exact
+    texture test. Trees without payload read zero words -> every hit is
+    MIXED and the result equals :func:`closest_hit`."""
+    r = origin.shape[0]
+    m = bvh.n_nodes
+    inv_dir = jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.float32(1e20) * jnp.sign(direction)
+        + jnp.float32(1e20) * (direction == 0.0),
+        1.0 / direction,
+    )
+    if t_max is None:
+        t0 = jnp.full((r,), INF, jnp.float32)
+    else:
+        t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    has_payload = bvh.tri.shape[1] >= TRI_PAYLOAD_BASE + ALPHA_MASK_WORDS
+
+    def cond(state):
+        return jnp.any(state[0] < m)
+
+    def body(state):
+        ptr, best_t, best_tri, best_u, best_v, best_mix = state
+        safe_ptr = jnp.minimum(ptr, m - 1)
+        row = bvh.nodes[safe_ptr]
+        meta = row[..., 6].view(jnp.int32)
+        skip = row[..., 7].view(jnp.int32)
+        active = ptr < m
+        box_hit = _slab_test(row, origin, inv_dir, best_t) & active
+        is_leaf = meta >= 0
+        first = meta >> 3
+        count = (meta & 7) + 1
+
+        def leaf_step(k, carry):
+            bt, btri, bu, bv, bmix = carry
+            tri_idx = jnp.minimum(first + k, bvh.tri.shape[0] - 1)
+            valid = box_hit & is_leaf & (k < count)
+            trow = bvh.tri[tri_idx]
+            t, u, v, hit = _tri_intersect(trow, origin, direction)
+            if has_payload:
+                bits = _mask_bits(trow, u, v)
+                hit = hit & (bits != 2)
+                mix = bits == 0
+            else:
+                mix = jnp.ones_like(hit)
+            better = valid & hit & (t < bt)
+            bt = jnp.where(better, t, bt)
+            btri = jnp.where(better, tri_idx, btri)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            bmix = jnp.where(better, mix, bmix)
+            return bt, btri, bu, bv, bmix
+
+        best_t, best_tri, best_u, best_v, best_mix = jax.lax.fori_loop(
+            0, LEAF_SIZE, leaf_step,
+            (best_t, best_tri, best_u, best_v, best_mix)
+        )
+        descend = box_hit & ~is_leaf
+        new_ptr = jnp.where(descend, ptr + 1, skip)
+        new_ptr = jnp.where(active, new_ptr, ptr)
+        return new_ptr, best_t, best_tri, best_u, best_v, best_mix
+
+    init = (
+        jnp.zeros((r,), jnp.int32),
+        t0,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), bool),
+    )
+    _, t, tri, u, v, mix = jax.lax.while_loop(cond, body, init)
+    t = jnp.where(tri >= 0, t, INF)
+    return {"t": t, "tri": tri, "u": u, "v": v,
+            "mixed": mix & (tri >= 0)}
 
 
 def any_hit(bvh: BVH, origin, direction, t_max, t_min=1e-3, active=None):

@@ -578,10 +578,9 @@ QUEUE_MAX_ANY = int(os.environ.get("GLAZE_QUEUE_MAX_ANY",
 
 def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
                         dx_ref, dy_ref, dz_ref, tmax_ref,
-                        t_ref, tri_out_ref, u_ref, v_ref,
-                        nodes_ref, tri_ref, ntile_ref, ttile_ref, queue_ref,
-                        sems, leaf_sems, *, n_nodes, n_tris, leaf_size,
-                        tri_resident):
+                        t_ref, tri_out_ref, u_ref, v_ref, *rest,
+                        n_nodes, n_tris, leaf_size, tri_resident,
+                        alpha_mask=False):
     """Windowed sub-packet closest hit.
 
     Each of the 16 sublane rows (128 rays) walks the skip-link tree behind
@@ -604,7 +603,23 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     dense leaf math instead of stalling every round (``ttile_ref`` holds 2
     banks of PACKET_ROWS rows; the drain loop is unrolled 2 rounds/body so
     bank indices stay static).
+
+    ``alpha_mask``: baked 8x8 barycentric opacity masks (bvh.py
+    pack_alpha_masks payload, triangle-row slots 9..12) are tested in the
+    drain — the 128 lanes of a row all test the SAME triangle, so the
+    mask words are one in-tile lane gather away. Hits on provably
+    TRANSPARENT cells are skipped mid-walk (raytrace_hit.rahit's
+    ignoreIntersectionEXT at zero re-trace cost); an extra ``mix_ref``
+    output flags accepted hits on MIXED cells (the only ones the caller
+    must still texture-test).
     """
+    if alpha_mask:
+        (mix_ref, nodes_ref, tri_ref, ntile_ref, ttile_ref, queue_ref,
+         sems, leaf_sems) = rest
+    else:
+        (nodes_ref, tri_ref, ntile_ref, ttile_ref, queue_ref,
+         sems, leaf_sems) = rest
+        mix_ref = None
     _load_tables(nodes_hbm, tri_hbm, oct_ref, nodes_ref, tri_ref, sems,
                  True, tri_resident)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -616,6 +631,8 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
     u_ref[:] = jnp.zeros(ox.shape, jnp.float32)
     v_ref[:] = jnp.zeros(ox.shape, jnp.float32)
     queue_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+    if alpha_mask:
+        mix_ref[:] = jnp.zeros(ox.shape, jnp.int32)
 
     max_tri_row = tri_hbm.shape[0] - 1
     lanes = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 1)
@@ -649,19 +666,38 @@ def _closest_kernel_win(oct_ref, nodes_hbm, tri_hbm, ox_ref, oy_ref, oz_ref,
         tri_best = tri_out_ref[:]
         u_best = u_ref[:]
         v_best = v_ref[:]
+        if alpha_mask:
+            mix_best = mix_ref[:]
+            ttile_i = pltpu.bitcast(ttile, jnp.int32)
         for k in range(leaf_size):
             f = lambda j: jnp.take_along_axis(
                 ttile, jnp.full(ox.shape, k * 16 + j, jnp.int32), axis=1)
             t, u, v, h = _mt_fields(f, ox, oy, oz, dx, dy, dz)
+            if alpha_mask:
+                # 8x8 cell lookup: word index is per-lane (each lane has
+                # its own barycentrics) but stays inside triangle k's 16
+                # slots — one in-tile lane gather on the int32 view
+                cu = jnp.clip((u * 8.0).astype(jnp.int32), 0, 7)
+                cv = jnp.clip((v * 8.0).astype(jnp.int32), 0, 7)
+                cell = cv * 8 + cu
+                mw = jnp.take_along_axis(
+                    ttile_i, k * 16 + 9 + (cell >> 4), axis=1)
+                bits = (mw >> ((cell & 15) * 2)) & 3
+                h = h & (bits != 2)
             better = h & (t < t_best) & has
             t_best = jnp.where(better, t, t_best)
             tri_best = jnp.where(better, first + k, tri_best)
             u_best = jnp.where(better, u, u_best)
             v_best = jnp.where(better, v, v_best)
+            if alpha_mask:
+                mix_best = jnp.where(better, (bits == 0).astype(jnp.int32),
+                                     mix_best)
         t_ref[:] = t_best
         tri_out_ref[:] = tri_best
         u_ref[:] = u_best
         v_ref[:] = v_best
+        if alpha_mask:
+            mix_ref[:] = mix_best
 
     def drain_round(c):
         qc, hc = c
@@ -1424,6 +1460,82 @@ def _closest_call(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *, n_nodes,
         ],
         interpret=interpret,
     )(octs, nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax)
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "n_tris", "leaf_size",
+                                             "interpret"))
+def _closest_call_masked(nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax, *,
+                         n_nodes, n_tris, leaf_size, interpret):
+    """Windowed closest hit with baked opacity masks (see
+    _closest_kernel_win alpha_mask). Caller guarantees the windowed
+    kernel applies (nodes resident); use closest_hit_soa_masked."""
+    rows = ox.shape[0]
+    octs = _packet_octants(dx, dy, dz)
+    nodes_res, tri_res = _residency(nodes16, tri8)
+    assert nodes_res
+    kernel = functools.partial(_closest_kernel_win, n_nodes=n_nodes,
+                               n_tris=n_tris, leaf_size=leaf_size,
+                               tri_resident=tri_res, alpha_mask=True)
+    scratch = _ww_scratch(nodes16, tri8, tri_res, queue=True)
+    grid = rows // PACKET_ROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[_hbm(nodes16), _hbm(tri8)]
+        + [_ray_blk() for _ in range(7)],
+        out_specs=[_ray_blk() for _ in range(5)],
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(octs, nodes16, tri8, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def closest_hit_soa_masked(bvh, origin3, direction3, t_max=None,
+                           interpret: bool = False):
+    """SoA closest hit honoring baked opacity masks; returns the
+    closest_hit_soa dict plus ``mixed`` ((R,) bool: accepted hit sits on
+    a MIXED cell and still needs the exact texture test). Falls back to
+    the unmasked kernel with every hit flagged mixed when the windowed
+    kernel doesn't apply (huge node slab) — always safe."""
+    from glaze_tpu.accel.bvh import LEAF_SIZE
+
+    nodes_res, _ = _residency(bvh.nodes16, bvh.tri8)
+    if not (WINDOWED_CLOSEST and nodes_res):
+        out = closest_hit_soa(bvh, origin3, direction3, t_max,
+                              interpret=interpret)
+        return dict(out, mixed=out["tri"] >= 0)
+    r = origin3[0].shape[0]
+    if t_max is None:
+        cap = jnp.full((r,), np.inf, jnp.float32)
+    else:
+        cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    comps, rows, total = _pack_comps(origin3, direction3, [(cap, -1.0)])
+    ox, oy, oz, dx, dy, dz, tmax = comps
+    t, tri, u, v, mix = _closest_call_masked(
+        bvh.nodes16, bvh.tri8, ox, oy, oz, dx, dy, dz, tmax,
+        n_nodes=bvh.nodes.shape[0], n_tris=bvh.tri.shape[0],
+        leaf_size=LEAF_SIZE, interpret=interpret,
+    )
+    flat = lambda x: x.reshape(total)[:r]
+    out_t = flat(t)
+    out_tri = flat(tri)
+    out_mix = flat(mix) != 0
+    if bvh.n_tris == 0:
+        out_t = jnp.full_like(out_t, np.inf)
+        out_tri = jnp.full_like(out_tri, -1)
+        out_mix = jnp.zeros_like(out_mix)
+    return {"t": out_t, "tri": out_tri, "u": flat(u), "v": flat(v),
+            "mixed": out_mix & (out_tri >= 0)}
 
 
 def closest_hit_soa(bvh, origin3, direction3, t_max=None,

@@ -207,30 +207,36 @@ def _spp_spec(x):
 
 @functools.lru_cache(maxsize=None)
 def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
-              steps, alpha_rounds, coherent):
+              steps, alpha_rounds, coherent, sampler="pcg"):
     """jit(shard_map(...)) for the sample modes. ``axes`` = (sample_axis,
     pixel_axis_or_None): each device (or sample group) owns a slice of
     the leading sample axis; with a pixel axis the per-sample pixel
     arrays are additionally sharded. The per-group launch (sort + trace
     included) is device-local — the vmap over local sample groups is
-    degenerate (size 1 per device on a 1D mesh)."""
+    degenerate (size 1 per device on a 1D mesh). ``sampler_seeds`` are
+    per sample GROUP (derived by the callers): two groups sharing one
+    Owen-Sobol seed would draw IDENTICAL stratified jitter and defeat
+    the sample-axis scaling."""
     sample_axis, pixel_axis = axes
 
-    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py):
+    def local(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+              sampler_seeds):
         size = jnp.asarray([width, height], jnp.float32)
 
         def body(st, inp):
             seed, offset = inp  # seed: (local_n,); offset: (2,) shared
 
-            def one(state_i, seed_i):
+            def one(state_i, seed_i, sseed_i):
                 return integ.launch_step(
                     scene, state_i, seed_i, offset, cam2world, screen2cam,
                     px, py, size, is_persp=is_persp,
                     direct_only=direct_only, alpha_rounds=alpha_rounds,
-                    coherent=coherent,
+                    coherent=coherent, sampler=sampler,
+                    sampler_seed=sseed_i,
                 )
 
-            return jax.vmap(one, in_axes=(0, 0))(st, seed), None
+            return jax.vmap(one, in_axes=(0, 0, 0))(st, seed,
+                                                    sampler_seeds), None
 
         state, _ = jax.lax.scan(body, state, (seeds, offsets), length=steps)
         return state
@@ -239,7 +245,7 @@ def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
     sharded = _shard_map(
         local, mesh=mesh,
         in_specs=(P(), state_specs, P(None, sample_axis), P(), P(), P(),
-                  pix_spec, pix_spec),
+                  pix_spec, pix_spec, P(sample_axis)),
         out_specs=state_specs,
         check_vma=False,
     )
@@ -247,10 +253,16 @@ def _spp_impl(mesh, state_specs, axes, width, height, is_persp, direct_only,
     return jax.jit(sharded, donate_argnums=(1,))
 
 
+def _group_sampler_seeds(sampler_seed, n):
+    """Stable per-sample-group Owen-Sobol seeds (distinct streams)."""
+    g = np.arange(n, dtype=np.uint32) * np.uint32(0x9E3779B9)
+    return jnp.asarray(np.uint32(sampler_seed) ^ g ^ (g >> 16))
+
+
 def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
                              screen2cam, mesh: Mesh, *, width, height,
                              is_persp, direct_only, steps, alpha_rounds=0,
-                             coherent=None):
+                             coherent=None, sampler="pcg", sampler_seed=0):
     """``steps`` launches where each mesh slot advances its OWN full-image
     path state with its own seed (``seeds``: (steps, n) uint32). Combine
     with :func:`reduce_spp` for display."""
@@ -267,8 +279,9 @@ def render_steps_spp_sharded(scene, state, seeds, offsets, cam2world,
     state_specs = jax.tree.map(_spp_spec, state)
     impl = _spp_impl(mesh, state_specs, (AXIS, None), width, height,
                      is_persp, direct_only, steps, alpha_rounds,
-                     integ.resolve_coherent(coherent))
-    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
+                     integ.resolve_coherent(coherent), sampler)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+                _group_sampler_seeds(sampler_seed, n))
 
 
 @jax.jit
@@ -318,7 +331,7 @@ def _spp2d_spec(x):
 def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
                             screen2cam, mesh: Mesh, *, width, height,
                             is_persp, direct_only, steps, alpha_rounds=0,
-                            coherent=None):
+                            coherent=None, sampler="pcg", sampler_seed=0):
     """``steps`` launches on a (samples, pixels) mesh.
 
     ``state`` comes from :func:`init_state_spp` with n = the number of
@@ -345,5 +358,6 @@ def render_steps_2d_sharded(scene, state, seeds, offsets, cam2world,
     state_specs = jax.tree.map(_spp2d_spec, state)
     impl = _spp_impl(mesh, state_specs, (SPP_AXIS, AXIS), width, height,
                      is_persp, direct_only, steps, alpha_rounds,
-                     integ.resolve_coherent(coherent))
-    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py)
+                     integ.resolve_coherent(coherent), sampler)
+    return impl(scene, state, seeds, offsets, cam2world, screen2cam, px, py,
+                _group_sampler_seeds(sampler_seed, n_spp))

@@ -512,7 +512,7 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
         cand = _alpha_candidates(scene, origin, direction, seg_cap)
         if act is not None:
             cand = cand & act
-    perm = _trace_perm(scene, origin, direction, active=act)
+    perm = _trace_perm(scene, origin, direction, active=act, first=cand)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, ins + ([cand] if cand is not None else []))
     o, d = tuple(s[0:3]), tuple(s[3:6])
@@ -531,12 +531,16 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
                     else jnp.full((p_,), np.inf, jnp.float32))
         cap_a = jnp.minimum(cap_full, hit_o["t"] + 1e-4)
         cap_a = jnp.where(cand_s, cap_a, -1.0)
-        # full width, candidates sorted to the head, non-candidates
-        # culled (cap -1): their rows retire immediately. (A static
-        # prefix slice behind lax.cond measured ~6x SLOWER through this
-        # stack — Pallas calls inside conditionals fall off the fast
-        # path — so the leg stays unconditional.)
-        hit_a = _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)
+        # masked walk at full width (candidates sorted to the head,
+        # non-candidates culled by cap -1: their rows retire
+        # immediately); the exact-texture re-test rounds run on the
+        # candidate prefix only (_alpha_walk_refined). A static prefix
+        # slice behind lax.cond measured ~6x SLOWER through this stack
+        # — Pallas calls inside conditionals fall off the fast path —
+        # so both legs stay unconditional.
+        hit_a = _remap_hit(
+            _alpha_walk_refined(scene, o, d, cap_a, alpha_rounds),
+            scene.bvh_alpha_map)
         use_a = hit_a["t"] < hit_o["t"]
         hit = {k: jnp.where(use_a, hit_a[k], hit_o[k])
                for k in ("t", "tri", "u", "v")}
@@ -569,7 +573,7 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
                            origin[0].shape)
     cand = _alpha_candidates(scene, origin, direction,
                              jnp.where(active, cap, -1.0)) & active
-    perm = _trace_perm(scene, origin, direction, active=active)
+    perm = _trace_perm(scene, origin, direction, active=active, first=cand)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, list(origin) + list(direction)
                    + [cap, active, cand])
@@ -582,8 +586,9 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
         blocked = jnp.zeros_like(act)
     probe = act & ~blocked & cand_s
     cap_a = jnp.where(probe, cap_s, -1.0)
-    # full width, unconditional (see trace_alpha_sorted note on lax.cond)
-    tri_a = _alpha_tree_closest(scene, o, d, cap_a, alpha_rounds)["tri"]
+    # masked walk full width, re-test rounds on the candidate prefix,
+    # unconditional (see trace_alpha_sorted note on lax.cond)
+    tri_a = _alpha_walk_refined(scene, o, d, cap_a, alpha_rounds)["tri"]
     blocked = blocked | (probe & (tri_a >= 0))
     return blocked[inv]
 
@@ -621,17 +626,22 @@ def _hit_alpha_tree(scene, hit):
     (R, 10) attribute gather + one atlas quad gather — the whole-scene
     path's three separate table gathers (tri_attr 34-col, mat_tex,
     atlas meta) fold into alpha_attr at flatten time. Math identical to
-    _hit_alpha/sample_r (bilinear .r with sRGB decode)."""
+    _hit_alpha/sample_r (bilinear .r with sRGB decode). alpha_attr is
+    an int32 carrier: uv columns are f32 bits, the atlas offset (col 6)
+    a real int32 (exact beyond 2^24), w/h/srgb small ints."""
     slot = jnp.maximum(hit["tri"], 0)
     a = scene.alpha_attr[slot]
+    fcol = lambda i: jax.lax.bitcast_convert_type(a[:, i], jnp.float32)
     bu = hit["u"]
     bv = hit["v"]
     bw = 1.0 - bu - bv
-    u = bw * a[:, 0] + bu * a[:, 2] + bv * a[:, 4]
-    v = bw * a[:, 1] + bu * a[:, 3] + bv * a[:, 5]
-    w = a[:, 7]
-    h = a[:, 8]
-    srgb = a[:, 9] > 0.5
+    u = bw * fcol(0) + bu * fcol(2) + bv * fcol(4)
+    v = bw * fcol(1) + bu * fcol(3) + bv * fcol(5)
+    wi = a[:, 7]
+    hi = a[:, 8]
+    w = wi.astype(jnp.float32)
+    h = hi.astype(jnp.float32)
+    srgb = a[:, 9] > 0
     u = u - jnp.floor(u)
     v = v - jnp.floor(v)
     x = u * w - 0.5
@@ -640,11 +650,9 @@ def _hit_alpha_tree(scene, hit):
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    wi = w.astype(jnp.int32)
-    hi = h.astype(jnp.int32)
     x0i = jnp.remainder(x0.astype(jnp.int32), wi)
     y0i = jnp.remainder(y0.astype(jnp.int32), hi)
-    quad = scene.atlas.texels[a[:, 6].astype(jnp.int32) + y0i * wi + x0i]
+    quad = scene.atlas.texels[a[:, 6] + y0i * wi + x0i]
     sc = jnp.float32(1.0 / 255.0)
 
     def tap(k):
@@ -657,37 +665,103 @@ def _hit_alpha_tree(scene, hit):
     return top * (1.0 - fy) + bot * fy
 
 
-def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
-    """Closest ACCEPTED (opacity >= 0.5) hit inside the small alpha tree
-    (global tri ids; t=inf / tri=-1 when none within ``cap``). The
-    re-trace rounds run here — against the handful of alpha-tested
-    triangles — and the per-round opacity test costs two row gathers
-    (_hit_alpha_tree); slot->global remapping happens ONCE at exit."""
-    r = origin[0].shape[0]
-    hit = accel.closest_hit_soa_auto(scene.bvh_alpha, origin, direction,
-                                     cap)
+def _alpha_retest_rounds(scene, origin, direction, cap, hit,
+                         alpha_rounds: int):
+    """The exact-texture re-test loop over an alpha-tree hit dict (slot
+    ids, with ``mixed`` flags from the masked walk). Only MIXED-cell
+    hits are tested (the baked masks already resolved the rest
+    in-kernel); a transparent test re-traces from just past the hit."""
     fast = getattr(scene, "alpha_attr", None) is not None
     o = origin
-    offset = jnp.zeros((r,), jnp.float32)
+    offset = jnp.zeros(origin[0].shape, jnp.float32)
     for _ in range(alpha_rounds):
         if fast:
             alpha = _hit_alpha_tree(scene, hit)
         else:
             alpha = _hit_alpha(scene, _remap_hit(hit,
                                                  scene.bvh_alpha_map))
-        transparent = (hit["tri"] >= 0) & (alpha < 0.5)
+        transparent = (hit["tri"] >= 0) & hit["mixed"] & (alpha < 0.5)
         step = jnp.where(transparent, hit["t"] - offset + 1e-3, 0.0)
         o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
         offset = offset + jnp.where(transparent, step, 0.0)
         re_cap = jnp.where(transparent, cap - offset, -1.0)
-        rehit = accel.closest_hit_soa_auto(scene.bvh_alpha, o, direction,
-                                           re_cap)
+        rehit = accel.closest_hit_soa_masked_auto(scene.bvh_alpha, o,
+                                                  direction, re_cap)
         hit = {
             "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),
             "tri": jnp.where(transparent, rehit["tri"], hit["tri"]),
             "u": jnp.where(transparent, rehit["u"], hit["u"]),
             "v": jnp.where(transparent, rehit["v"], hit["v"]),
+            "mixed": jnp.where(transparent, rehit["mixed"], hit["mixed"]),
         }
+    return hit
+
+
+# Width of the re-test rounds when the wavefront is sorted with alpha
+# candidates first (trace_alpha_sorted / _occlusion_sorted): the rounds'
+# full-width row gathers dominated the alpha tax (~20 ns/lane each x 2
+# gathers x rounds x legs), but candidate lanes compact to the sorted
+# HEAD, so running the rounds on a static prefix keeps them exact
+# whenever the candidate fraction fits (bench scene: 0.24 at 1080p).
+# Overflow lanes keep their masked-walk hit: classified cells stay
+# EXACT (the kernel resolved them); only mixed-cell hits beyond the
+# prefix skip the texture test (treated opaque — same truncation family
+# as the bounded round count). 1.0 disables the narrowing.
+ALPHA_PREFIX = float(os.environ.get("GLAZE_ALPHA_PREFIX", "0.5"))
+
+
+def _alpha_prefix(n: int) -> int:
+    if ALPHA_PREFIX >= 1.0:
+        return n
+    blk = 2048  # packet tile: keep whole tiles
+    return int(min(n, max(blk, -(-int(n * ALPHA_PREFIX) // blk) * blk)))
+
+
+def _alpha_walk_refined(scene, origin, direction, cap, alpha_rounds: int):
+    """Masked alpha-tree walk at FULL width + re-test rounds on the
+    candidate-first prefix. Returns a slot-space hit dict (inf/-1
+    beyond ``cap`` or on miss). Callers must have sorted candidates to
+    the head (``_trace_perm(first=cand)``) for the narrowing to be
+    exact."""
+    p_ = origin[0].shape[0]
+    hit = accel.closest_hit_soa_masked_auto(scene.bvh_alpha, origin,
+                                            direction, cap)
+    if alpha_rounds > 0:
+        p_pre = _alpha_prefix(p_)
+        if p_pre < p_:
+            pre = {k: hit[k][:p_pre] for k in hit}
+            pre = _alpha_retest_rounds(
+                scene, tuple(c[:p_pre] for c in origin),
+                tuple(c[:p_pre] for c in direction), cap[:p_pre], pre,
+                alpha_rounds)
+            hit = {k: jnp.concatenate([pre[k], hit[k][p_pre:]])
+                   for k in hit}
+        else:
+            hit = _alpha_retest_rounds(scene, origin, direction, cap,
+                                       hit, alpha_rounds)
+    beyond = hit["t"] > cap
+    return {
+        "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+        "tri": jnp.where(beyond, -1, hit["tri"]),
+        "u": hit["u"], "v": hit["v"],
+    }
+
+
+def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
+    """Closest ACCEPTED (opacity >= 0.5) hit inside the small alpha tree
+    (global tri ids; t=inf / tri=-1 when none within ``cap``). The
+    baked 8x8 opacity cell masks do most of the work IN the traversal
+    kernel (provably-transparent hits are skipped mid-walk without
+    consuming a round — raytrace_hit.rahit parity at kernel speed); the
+    re-trace rounds only fire for hits on MIXED boundary cells, whose
+    exact texture test costs two row gathers (_hit_alpha_tree).
+    Slot->global remapping happens ONCE at exit. Runs the rounds at
+    FULL width (no candidate sort assumed here)."""
+    hit = accel.closest_hit_soa_masked_auto(scene.bvh_alpha, origin,
+                                            direction, cap)
+    if alpha_rounds > 0:
+        hit = _alpha_retest_rounds(scene, origin, direction, cap, hit,
+                                   alpha_rounds)
     beyond = hit["t"] > cap
     hit = {
         "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),

@@ -27,6 +27,7 @@ Deviations from reference behavior (intentional bug fixes, documented):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -98,13 +99,15 @@ _SCENE_FIELDS = (
     "bvh_opaque_map",  # (No,) int32 | None
     "bvh_alpha",  # ChunkedBVH | None
     "bvh_alpha_map",  # (Na,) int32 | None
-    "alpha_attr",  # (Na, 10) f32 fused alpha-test attributes per
-    #                ALPHA-TREE slot: uv0/uv1/uv2 (6), atlas texel
-    #                offset, width, height, srgb flag — the re-test
-    #                loop's opacity lookup is ONE row gather here plus
-    #                one atlas quad gather (gather cost is per ROW, so
-    #                fusing the three separate tables halves the
-    #                dominant per-round cost) | None
+    "alpha_attr",  # (Na, 10) int32 fused alpha-test attributes per
+    #                ALPHA-TREE slot: uv0/uv1/uv2 (6 cols, f32 bits),
+    #                atlas texel offset (REAL int32 — a float carrier
+    #                rounds offsets above 2^24), width, height, srgb
+    #                flag — the re-test loop's opacity lookup is ONE
+    #                row gather here plus one atlas quad gather
+    #                (gather cost is per ROW, so fusing the three
+    #                separate tables halves the dominant per-round
+    #                cost; int32 movement is bitwise) | None
     "alpha_boxes",  # (K, 6) f32 AABBs of the alpha-tested instance
     #                 clusters (contiguous original-order runs) | None.
     #                 Cheap elementwise prefilter: lanes whose segment
@@ -548,6 +551,25 @@ class HostSceneData(NamedTuple):
     tri_order: object = None
 
 
+def _opacity_integral(tex):
+    """(ii, h, w) opaque-texel integral image of an opacity texture.
+    The runtime test is sample_r(...) < 0.5 AFTER any sRGB decode
+    (ops/texture.py): the decode is monotonic, so the texel threshold
+    is its inverse image — 128 raw for Gray/Norm, 188 for sRGB."""
+    from glaze_tpu.core.texture import TextureFormat
+
+    arr = tex.array(0)
+    if arr.ndim == 3:  # alpha-in-gray convention: sample_r reads .r
+        arr = arr[..., 0]
+    h, w = arr.shape
+    thr = 188 if tex.format() == TextureFormat.RgbaSrgb else 128
+    opaque_t = (arr >= thr)
+    # integral image with one row/col of zeros in front
+    ii = np.zeros((h + 1, w + 1), np.int64)
+    ii[1:, 1:] = opaque_t.cumsum(0).cumsum(1)
+    return ii, h, w
+
+
 def _classify_alpha_tris(tri_uv, tri_idx, tex):
     """EXACT per-triangle opacity classification against a Gray opacity
     texture: a bilinear sample is a convex combination of its 4 texels,
@@ -556,20 +578,7 @@ def _classify_alpha_tris(tri_uv, tri_idx, tex):
     texels <= 127 transparent everywhere; anything else is MIXED and
     keeps the runtime alpha re-test. Returns int8 codes per tri:
     0 = mixed, 1 = opaque, 2 = transparent."""
-    from glaze_tpu.core.texture import TextureFormat
-
-    arr = tex.array(0)
-    if arr.ndim == 3:  # alpha-in-gray convention: sample_r reads .r
-        arr = arr[..., 0]
-    h, w = arr.shape
-    # the runtime test is sample_r(...) < 0.5 AFTER any sRGB decode
-    # (ops/texture.py): the decode is monotonic, so the texel threshold
-    # is its inverse image — 128 raw for Gray/Norm, 188 for sRGB
-    thr = 188 if tex.format() == TextureFormat.RgbaSrgb else 128
-    opaque_t = (arr >= thr)
-    # integral image with one row/col of zeros in front
-    ii = np.zeros((h + 1, w + 1), np.int64)
-    ii[1:, 1:] = opaque_t.cumsum(0).cumsum(1)
+    ii, h, w = _opacity_integral(tex)
 
     def count(y0, y1, x0, x1):
         """# opaque texels in rows [y0, y1) x cols [x0, x1), wrapped."""
@@ -610,6 +619,76 @@ def _wrap_ranges(a, b, n):
     if a_m + span <= n:
         return [(a_m, a_m + span)]
     return [(a_m, n), (0, a_m + span - n)]
+
+
+def _classify_alpha_cells(tri_uv, tri_idx, tex, grid=8):
+    """EXACT per-CELL opacity classification: each triangle's barycentric
+    domain is cut into a ``grid`` x ``grid`` lattice (cell (cu, cv) =
+    u in [cu/g, (cu+1)/g] x v in [cv/g, (cv+1)/g], matching the
+    traversal kernels' cell assignment), and each cell is classified by
+    the same convexity argument as :func:`_classify_alpha_tris` — the
+    uv map is affine in (u, v), so the bbox of a cell's four mapped
+    corners (+1 texel bilinear support) bounds every bilinear sample the
+    cell can produce. Returns (K, grid*grid) int8 codes, cell index
+    cv*grid+cu: 0 = mixed, 1 = opaque, 2 = transparent. Baked into the
+    alpha tree's triangle rows (bvh.pack_alpha_masks), these let the
+    Pallas drain skip provably-transparent hits mid-walk — the
+    full-speed equivalent of raytrace_hit.rahit:1-39's
+    ignoreIntersectionEXT."""
+    ii, h, w = _opacity_integral(tex)
+    total_opaque = int(ii[h, w])
+    k = tri_idx.shape[0]
+    g = grid
+    if k == 0:
+        return np.zeros((0, g * g), np.int8)
+    uvs = tri_uv[tri_idx].astype(np.float64)  # (K, 3, 2)
+    # lattice of barycentric sample points e[a] = a/g: uv is affine, so
+    # cell corners are lattice neighbours
+    e = np.arange(g + 1, dtype=np.float64) / g
+    bu = e[:, None]  # (G+1, 1) broadcast over v index
+    bv = e[None, :]
+    # (K, G+1, G+1) mapped lattice, texel space with bilinear support
+    uv0 = uvs[:, 0][:, None, None]
+    uv1 = uvs[:, 1][:, None, None]
+    uv2 = uvs[:, 2][:, None, None]
+    wgt = (1.0 - bu - bv)[None, :, :, None]
+    latt = (uv0 * wgt + uv1 * bu[None, :, :, None]
+            + uv2 * bv[None, :, :, None])  # (K, G+1, G+1, 2)
+    xs = latt[..., 0] * w - 0.5
+    ys = latt[..., 1] * h - 0.5
+
+    def cellwise(a, op):
+        return op(op(a[:, :-1, :-1], a[:, 1:, :-1]),
+                  op(a[:, :-1, 1:], a[:, 1:, 1:]))
+
+    x0 = np.floor(cellwise(xs, np.minimum)).astype(np.int64)
+    x1 = np.floor(cellwise(xs, np.maximum)).astype(np.int64) + 2
+    y0 = np.floor(cellwise(ys, np.minimum)).astype(np.int64)
+    y1 = np.floor(cellwise(ys, np.maximum)).astype(np.int64) + 2
+    wide = ((x1 - x0) >= w) | ((y1 - y0) >= h)
+    # periodic 2D prefix count F(y, x) = #opaque in [0,y) x [0,x) of the
+    # tiled texture; inclusion-exclusion needs no wrap branching. Shift
+    # to nonnegative first (differences are origin-invariant).
+    xshift = (max(0, -int(x0.min())) // w + 1) * w
+    yshift = (max(0, -int(y0.min())) // h + 1) * h
+    x0 += xshift
+    x1 += xshift
+    y0 += yshift
+    y1 += yshift
+
+    def pref(y, x):
+        qy, ry = np.divmod(y, h)
+        qx, rx = np.divmod(x, w)
+        return (qy * (qx * total_opaque + ii[h, rx])
+                + qx * ii[ry, w] + ii[ry, rx])
+
+    tot = pref(y1, x1) - pref(y0, x1) - pref(y1, x0) + pref(y0, x0)
+    area = (y1 - y0) * (x1 - x0)
+    codes = np.zeros((k, g, g), np.int8)
+    codes[(tot == area) & ~wide] = 1
+    codes[(tot == 0) & ~wide] = 2
+    # codes[k, cu, cv] -> cell index cv*g + cu
+    return codes.transpose(0, 2, 1).reshape(k, g * g)
 
 
 def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
@@ -714,22 +793,48 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
                         tri_pos[g].reshape(-1, 3).max(0)])
         for g in groups if g.size], np.float32)
 
-    # fused alpha-test attributes per ALPHA-TREE slot (see _SCENE_FIELDS)
+    # fused alpha-test attributes per ALPHA-TREE slot (see _SCENE_FIELDS).
+    # int32 carrier: float columns ride as bitcast bits (integer movement
+    # is bitwise on TPU); the atlas texel offset (col 6) stays a REAL
+    # int32 — a float32 carrier rounds offsets above 2^24 texels.
     attr = None
     if tri_uv is not None and atlas is not None:
         na = orig_a.shape[0]
-        attr = np.zeros((na, 10), np.float32)
-        attr[:, 0:6] = tri_uv[orig_a].reshape(na, 6)
+        attr = np.zeros((na, 10), np.int32)
+        attr[:, 0:6] = (tri_uv[orig_a].reshape(na, 6)
+                        .astype(np.float32).view(np.int32))
         tex_ids = opac_tex[tri_mat[orig_a]].astype(np.int64)
         off = np.asarray(atlas.offset)
         wid = np.asarray(atlas.width)
         hei = np.asarray(atlas.height)
         srgb = np.asarray(atlas.srgb)
-        attr[:, 6] = off[tex_ids].astype(np.float32)
-        attr[:, 7] = wid[tex_ids].astype(np.float32)
-        attr[:, 8] = hei[tex_ids].astype(np.float32)
-        attr[:, 9] = srgb[tex_ids]
+        attr[:, 6] = off[tex_ids].astype(np.int64)
+        attr[:, 7] = wid[tex_ids].astype(np.int64)
+        attr[:, 8] = hei[tex_ids].astype(np.int64)
+        attr[:, 9] = (np.asarray(srgb[tex_ids]) > 0.5)
         attr = jnp.asarray(attr)
+
+    # bake 8x8 barycentric opacity cell masks into the alpha tree's
+    # triangle rows: the Pallas drain skips provably-TRANSPARENT cell
+    # hits mid-walk and flags MIXED-cell hits for the outer texture
+    # test (raytrace_hit.rahit at kernel speed). GLAZE_ALPHA_MASK=0
+    # disables for A/B runs (all-zero payload = every hit mixed).
+    if (tri_uv is not None and textures is not None
+            and os.environ.get("GLAZE_ALPHA_MASK", "1") != "0"):
+        from glaze_tpu.accel.bvh import attach_tri_payload, pack_alpha_masks
+
+        t_mat_a = tri_mat[orig_a]
+        payload = np.zeros((orig_a.shape[0], 4), np.int32)
+        for t in np.unique(opac_tex[t_mat_a]):
+            if int(t) == 0 or int(t) >= len(textures):
+                continue
+            sel = np.nonzero(opac_tex[t_mat_a] == t)[0]
+            codes = _classify_alpha_cells(tri_uv, orig_a[sel],
+                                          textures[int(t)])
+            payload[sel] = pack_alpha_masks(codes)
+        # leaf-padding slots keep whatever orig_a[0]-mapped mask they
+        # got — their triangle rows are degenerate and never hit
+        t_a = attach_tri_payload(t_a, payload)
     return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
             "bvh_alpha": t_a, "bvh_alpha_map": m_a,
             "alpha_boxes": jnp.asarray(boxes), "alpha_attr": attr}
