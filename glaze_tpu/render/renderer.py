@@ -495,8 +495,11 @@ class RayTraceRenderer:
             self.scene, self._state, seeds, offsets, c2w, s2c, **kw,
         )
 
-    def draw(self, spp: int, callback: Optional[Callable[[int], None]] = None):
-        """Blocking render of ``spp`` samples/pixel; returns (H, W, 3) u8.
+    def draw(self, spp: int, callback: Optional[Callable[[int], None]] = None,
+             return_image: bool = True):
+        """Blocking render of ``spp`` samples/pixel; returns (H, W, 3) u8
+        (or None with ``return_image=False`` — multi-host pod runs gather
+        the sharded state themselves, tools/pod_launch.py).
 
         ``callback(launches_done)`` fires between device chunks
         (raytracer.rs draw, :615-686), pipelined one chunk deep: chunk
@@ -578,6 +581,9 @@ class RayTraceRenderer:
         if callback is not None and pending is not None:
             jax.device_get(pending[0])
             callback(pending[1])
+        if not return_image:
+            jax.block_until_ready(self._state.count)
+            return None
         return self.get_image()
 
     def get_image(self) -> np.ndarray:

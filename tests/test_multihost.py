@@ -21,6 +21,24 @@ def test_two_process_render_matches_single(tmp_path):
     assert "multihost demo OK" in r.stdout
 
 
+def test_four_process_render_and_checkpoint(tmp_path):
+    """4 processes x 2 devices (the v4/v5 4-host pod-slice shape) +
+    the pod checkpoint flow: gather -> rank-0 atomic save -> all-rank
+    reload -> re-shard -> continue, matching single-device."""
+    ckpt = str(tmp_path / "pod_ckpt.npz")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               GLAZE_DEMO_PORT="52737", GLAZE_DEMO_NPROC="4",
+               GLAZE_DEMO_LOCDEV="2", GLAZE_DEMO_CKPT=ckpt)
+    env.pop("GLAZE_DEMO_RANK", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multihost_cpu_demo.py")],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "multihost demo OK: 4 processes" in r.stdout
+    assert "checkpoint resume parity OK" in r.stdout
+
+
 def test_imports_do_not_initialize_backend():
     """jax.distributed.initialize() must be callable after importing the
     whole framework — module-level jnp constants would commit device

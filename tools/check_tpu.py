@@ -163,6 +163,44 @@ def main():
                     if bad_t.mean() > 0.001 or any_m.mean() > 0.001:
                         failed = True
 
+    # masked-kernel check (baked opacity cell masks): the alpha_mask
+    # variant of the windowed closest kernel is Mosaic code the CPU
+    # suite only runs in interpret mode. Synthetic payload over the
+    # mattest geometry: odd triangles' cells all TRANSPARENT (skipped),
+    # even triangles 8x8 checkerboard of OPAQUE/MIXED. Compare the
+    # Pallas kernel against the XLA masked walker ON DEVICE.
+    if not isinstance(scene.bvh, FatBVH) and not hasattr(scene.bvh,
+                                                         "chunks"):
+        from glaze_tpu.accel.bvh import (attach_tri_payload,
+                                         pack_alpha_masks,
+                                         closest_hit_masked)
+        from glaze_tpu.accel.traverse_pallas import closest_hit_soa_masked
+
+        n_slots = scene.bvh.tri.shape[0]
+        codes = np.zeros((n_slots, 64), np.int8)
+        codes[1::2, :] = 2
+        cell = np.arange(64)
+        checker = ((cell % 8 + cell // 8) % 2).astype(np.int8)  # 0/1
+        codes[0::2, :] = checker[None, :]
+        masked_tree = attach_tri_payload(scene.bvh, pack_alpha_masks(codes))
+        for name, (O, D) in {"primary": (om, dm), "random": (bo, bd)}.items():
+            o3 = tuple(jnp.asarray(O[:, i]) for i in range(3))
+            d3 = tuple(jnp.asarray(D[:, i]) for i in range(3))
+            hp = closest_hit_soa_masked(masked_tree, o3, d3)
+            hr = closest_hit_masked(masked_tree, jnp.asarray(O),
+                                    jnp.asarray(D))
+            bad_t = ~np.isclose(
+                np.nan_to_num(np.asarray(hp["t"]), posinf=1e30),
+                np.nan_to_num(np.asarray(hr["t"]), posinf=1e30),
+                rtol=1e-4, atol=1e-5)
+            mix_m = (np.asarray(hp["mixed"]) != np.asarray(hr["mixed"])) \
+                & ~bad_t
+            print(f"{name} masked: t mismatch {bad_t.mean():.5f}  "
+                  f"mixed mismatch {mix_m.mean():.5f}  "
+                  f"(hit rate {np.asarray(hp['tri'] >= 0).mean():.3f})")
+            if bad_t.mean() > 0.001 or mix_m.mean() > 0.001:
+                failed = True
+
     # full-pipeline render check: brightness + spatial structure (the
     # carrier-corruption failure mode renders uniform speckle that no
     # kernel-level check catches)

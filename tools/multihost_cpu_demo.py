@@ -1,16 +1,19 @@
-"""Two-process multi-host render demo on CPU devices.
+"""Multi-process multi-host render demo on CPU devices.
 
 Proves the jax.distributed path (parallel/distributed.py) actually
 executes a sharded render across PROCESSES — stronger evidence than the
 single-process 8-device dryrun, since cross-process collectives ride the
 real distributed runtime (the DCN analogue).
 
-Run (spawns its own second process):
+Run (spawns its own sibling processes):
     JAX_PLATFORMS=cpu python tools/multihost_cpu_demo.py
 
-Each process hosts 2 CPU devices; the global mesh spans 4 devices over
-2 processes; the pixel-sharded render must bit-match the single-process
-render of the same scene.
+GLAZE_DEMO_NPROC processes (default 2) each host GLAZE_DEMO_LOCDEV CPU
+devices (default 2); the global mesh spans their product; the
+pixel-sharded render must bit-match the single-process render of the
+same scene. The demo also exercises the pod checkpoint flow: the
+sharded state is gathered, saved by process 0, reloaded, re-sharded,
+and advanced — matching the single-device continuation.
 """
 
 import os
@@ -20,8 +23,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PORT = int(os.environ.get("GLAZE_DEMO_PORT", "52431"))
-NPROC = 2
-LOCAL_DEVICES = 2
+NPROC = int(os.environ.get("GLAZE_DEMO_NPROC", "2"))
+LOCAL_DEVICES = int(os.environ.get("GLAZE_DEMO_LOCDEV", "2"))
 
 
 def worker(rank: int) -> None:
@@ -70,10 +73,42 @@ def worker(rank: int) -> None:
     got = np.asarray(multihost_utils.process_allgather(
         st.accum[0], tiled=True))
     np.testing.assert_allclose(got, ref_accum, rtol=1e-5, atol=1e-6)
+
+    # pod checkpoint flow (docs/POD_RUNBOOK.md): gather the sharded
+    # state to every host, process 0 writes the checkpoint, all
+    # processes reload it, re-shard, and advance one more window — the
+    # continuation must match the single-device continuation.
+    ckpt = os.environ.get("GLAZE_DEMO_CKPT", "")
+    if ckpt:
+        leaves, treedef = jax.tree.flatten(st)
+        gathered = [np.asarray(multihost_utils.process_allgather(
+            x, tiled=True)) for x in leaves]
+        if rank == 0:
+            np.savez(ckpt + ".tmp.npz",
+                     **{f"leaf_{i}": g for i, g in enumerate(gathered)})
+            os.replace(ckpt + ".tmp.npz", ckpt)  # atomic, cli.py parity
+        multihost_utils.sync_global_devices("ckpt written")
+        z = np.load(ckpt)
+        restored = jax.tree.unflatten(
+            treedef, [jnp.asarray(z[f"leaf_{i}"])
+                      for i in range(len(gathered))])
+        seeds2 = jnp.asarray(np.asarray([11, 13], np.uint32))
+        st2 = pmesh.render_steps_sharded(scene_sh, restored, seeds2, offs,
+                                         jnp.asarray(c2w),
+                                         jnp.asarray(s2c), m, **kw)
+        ref2 = integ.render_steps(scene, ref, seeds2, offs,
+                                  jnp.asarray(c2w), jnp.asarray(s2c), **kw)
+        got2 = np.asarray(multihost_utils.process_allgather(
+            st2.accum[0], tiled=True))
+        np.testing.assert_allclose(
+            got2, np.asarray(jax.device_get(ref2.accum[0])),
+            rtol=1e-5, atol=1e-6)
+
     if rank == 0:
         print(f"multihost demo OK: {NPROC} processes x {LOCAL_DEVICES} "
               f"devices, sharded == single-device (max|d|="
-              f"{np.abs(got - ref_accum).max():.2e})")
+              f"{np.abs(got - ref_accum).max():.2e})"
+              + (", checkpoint resume parity OK" if ckpt else ""))
 
 
 def main():
