@@ -732,6 +732,9 @@ def closest_hit_masked(bvh: BVH, origin, direction, t_max=None):
     else:
         t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     has_payload = bvh.tri.shape[1] >= TRI_PAYLOAD_BASE + ALPHA_MASK_WORDS
+    if not has_payload:
+        out = closest_hit(bvh, origin, direction, t_max)
+        return dict(out, mixed=out["tri"] >= 0)
 
     def cond(state):
         return jnp.any(state[0] < m)

@@ -1507,10 +1507,13 @@ def closest_hit_soa_masked(bvh, origin3, direction3, t_max=None,
     a MIXED cell and still needs the exact texture test). Falls back to
     the unmasked kernel with every hit flagged mixed when the windowed
     kernel doesn't apply (huge node slab) — always safe."""
-    from glaze_tpu.accel.bvh import LEAF_SIZE
+    from glaze_tpu.accel.bvh import LEAF_SIZE, TRI_PAYLOAD_BASE
 
     nodes_res, _ = _residency(bvh.nodes16, bvh.tri8)
-    if not (WINDOWED_CLOSEST and nodes_res):
+    has_payload = bvh.tri.shape[1] > TRI_PAYLOAD_BASE
+    if not (WINDOWED_CLOSEST and nodes_res and has_payload):
+        # payload-free trees: skip the mask variant entirely (its
+        # per-triangle cell gather would read guaranteed zeros)
         out = closest_hit_soa(bvh, origin3, direction3, t_max,
                               interpret=interpret)
         return dict(out, mixed=out["tri"] >= 0)

@@ -512,7 +512,11 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
         cand = _alpha_candidates(scene, origin, direction, seg_cap)
         if act is not None:
             cand = cand & act
-    perm = _trace_perm(scene, origin, direction, active=act, first=cand)
+    # candidates-first compaction is only needed while the prefix
+    # narrowing is on (GLAZE_ALPHA_PREFIX < 1): it splits the global
+    # Morton stream in two, so don't pay it otherwise
+    first = cand if (cand is not None and ALPHA_PREFIX < 1.0) else None
+    perm = _trace_perm(scene, origin, direction, active=act, first=first)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, ins + ([cand] if cand is not None else []))
     o, d = tuple(s[0:3]), tuple(s[3:6])
@@ -573,7 +577,8 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
                            origin[0].shape)
     cand = _alpha_candidates(scene, origin, direction,
                              jnp.where(active, cap, -1.0)) & active
-    perm = _trace_perm(scene, origin, direction, active=active, first=cand)
+    first = cand if ALPHA_PREFIX < 1.0 else None
+    perm = _trace_perm(scene, origin, direction, active=active, first=first)
     inv = jnp.argsort(perm)
     s = _perm_rows(perm, list(origin) + list(direction)
                    + [cap, active, cand])

@@ -253,8 +253,21 @@ class RayTraceRenderer:
                            self.host.inst_tri_count):
             tri_mat[f:f + c] = m
         mat_tex = fl.flatten_materials(self.host.materials)["mat_tex"]
+        # with host uv + textures the rebuild keeps exact classification,
+        # baked opacity masks, and the fused alpha_attr table (the same
+        # inputs flatten used); atlas layout is deterministic per
+        # texture list, so it matches scene.atlas
+        tri_uv = getattr(self.host, "tri_uv", None)
+        atlas = None
+        if tri_uv is not None:
+            from glaze_tpu.ops.texture import build_atlas
+
+            atlas = build_atlas(self.host.textures)
         split = fl.build_alpha_split(tri_pos, tri_mat, mat_tex, order,
-                                     sentinel_rows)
+                                     sentinel_rows, tri_uv=tri_uv,
+                                     textures=(self.host.textures
+                                               if tri_uv is not None
+                                               else None), atlas=atlas)
         self.scene = self.scene._replace(**split)
         self._alpha_mask_cache = mask
 

@@ -549,6 +549,10 @@ class HostSceneData(NamedTuple):
     # material edits rebuild the opaque/alpha tree split without
     # re-flattening the whole scene (renderer._refresh_alpha_rounds)
     tri_order: object = None
+    # ORIGINAL-order per-triangle uv ((N, 3, 2) f32): lets the split
+    # rebuild keep exact classification + baked opacity masks +
+    # fused alpha_attr (~24 B/tri of host memory)
+    tri_uv: object = None
 
 
 def _opacity_integral(tex):
@@ -1007,5 +1011,6 @@ def flatten_scene(parsed):
         inst_tri_first=inst_first,
         inst_tri_count=inst_count,
         tri_order=np.where(sentinel_rows, SENTINEL, order.astype(np.uint32)),
+        tri_uv=tri_uv,
     )
     return dev, camera, host

@@ -12,9 +12,19 @@ import time
 
 
 def enable_compilation_cache(path: str | None = None):
-    """Enables JAX's persistent compilation cache (idempotent)."""
+    """Enables JAX's persistent compilation cache (idempotent).
+
+    GLAZE_XLA_CACHE overrides the location; "0" disables entirely. The
+    cache CORRUPTS under concurrent writers (observed: hard aborts
+    inside compilation_cache reads after bench + pytest ran in
+    parallel) — point concurrent jobs at distinct directories."""
     import jax
 
+    env = os.environ.get("GLAZE_XLA_CACHE")
+    if env == "0":
+        return
+    if path is None and env:
+        path = env
     if path is None:
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
