@@ -704,15 +704,17 @@ def _alpha_retest_rounds(scene, origin, direction, cap, hit,
 
 # Width of the re-test rounds when the wavefront is sorted with alpha
 # candidates first (trace_alpha_sorted / _occlusion_sorted): the rounds'
-# full-width row gathers dominated the alpha tax (~20 ns/lane each x 2
-# gathers x rounds x legs), but candidate lanes compact to the sorted
-# HEAD, so running the rounds on a static prefix keeps them exact
-# whenever the candidate fraction fits (bench scene: 0.24 at 1080p).
-# Overflow lanes keep their masked-walk hit: classified cells stay
-# EXACT (the kernel resolved them); only mixed-cell hits beyond the
-# prefix skip the texture test (treated opaque — same truncation family
-# as the bounded round count). 1.0 disables the narrowing.
-ALPHA_PREFIX = float(os.environ.get("GLAZE_ALPHA_PREFIX", "0.5"))
+# full-width row gathers cost ~20 ns/lane each x 2 gathers x rounds x
+# legs, and candidate lanes compact to the sorted HEAD, so running the
+# rounds on a static prefix keeps them exact whenever the candidate
+# fraction fits (bench scene: 0.24 at 1080p). MEASURED OFF (1.0) by
+# default: the candidates-first key SPLITS the global Morton stream in
+# two, and the resulting row-union inflation on the dominant opaque
+# walk costs far more than the gathers it saves — same-session 1080p
+# A/B (r5): bounce phase 1.98 -> 1.13 Mrays/s, launch 981 -> 1070 ms
+# with prefix 0.5. Kept (with its exactness test) for scenes where the
+# alpha set dominates the frame; see docs/PERF_LOG.md round 5.
+ALPHA_PREFIX = float(os.environ.get("GLAZE_ALPHA_PREFIX", "1.0"))
 
 
 def _alpha_prefix(n: int) -> int:
