@@ -492,7 +492,9 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
     and both directions pack all arrays into one row gather each
     (:func:`_perm_rows`)."""
     p_ = origin[0].shape[0]
-    split = alpha_rounds > 0 and getattr(scene, "bvh_alpha", None) is not None
+    full_masked = _full_tree_masked(scene, alpha_rounds)
+    split = (not full_masked and alpha_rounds > 0
+             and getattr(scene, "bvh_alpha", None) is not None)
     ins = list(origin) + list(direction)
     act = None
     cap0 = None
@@ -626,24 +628,29 @@ def _miss_hit(r):
             "tri": jnp.full((r,), -1, jnp.int32), "u": z, "v": z}
 
 
-def _hit_alpha_tree(scene, hit):
-    """Opacity at an ALPHA-TREE hit (slot ids, pre-remap): one fused
-    (R, 10) attribute gather + one atlas quad gather — the whole-scene
-    path's three separate table gathers (tri_attr 34-col, mat_tex,
-    atlas meta) fold into alpha_attr at flatten time. Math identical to
-    _hit_alpha/sample_r (bilinear .r with sRGB decode). alpha_attr is
-    an int32 carrier: uv columns are f32 bits, the atlas offset (col 6)
-    a real int32 (exact beyond 2^24), w/h/srgb small ints."""
+def _hit_alpha_attr(scene, attr, hit):
+    """Opacity at a masked-walk hit via a fused (rows, 10) attribute
+    table (``alpha_attr`` in alpha-tree slot order or
+    ``alpha_attr_full`` in full-tree row order): one attribute gather +
+    one atlas quad gather — the whole-scene path's three separate table
+    gathers (tri_attr 34-col, mat_tex, atlas meta) fold in at flatten
+    time. Math identical to _hit_alpha/sample_r (bilinear .r with sRGB
+    decode). The table is an int32 carrier: uv columns are f32 bits,
+    the atlas offset (col 6) a real int32 (exact beyond 2^24), w/h/srgb
+    small ints."""
     slot = jnp.maximum(hit["tri"], 0)
-    a = scene.alpha_attr[slot]
+    a = attr[slot]
     fcol = lambda i: jax.lax.bitcast_convert_type(a[:, i], jnp.float32)
     bu = hit["u"]
     bv = hit["v"]
     bw = 1.0 - bu - bv
     u = bw * fcol(0) + bu * fcol(2) + bv * fcol(4)
     v = bw * fcol(1) + bu * fcol(3) + bv * fcol(5)
-    wi = a[:, 7]
-    hi = a[:, 8]
+    # zero rows (alpha_attr_full's never-texture-tested triangles) are
+    # only reached by lanes whose alpha value is discarded; clamp the
+    # extents so their dead computation stays finite
+    wi = jnp.maximum(a[:, 7], 1)
+    hi = jnp.maximum(a[:, 8], 1)
     w = wi.astype(jnp.float32)
     h = hi.astype(jnp.float32)
     srgb = a[:, 9] > 0
@@ -671,27 +678,31 @@ def _hit_alpha_tree(scene, hit):
 
 
 def _alpha_retest_rounds(scene, origin, direction, cap, hit,
-                         alpha_rounds: int):
-    """The exact-texture re-test loop over an alpha-tree hit dict (slot
-    ids, with ``mixed`` flags from the masked walk). Only MIXED-cell
-    hits are tested (the baked masks already resolved the rest
-    in-kernel); a transparent test re-traces from just past the hit."""
-    fast = getattr(scene, "alpha_attr", None) is not None
+                         alpha_rounds: int, tree=None, alpha_fn=None):
+    """The exact-texture re-test loop over a masked-walk hit dict (slot
+    ids of ``tree``, with ``mixed`` flags). Only MIXED-cell hits are
+    tested (the baked masks already resolved the rest in-kernel); a
+    transparent test re-traces from just past the hit. Defaults to the
+    alpha tree + its fused attribute table."""
+    if tree is None:
+        tree = scene.bvh_alpha
+    if alpha_fn is None:
+        if getattr(scene, "alpha_attr", None) is not None:
+            alpha_fn = lambda h: _hit_alpha_attr(scene, scene.alpha_attr, h)
+        else:
+            alpha_fn = lambda h: _hit_alpha(
+                scene, _remap_hit(h, scene.bvh_alpha_map))
     o = origin
     offset = jnp.zeros(origin[0].shape, jnp.float32)
     for _ in range(alpha_rounds):
-        if fast:
-            alpha = _hit_alpha_tree(scene, hit)
-        else:
-            alpha = _hit_alpha(scene, _remap_hit(hit,
-                                                 scene.bvh_alpha_map))
+        alpha = alpha_fn(hit)
         transparent = (hit["tri"] >= 0) & hit["mixed"] & (alpha < 0.5)
         step = jnp.where(transparent, hit["t"] - offset + 1e-3, 0.0)
         o = vec.where(transparent, vec.add(o, vec.scale(direction, step)), o)
         offset = offset + jnp.where(transparent, step, 0.0)
         re_cap = jnp.where(transparent, cap - offset, -1.0)
-        rehit = accel.closest_hit_soa_masked_auto(scene.bvh_alpha, o,
-                                                  direction, re_cap)
+        rehit = accel.closest_hit_soa_masked_auto(tree, o, direction,
+                                                  re_cap)
         hit = {
             "t": jnp.where(transparent, rehit["t"] + offset, hit["t"]),
             "tri": jnp.where(transparent, rehit["tri"], hit["tri"]),
@@ -700,6 +711,20 @@ def _alpha_retest_rounds(scene, origin, direction, cap, hit,
             "mixed": jnp.where(transparent, rehit["mixed"], hit["mixed"]),
         }
     return hit
+
+
+def _full_tree_masked(scene, alpha_rounds: int) -> bool:
+    """True when the main BVH carries baked opacity cells (single-walk
+    closest leg: alpha tested INLINE like the reference's one-TLAS +
+    rahit design)."""
+    if alpha_rounds <= 0:
+        return False
+    tree = scene.bvh
+    chunks = getattr(tree, "chunks", None)
+    probe = chunks[0] if chunks else tree
+    tri = getattr(probe, "tri", None)
+    return (tri is not None and tri.ndim == 2 and tri.shape[1] > 9
+            and getattr(scene, "alpha_attr_full", None) is not None)
 
 
 # Width of the re-test rounds when the wavefront is sorted with alpha
@@ -761,7 +786,7 @@ def _alpha_tree_closest(scene, origin, direction, cap, alpha_rounds: int):
     kernel (provably-transparent hits are skipped mid-walk without
     consuming a round — raytrace_hit.rahit parity at kernel speed); the
     re-trace rounds only fire for hits on MIXED boundary cells, whose
-    exact texture test costs two row gathers (_hit_alpha_tree).
+    exact texture test costs two row gathers (_hit_alpha_attr).
     Slot->global remapping happens ONCE at exit. Runs the rounds at
     FULL width (no candidate sort assumed here)."""
     hit = accel.closest_hit_soa_masked_auto(scene.bvh_alpha, origin,
@@ -785,12 +810,32 @@ def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
     times. ``alpha_rounds=0`` (scenes without opacity maps) is a plain
     closest-hit trace.
 
-    With the opaque/alpha tree split (scene.bvh_opaque/bvh_alpha —
-    acceleration.rs:137-141 OPAQUE-flag parity) the main geometry is
-    traced ONCE with the plain closest-hit kernel and only the small
-    alpha tree pays the re-test rounds; without it (older DeviceScenes)
-    the whole-scene re-trace fallback below runs.
+    With full-tree baked opacity cells (scene.bvh payload +
+    alpha_attr_full) the whole scene is traced in ONE masked walk —
+    alpha is tested INLINE like the reference's single TLAS + rahit
+    (classified cells resolve in-kernel; only MIXED boundary-cell hits
+    pay the exact-texture re-test rounds). Older scenes fall back to
+    the opaque/alpha tree split (acceleration.rs:137-141 OPAQUE-flag
+    parity as two trees), then to the whole-scene re-trace loop.
     """
+    if _full_tree_masked(scene, alpha_rounds):
+        r = origin[0].shape[0]
+        cap = jnp.full((r,), np.inf, jnp.float32)
+        if t_max is not None:
+            cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+        hit = accel.closest_hit_soa_masked_auto(
+            scene.bvh, origin, direction, None if t_max is None else cap)
+        hit = _alpha_retest_rounds(
+            scene, origin, direction, cap, hit, alpha_rounds,
+            tree=scene.bvh,
+            alpha_fn=lambda h: _hit_alpha_attr(scene,
+                                               scene.alpha_attr_full, h))
+        beyond = hit["t"] > cap
+        return {
+            "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+            "tri": jnp.where(beyond, -1, hit["tri"]),
+            "u": hit["u"], "v": hit["v"],
+        }
     if alpha_rounds > 0 and getattr(scene, "bvh_alpha", None) is not None:
         r = origin[0].shape[0]
         cap = jnp.full((r,), np.inf, jnp.float32)

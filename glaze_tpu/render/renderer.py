@@ -268,6 +268,14 @@ class RayTraceRenderer:
                                      textures=(self.host.textures
                                                if tri_uv is not None
                                                else None), atlas=atlas)
+        full_payload = split.pop("_full_payload", None)
+        if full_payload is not None:
+            from glaze_tpu.accel import FatBVH
+            from glaze_tpu.accel.bvh import attach_tri_payload
+
+            if not isinstance(self.scene.bvh, FatBVH):
+                split["bvh"] = attach_tri_payload(self.scene.bvh,
+                                                  full_payload)
         self.scene = self.scene._replace(**split)
         self._alpha_mask_cache = mask
 

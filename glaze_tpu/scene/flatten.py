@@ -108,6 +108,13 @@ _SCENE_FIELDS = (
     #                (gather cost is per ROW, so fusing the three
     #                separate tables halves the dominant per-round
     #                cost; int32 movement is bitwise) | None
+    "alpha_attr_full",  # (N_bvh, 10) int32 alpha-test attributes in
+    #                     FULL-TREE row order (same layout as
+    #                     alpha_attr) — the single-walk closest leg's
+    #                     mixed-cell texture test needs no slot remap.
+    #                     Rows of triangles without opacity maps are
+    #                     zero (their baked cells are all-OPAQUE, so
+    #                     they are never texture-tested) | None
     "alpha_boxes",  # (K, 6) f32 AABBs of the alpha-tested instance
     #                 clusters (contiguous original-order runs) | None.
     #                 Cheap elementwise prefilter: lanes whose segment
@@ -717,7 +724,8 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
 
     none = {"bvh_opaque": None, "bvh_opaque_map": None,
             "bvh_alpha": None, "bvh_alpha_map": None,
-            "alpha_boxes": None, "alpha_attr": None}
+            "alpha_boxes": None, "alpha_attr": None,
+            "alpha_attr_full": None, "_full_payload": None}
     n = tri_pos.shape[0]
     if n == 0:
         return none
@@ -761,13 +769,70 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
     sel_o = np.nonzero(~(has_alpha | dropped))[0]
     t_a, m_a, orig_a = subset(sel_a)
     t_o, m_o, _ = subset(sel_o)
+
+    # FULL-TREE payload for the single-walk closest leg: every triangle
+    # gets baked cells — all-OPAQUE for opaque/no-alpha triangles (never
+    # skipped, never texture-tested), all-TRANSPARENT for provably
+    # transparent ones (skipped mid-walk), real 8x8 masks for the mixed
+    # boundary set. GLAZE_ALPHA_MASK=0 disables for A/B runs.
+    full_payload = None
+    codes_by_orig = None
+    masks_on = (tri_uv is not None and textures is not None
+                and os.environ.get("GLAZE_ALPHA_MASK", "1") != "0")
+    if masks_on:
+        from glaze_tpu.accel.bvh import pack_alpha_masks
+
+        codes_by_orig = np.zeros((max(sel_a.size, 1), 64), np.int8)
+        lut = np.zeros(n, np.int64)  # orig id -> row in codes_by_orig
+        lut[sel_a] = np.arange(sel_a.size)
+        groups_t = (np.unique(opac_tex[tri_mat[sel_a]])
+                    if sel_a.size else [])
+        for t in groups_t:
+            if int(t) == 0 or int(t) >= len(textures):
+                continue
+            sel = sel_a[opac_tex[tri_mat[sel_a]] == t]
+            codes_by_orig[lut[sel]] = _classify_alpha_cells(
+                tri_uv, sel, textures[int(t)])
+        np_pay = np.empty((full_order.shape[0], 4), np.uint32)
+        np_pay[:] = np.uint32(0x55555555)  # code 1 (OPAQUE) in all cells
+        if sel_a.size:
+            np_pay[inv_full[sel_a]] = pack_alpha_masks(
+                codes_by_orig[lut[sel_a]]).view(np.uint32)
+        if dropped.any():
+            np_pay[inv_full[np.nonzero(dropped)[0]]] = np.uint32(0xAAAAAAAA)
+        full_payload = np_pay.view(np.int32)
+
+    def attr_rows(origs):
+        """(K, 10) int32 fused alpha-test attribute rows (layout in
+        _SCENE_FIELDS: uv as f32 bits, REAL int32 atlas offset)."""
+        k = origs.shape[0]
+        a = np.zeros((k, 10), np.int32)
+        a[:, 0:6] = (tri_uv[origs].reshape(k, 6)
+                     .astype(np.float32).view(np.int32))
+        tex_ids = opac_tex[tri_mat[origs]].astype(np.int64)
+        a[:, 6] = np.asarray(atlas.offset)[tex_ids].astype(np.int64)
+        a[:, 7] = np.asarray(atlas.width)[tex_ids].astype(np.int64)
+        a[:, 8] = np.asarray(atlas.height)[tex_ids].astype(np.int64)
+        a[:, 9] = np.asarray(atlas.srgb)[tex_ids] > 0.5
+        return a
+
+    attr_full = None
+    if masks_on and tri_uv is not None and atlas is not None \
+            and sel_a.size:
+        # only MIXED rows can ever be texture-tested; the rest stay zero
+        attr_full = np.zeros((full_order.shape[0], 10), np.int32)
+        attr_full[inv_full[sel_a]] = attr_rows(sel_a)
+        attr_full = jnp.asarray(attr_full)
+
     if t_a is None:
         # classification emptied the re-test set (fully binary opacity
         # away from hole boundaries is impossible — boundaries are
         # always mixed — but a fully-opaque or fully-transparent map is)
         return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
                 "bvh_alpha": None, "bvh_alpha_map": None,
-                "alpha_boxes": None, "alpha_attr": None}
+                "alpha_boxes": None, "alpha_attr": None,
+                "alpha_attr_full": attr_full,
+                "_full_payload": full_payload}
 
     # cluster AABBs over the MIXED set for the elementwise candidate
     # prefilter: spatial median splits down to <= 64 tight boxes
@@ -797,51 +862,23 @@ def build_alpha_split(tri_pos, tri_mat, mat_tex, full_order,
                         tri_pos[g].reshape(-1, 3).max(0)])
         for g in groups if g.size], np.float32)
 
-    # fused alpha-test attributes per ALPHA-TREE slot (see _SCENE_FIELDS).
-    # int32 carrier: float columns ride as bitcast bits (integer movement
-    # is bitwise on TPU); the atlas texel offset (col 6) stays a REAL
-    # int32 — a float32 carrier rounds offsets above 2^24 texels.
+    # fused alpha-test attributes per ALPHA-TREE slot (see _SCENE_FIELDS)
     attr = None
     if tri_uv is not None and atlas is not None:
-        na = orig_a.shape[0]
-        attr = np.zeros((na, 10), np.int32)
-        attr[:, 0:6] = (tri_uv[orig_a].reshape(na, 6)
-                        .astype(np.float32).view(np.int32))
-        tex_ids = opac_tex[tri_mat[orig_a]].astype(np.int64)
-        off = np.asarray(atlas.offset)
-        wid = np.asarray(atlas.width)
-        hei = np.asarray(atlas.height)
-        srgb = np.asarray(atlas.srgb)
-        attr[:, 6] = off[tex_ids].astype(np.int64)
-        attr[:, 7] = wid[tex_ids].astype(np.int64)
-        attr[:, 8] = hei[tex_ids].astype(np.int64)
-        attr[:, 9] = (np.asarray(srgb[tex_ids]) > 0.5)
-        attr = jnp.asarray(attr)
+        attr = jnp.asarray(attr_rows(orig_a))
 
-    # bake 8x8 barycentric opacity cell masks into the alpha tree's
-    # triangle rows: the Pallas drain skips provably-TRANSPARENT cell
-    # hits mid-walk and flags MIXED-cell hits for the outer texture
-    # test (raytrace_hit.rahit at kernel speed). GLAZE_ALPHA_MASK=0
-    # disables for A/B runs (all-zero payload = every hit mixed).
-    if (tri_uv is not None and textures is not None
-            and os.environ.get("GLAZE_ALPHA_MASK", "1") != "0"):
+    # alpha TREE payload: the same per-orig cell masks in slot order
+    # (leaf-padding slots keep whatever orig_a[0]-mapped mask they get —
+    # their triangle rows are degenerate and never hit)
+    if masks_on:
         from glaze_tpu.accel.bvh import attach_tri_payload, pack_alpha_masks
 
-        t_mat_a = tri_mat[orig_a]
-        payload = np.zeros((orig_a.shape[0], 4), np.int32)
-        for t in np.unique(opac_tex[t_mat_a]):
-            if int(t) == 0 or int(t) >= len(textures):
-                continue
-            sel = np.nonzero(opac_tex[t_mat_a] == t)[0]
-            codes = _classify_alpha_cells(tri_uv, orig_a[sel],
-                                          textures[int(t)])
-            payload[sel] = pack_alpha_masks(codes)
-        # leaf-padding slots keep whatever orig_a[0]-mapped mask they
-        # got — their triangle rows are degenerate and never hit
-        t_a = attach_tri_payload(t_a, payload)
+        t_a = attach_tri_payload(
+            t_a, pack_alpha_masks(codes_by_orig[lut[orig_a]]))
     return {"bvh_opaque": t_o, "bvh_opaque_map": m_o,
             "bvh_alpha": t_a, "bvh_alpha_map": m_a,
-            "alpha_boxes": jnp.asarray(boxes), "alpha_attr": attr}
+            "alpha_boxes": jnp.asarray(boxes), "alpha_attr": attr,
+            "alpha_attr_full": attr_full, "_full_payload": full_payload}
 
 
 def flatten_scene(parsed):
@@ -935,6 +972,16 @@ def flatten_scene(parsed):
     split = build_alpha_split(tri_pos, tri_mat, mats["mat_tex"], order,
                               sentinel_rows, tri_uv=tri_uv,
                               textures=textures, atlas=atlas)
+    # bake the full-tree opacity payload into the main BVH so the
+    # single-walk closest leg tests alpha INLINE (the reference's one
+    # TLAS + rahit design, at kernel speed)
+    full_payload = split.pop("_full_payload", None)
+    from glaze_tpu.accel import FatBVH
+
+    if full_payload is not None and not isinstance(bvh, FatBVH):
+        from glaze_tpu.accel.bvh import attach_tri_payload
+
+        bvh = attach_tri_payload(bvh, full_payload)
     lts = flatten_lights(lights, inst_mat, inst_first, inst_count)
     sky = build_sky_tables(lights, textures)
 
