@@ -239,6 +239,63 @@ def closest_hit_soa_masked_auto(bvh, origin3, direction3, t_max=None):
                               jnp.stack(direction3, -1), t_max)
 
 
+def masked_anyhit_ok(bvh) -> bool:
+    """True when any_hit_soa_masked_auto will REALLY run the 3-state
+    masked kernels for this tree (payload present and, on TPU, the
+    windowed kernel applies). Callers that resolve ``pending`` against
+    only the alpha subset MUST gate on this: the unmasked fallback
+    reports every potential blocker as pending, which needs FULL-scene
+    resolution."""
+    if isinstance(bvh, ChunkedBVH):
+        return all(masked_anyhit_ok(c) for c in bvh.chunks)
+    if isinstance(bvh, FatBVH):
+        return False
+    tri = getattr(bvh, "tri", None)
+    if tri is None or tri.ndim != 2 or tri.shape[1] <= 9:
+        return False
+    if _on_tpu():
+        from glaze_tpu.accel.traverse_pallas import (WINDOWED_ANYHIT,
+                                                     _residency)
+
+        nodes_res, _ = _residency(bvh.nodes16, bvh.tri8)
+        return bool(WINDOWED_ANYHIT and nodes_res)
+    return True
+
+
+def any_hit_soa_masked_auto(bvh, origin3, direction3, t_max, t_min=1e-3,
+                            active=None):
+    """any_hit_soa_auto honoring baked opacity cells: returns
+    ``(blocked, pending)`` — see traverse_pallas.any_hit_soa_masked.
+    Trees without payload (or fat trees) report every potential blocker
+    as pending, which callers resolve exactly."""
+    import jax.numpy as jnp
+
+    if isinstance(bvh, ChunkedBVH):
+        blocked = pending = None
+        for chunk in bvh.chunks:
+            a = active if blocked is None else (
+                ~blocked if active is None else (active & ~blocked))
+            b, p = any_hit_soa_masked_auto(chunk, origin3, direction3,
+                                           t_max, t_min=t_min, active=a)
+            blocked = b if blocked is None else (blocked | b)
+            pending = p if pending is None else (pending | p)
+        return blocked, pending & ~blocked
+    if isinstance(bvh, FatBVH):
+        blocked = any_hit_soa_auto(bvh, origin3, direction3, t_max,
+                                   t_min=t_min, active=active)
+        return jnp.zeros_like(blocked), blocked
+    if _on_tpu():
+        from glaze_tpu.accel.traverse_pallas import any_hit_soa_masked
+
+        return any_hit_soa_masked(bvh, origin3, direction3, t_max,
+                                  t_min=t_min, active=active)
+    from glaze_tpu.accel.bvh import any_hit_masked
+
+    return any_hit_masked(bvh, jnp.stack(origin3, -1),
+                          jnp.stack(direction3, -1), t_max, t_min=t_min,
+                          active=active)
+
+
 def any_hit_soa_auto(bvh, origin3, direction3, t_max, t_min=1e-3, active=None):
     if isinstance(bvh, ChunkedBVH):
         return _chunked_any(
@@ -274,5 +331,5 @@ __all__ = [
     "closest_hit", "any_hit", "closest_hit_fat", "any_hit_fat",
     "closest_hit_auto", "any_hit_auto",
     "closest_hit_soa_auto", "any_hit_soa_auto",
-    "closest_hit_soa_masked_auto",
+    "closest_hit_soa_masked_auto", "any_hit_soa_masked_auto",
 ]

@@ -710,6 +710,75 @@ def closest_hit(bvh: BVH, origin, direction, t_max=None):
     return {"t": t, "tri": tri, "u": u, "v": v}
 
 
+def any_hit_masked(bvh: BVH, origin, direction, t_max, t_min=1e-3,
+                   active=None):
+    """Shadow-ray trace honoring baked opacity cells: returns
+    ``(blocked, pending)`` — blocked lanes hit an OPAQUE-cell triangle
+    in (t_min, t_max); pending lanes saw only MIXED-cell hits (caller
+    resolves them with the exact texture test); TRANSPARENT-cell hits
+    never block. Payload-free trees report everything as pending."""
+    r = origin.shape[0]
+    m = bvh.n_nodes
+    has_payload = bvh.tri.shape[1] >= TRI_PAYLOAD_BASE + ALPHA_MASK_WORDS
+    if not has_payload:
+        blocked = any_hit(bvh, origin, direction, t_max, t_min=t_min,
+                          active=active)
+        return jnp.zeros_like(blocked), blocked
+    t_min = jnp.float32(t_min)
+    inv_dir = jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.float32(1e20) * jnp.sign(direction)
+        + jnp.float32(1e20) * (direction == 0.0),
+        1.0 / direction,
+    )
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    start = jnp.zeros((r,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, m)
+
+    def cond(state):
+        ptr, blk, _ = state
+        return jnp.any((ptr < m) & ~blk)
+
+    def body(state):
+        ptr, blocked, pending = state
+        safe_ptr = jnp.minimum(ptr, m - 1)
+        row = bvh.nodes[safe_ptr]
+        meta = row[..., 6].view(jnp.int32)
+        skip = row[..., 7].view(jnp.int32)
+        lane_on = (ptr < m) & ~blocked
+        box_hit = _slab_test(row, origin, inv_dir, t_max) & lane_on
+        is_leaf = meta >= 0
+        first = meta >> 3
+        count = (meta & 7) + 1
+
+        def leaf_step(k, acc):
+            blk, pend = acc
+            tri_idx = jnp.minimum(first + k, bvh.tri.shape[0] - 1)
+            valid = box_hit & is_leaf & (k < count)
+            trow = bvh.tri[tri_idx]
+            t, u, v, hit = _tri_intersect(trow, origin, direction)
+            new = valid & hit & (t > t_min) & (t < t_max)
+            bits = _mask_bits(trow, u, v)
+            pend = pend | (new & (bits == 0))
+            blk = blk | (new & (bits == 1))
+            return blk, pend
+
+        blocked, pending = jax.lax.fori_loop(
+            0, LEAF_SIZE, leaf_step, (blocked, pending))
+        descend = box_hit & ~is_leaf
+        new_ptr = jnp.where(descend, ptr + 1, skip)
+        new_ptr = jnp.where(lane_on, new_ptr, ptr)
+        return new_ptr, blocked, pending
+
+    init = (start, jnp.zeros((r,), bool), jnp.zeros((r,), bool))
+    _, blocked, pending = jax.lax.while_loop(cond, body, init)
+    if active is not None:
+        blocked = blocked & active
+        pending = pending & active
+    return blocked, pending & ~blocked
+
+
 def closest_hit_masked(bvh: BVH, origin, direction, t_max=None):
     """Closest hit honoring baked 8x8 barycentric opacity masks
     (:func:`pack_alpha_masks` payload in slots 9..12 of each triangle

@@ -563,13 +563,18 @@ def trace_alpha_sorted(scene, origin, direction, t_max=None,
 
 def _occlusion_sorted(scene, origin, direction, t_max, active,
                       alpha_rounds: int):
-    """Alpha-aware shadow occlusion in ONE coherence-sorted pass:
-    early-exit any-hit against the OPAQUE tree, then the alpha-tree
-    accepted-hit test only for lanes the opaque pass left unblocked
-    (their rows are already sorted; blocked/inactive lanes carry cap -1
-    and retire). Falls back to the whole-scene re-trace when the scene
-    has no tree split."""
-    if alpha_rounds <= 0 or getattr(scene, "bvh_alpha", None) is None:
+    """Alpha-aware shadow occlusion in ONE coherence-sorted pass.
+
+    Full-tree baked opacity cells: a single masked any-hit walk blocks
+    on OPAQUE-cell hits (early row exit intact), ignores TRANSPARENT
+    cells, and reports MIXED-cell-only lanes as PENDING; only those run
+    the alpha-tree accepted-hit resolution. Older scenes: early-exit
+    any-hit against the OPAQUE tree + alpha-tree test for unblocked
+    candidates. No split at all: whole-scene re-trace fallback."""
+    use_masked = (_full_tree_masked(scene, alpha_rounds)
+                  and accel.masked_anyhit_ok(scene.bvh))
+    if alpha_rounds <= 0 or (getattr(scene, "bvh_alpha", None) is None
+                             and not use_masked):
         sh = trace_alpha_sorted(scene, origin, direction,
                                 t_max=jnp.where(active, t_max, -1.0),
                                 alpha_rounds=alpha_rounds)
@@ -577,6 +582,24 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
     p_ = origin[0].shape[0]
     cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                            origin[0].shape)
+    if use_masked:
+        # the pending-resolution below checks only the ALPHA tree, so
+        # the 3-state kernel must really run (masked_anyhit_ok) — the
+        # unmasked fallback's pending includes opaque blockers
+        perm = _trace_perm(scene, origin, direction, active=active)
+        inv = jnp.argsort(perm)
+        s = _perm_rows(perm, list(origin) + list(direction)
+                       + [cap, active])
+        o, d, cap_s, act = tuple(s[0:3]), tuple(s[3:6]), s[6], s[7]
+        blocked, pending = accel.any_hit_soa_masked_auto(
+            scene.bvh, o, d, cap_s, active=act)
+        if getattr(scene, "bvh_alpha", None) is not None:
+            probe = act & pending & ~blocked
+            cap_a = jnp.where(probe, cap_s, -1.0)
+            tri_a = _alpha_walk_refined(scene, o, d, cap_a,
+                                        alpha_rounds)["tri"]
+            blocked = blocked | (probe & (tri_a >= 0))
+        return blocked[inv]
     cand = _alpha_candidates(scene, origin, direction,
                              jnp.where(active, cap, -1.0)) & active
     first = cand if ALPHA_PREFIX < 1.0 else None

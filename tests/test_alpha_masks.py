@@ -229,6 +229,64 @@ def test_in_walk_skipping_beats_round_budget(monkeypatch):
     assert abs(float(hb["t"][0]) - 4.0) < 1e-3  # screen at z=4
 
 
+def test_masked_anyhit_three_state():
+    """Masked any-hit: OPAQUE-cell hit blocks, TRANSPARENT-cell hit
+    never blocks, MIXED-cell-only lanes report pending. XLA fallback
+    and Pallas interpret mode agree."""
+    from glaze_tpu.accel.bvh import any_hit_masked
+    from glaze_tpu.accel.traverse_pallas import any_hit_soa_masked
+
+    tris = _two_quads()
+    bvh, order = build_bvh_chunked(tris)
+    sent = order == bvhmod.SENTINEL
+    local = np.where(sent, 0, order).astype(np.int64)
+    codes = np.zeros((4, 64), np.int8)
+    codes[0, :] = 2   # front tri 0: transparent
+    codes[1, :] = 1   # front tri 1: opaque
+    # back quad (tris 2/3): zero payload -> mixed
+    payload = pack_alpha_masks(codes)[local]
+    payload[sent] = 0
+    masked = attach_tri_payload(bvh, payload)
+
+    o = (jnp.asarray([0.5, -0.5, 0.5]), jnp.asarray([-0.5, 0.5, -0.5]),
+         jnp.asarray([5.0, 5.0, 5.0]))
+    d = (jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 0.0]),
+         jnp.asarray([-1.0, -1.0, -1.0]))
+    # lane0: through transparent tri, t_max stops before the back quad
+    # lane1: opaque tri at t=4 -> blocked
+    # lane2: through transparent tri, reaches the MIXED back quad
+    tmax = jnp.asarray([5.0, 5.0, 7.0])
+    blk, pend = any_hit_masked(masked, jnp.stack(o, -1), jnp.stack(d, -1),
+                               tmax)
+    np.testing.assert_array_equal(np.asarray(blk), [False, True, False])
+    np.testing.assert_array_equal(np.asarray(pend), [False, False, True])
+
+    bp, pp = any_hit_soa_masked(masked, o, d, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bp), np.asarray(blk))
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(pend))
+
+
+def test_occlusion_masked_matches_fallback():
+    """The single-walk 3-state occlusion equals the whole-scene
+    re-trace on random shadow rays through the screen scene."""
+    sb = _screen_scene(2)
+    scene, cam, host = flatten_scene(sb)
+    rng = np.random.default_rng(5)
+    n = 256
+    o = (jnp.asarray(rng.uniform(-2, 2, n), jnp.float32),
+         jnp.asarray(rng.uniform(-2, 2, n), jnp.float32),
+         jnp.asarray(np.full(n, 8.0), jnp.float32))
+    d = (jnp.zeros(n), jnp.zeros(n), jnp.full((n,), -1.0))
+    act = jnp.asarray(rng.random(n) < 0.8)
+    t_max = jnp.asarray(rng.uniform(2.0, 9.0, n), jnp.float32)
+
+    got = integ._occlusion_sorted(scene, o, d, t_max, act, 4)
+    ref = integ.trace_alpha_sorted(
+        scene, o, d, t_max=jnp.where(act, t_max, -1.0),
+        alpha_rounds=4)["tri"] >= 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_prefix_narrowed_rounds_match_full(monkeypatch):
     """The candidate-first prefix narrowing of the re-test rounds is
     exact while the candidates fit the prefix: a 4096-lane wavefront

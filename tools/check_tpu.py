@@ -200,6 +200,21 @@ def main():
                   f"(hit rate {np.asarray(hp['tri'] >= 0).mean():.3f})")
             if bad_t.mean() > 0.001 or mix_m.mean() > 0.001:
                 failed = True
+            # 3-state masked any-hit vs the XLA masked walker
+            from glaze_tpu.accel.bvh import any_hit_masked
+            from glaze_tpu.accel.traverse_pallas import any_hit_soa_masked
+
+            bp, pp = any_hit_soa_masked(masked_tree, o3, d3, 2.0)
+            br, pr = any_hit_masked(masked_tree, jnp.asarray(O),
+                                    jnp.asarray(D), 2.0)
+            b_m = (np.asarray(bp) != np.asarray(br)).mean()
+            p_m = (np.asarray(pp) != np.asarray(pr)).mean()
+            print(f"{name} masked-anyhit: blocked mismatch {b_m:.5f}  "
+                  f"pending mismatch {p_m:.5f} (blocked "
+                  f"{np.asarray(bp).mean():.3f} pending "
+                  f"{np.asarray(pp).mean():.3f})")
+            if b_m > 0.001 or p_m > 0.001:
+                failed = True
 
     # full-pipeline render check: brightness + spatial structure (the
     # carrier-corruption failure mode renders uniform speckle that no
