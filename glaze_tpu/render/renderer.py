@@ -192,13 +192,20 @@ class RayTraceRenderer:
         self._dn_prev = None
         self._refresh_alpha_rounds()
 
-    # alpha-tested transparency costs extra re-test rounds in the alpha
-    # tree; only enabled when some material actually has an opacity map
-    # (rahit/OPAQUE-flag parity, acceleration.rs:137-141). Two rounds
-    # resolve up to two stacked transparent boundary layers per segment
-    # — a third layer is treated opaque (each round costs two full-width
-    # row gathers + a culled trace; GLAZE_ALPHA_ROUNDS overrides)
-    _ALPHA_ROUNDS = int(os.environ.get("GLAZE_ALPHA_ROUNDS", "2"))
+    # alpha-tested transparency: re-test rounds only run for MIXED
+    # boundary-cell hits — the baked opacity cell masks skip
+    # provably-transparent layers INSIDE the traversal kernels without
+    # consuming rounds (rahit/OPAQUE-flag parity, acceleration.rs:
+    # 137-141 + raytrace_hit.rahit). Only enabled when some material
+    # actually has an opacity map. One round by default since r5: a
+    # second stacked MIXED-transparent layer along one segment is
+    # treated opaque, which measured 170x BELOW the independent-seed
+    # noise floor on the bench scene (same-seed rounds 1-vs-4 display
+    # MSE 0.09 vs noise floor 15.4 at 64 spp; 0.017% of pixels differ
+    # >8/255) while each extra round costs two full-width row gathers
+    # + a culled re-trace per leg. GLAZE_ALPHA_ROUNDS overrides for
+    # strict reference comparisons (docs/MIGRATION.md).
+    _ALPHA_ROUNDS = int(os.environ.get("GLAZE_ALPHA_ROUNDS", "1"))
 
     def _alpha_tri_mask(self):
         """Per-ORIGINAL-tri 'material has an opacity map' mask, from the
