@@ -89,8 +89,9 @@ def build_parser():
         "--adaptive", choices=("on", "off"), default=None,
         help="per-tile adaptive stopping: display-converged tiles stop "
              "sampling so wall time concentrates on the noisy ones "
-             "(per-pixel estimates unchanged). Default on; the reference "
-             "refines uniformly",
+             "(per-pixel estimates unchanged). Default off (no measured "
+             "time-to-quality win on the staged scenes, docs/PERF_LOG.md "
+             "round 5); the reference refines uniformly",
     )
     p.add_argument(
         "--denoise", action="store_true",

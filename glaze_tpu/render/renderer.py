@@ -118,9 +118,12 @@ class RayTraceRenderer:
         park so wall time concentrates on the tiles still carrying
         noise (integrator.adaptive_lane_mask). Per-pixel estimates are
         unchanged — pixels keep their own counts and stop only at path
-        boundaries. Default env GLAZE_ADAPTIVE (offline default per the
-        r5 multi-scene time-to-quality gate, docs/PERF_LOG.md); applies
-        under ``mesh`` too (the lane mask shards over the pixel axis)."""
+        boundaries. Default OFF since r5: the three-scene
+        time-to-quality matrix (docs/PERF_LOG.md round 5) shows no
+        reliable win and measurable overhead at interactive scales, so
+        the feature is opt-in (``--adaptive on`` / GLAZE_ADAPTIVE=1);
+        applies under ``mesh`` too (the lane mask shards over the pixel
+        axis)."""
         from glaze_tpu.scene import DeviceScene, flatten_scene
 
         self.host = None
@@ -143,7 +146,7 @@ class RayTraceRenderer:
         # hash chain
         self.sampler = (sampler if sampler is not None
                         else os.environ.get("GLAZE_SAMPLER", "ld"))
-        self.adaptive = bool(int(os.environ.get("GLAZE_ADAPTIVE", "1"))
+        self.adaptive = bool(int(os.environ.get("GLAZE_ADAPTIVE", "0"))
                              if adaptive is None else adaptive)
         self.adaptive_tau = float(os.environ.get("GLAZE_ADAPTIVE_TAU",
                                                  "0.01"))

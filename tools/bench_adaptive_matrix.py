@@ -28,10 +28,13 @@ def scenes():
     from test_adaptive import _sky_heavy_scene
     from golden_scenes import MatRowScene
 
+    # target None = auto-calibrate to (8-spp MSE) / 4 — reachable
+    # around 32 spp under 1/n convergence, whatever the scene's
+    # absolute noise level
     return [
-        ("atrium", build_scene(), 384, 216, 30.0),
-        ("sky_heavy", _sky_heavy_scene(), 256, 128, 20.0),
-        ("matrow", MatRowScene(), 384, 192, 60.0),
+        ("atrium", build_scene(), 384, 216, None),
+        ("sky_heavy", _sky_heavy_scene(), 256, 128, None),
+        ("matrow", MatRowScene(), 384, 192, None),
     ]
 
 
@@ -49,6 +52,12 @@ def main():
                               adaptive=False)
         truth = np.asarray(tr.draw(192), float)
         del tr
+        if target is None:
+            pr = RayTraceRenderer(parsed, width=w, height=h, seed=4242,
+                                  adaptive=False)
+            probe = np.asarray(pr.draw(8), float)
+            del pr
+            target = round(float(((probe - truth) ** 2).mean()) / 4.0, 1)
 
         def ttq(adaptive):
             rw = RayTraceRenderer(parsed, width=w, height=h, seed=1,
