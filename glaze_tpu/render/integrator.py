@@ -593,12 +593,18 @@ def _occlusion_sorted(scene, origin, direction, t_max, active,
         o, d, cap_s, act = tuple(s[0:3]), tuple(s[3:6]), s[6], s[7]
         blocked, pending = accel.any_hit_soa_masked_auto(
             scene.bvh, o, d, cap_s, active=act)
+        probe = act & pending & ~blocked
+        cap_a = jnp.where(probe, cap_s, -1.0)
         if getattr(scene, "bvh_alpha", None) is not None:
-            probe = act & pending & ~blocked
-            cap_a = jnp.where(probe, cap_s, -1.0)
+            # mixed triangles all live in the small alpha subset tree
             tri_a = _alpha_walk_refined(scene, o, d, cap_a,
                                         alpha_rounds)["tri"]
-            blocked = blocked | (probe & (tri_a >= 0))
+        else:
+            # no subset tree (older scene / split rebuild pending):
+            # resolve against the full masked tree instead
+            tri_a = _full_masked_closest(scene, o, d, cap_a,
+                                         alpha_rounds)["tri"]
+        blocked = blocked | (probe & (tri_a >= 0))
         return blocked[inv]
     cand = _alpha_candidates(scene, origin, direction,
                              jnp.where(active, cap, -1.0)) & active
@@ -736,6 +742,27 @@ def _alpha_retest_rounds(scene, origin, direction, cap, hit,
     return hit
 
 
+def _full_masked_closest(scene, origin, direction, cap, alpha_rounds: int,
+                         uncapped: bool = False):
+    """Single-walk closest leg over the full masked tree: one masked
+    walk + exact-texture re-test rounds for MIXED-cell hits via
+    alpha_attr_full (full-tree row order — no slot remap). Returns the
+    usual hit dict (inf/-1 on miss or beyond ``cap``)."""
+    hit = accel.closest_hit_soa_masked_auto(
+        scene.bvh, origin, direction, None if uncapped else cap)
+    hit = _alpha_retest_rounds(
+        scene, origin, direction, cap, hit, alpha_rounds,
+        tree=scene.bvh,
+        alpha_fn=lambda h: _hit_alpha_attr(scene,
+                                           scene.alpha_attr_full, h))
+    beyond = hit["t"] > cap
+    return {
+        "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
+        "tri": jnp.where(beyond, -1, hit["tri"]),
+        "u": hit["u"], "v": hit["v"],
+    }
+
+
 def _full_tree_masked(scene, alpha_rounds: int) -> bool:
     """True when the main BVH carries baked opacity cells (single-walk
     closest leg: alpha tested INLINE like the reference's one-TLAS +
@@ -846,19 +873,9 @@ def trace_alpha(scene, origin, direction, t_max=None, alpha_rounds: int = 0):
         cap = jnp.full((r,), np.inf, jnp.float32)
         if t_max is not None:
             cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-        hit = accel.closest_hit_soa_masked_auto(
-            scene.bvh, origin, direction, None if t_max is None else cap)
-        hit = _alpha_retest_rounds(
-            scene, origin, direction, cap, hit, alpha_rounds,
-            tree=scene.bvh,
-            alpha_fn=lambda h: _hit_alpha_attr(scene,
-                                               scene.alpha_attr_full, h))
-        beyond = hit["t"] > cap
-        return {
-            "t": jnp.where(beyond, jnp.float32(np.inf), hit["t"]),
-            "tri": jnp.where(beyond, -1, hit["tri"]),
-            "u": hit["u"], "v": hit["v"],
-        }
+        return _full_masked_closest(scene, origin, direction, cap,
+                                    alpha_rounds,
+                                    uncapped=t_max is None)
     if alpha_rounds > 0 and getattr(scene, "bvh_alpha", None) is not None:
         r = origin[0].shape[0]
         cap = jnp.full((r,), np.inf, jnp.float32)
