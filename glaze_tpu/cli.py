@@ -80,10 +80,11 @@ def build_parser():
     )
     p.add_argument(
         "--sampler", choices=("pcg", "ld"), default=None,
-        help="sub-pixel sampler: ld = per-pixel Owen-scrambled Sobol "
-             "jitter (stratified camera samples, measured 1.33x faster "
-             "to the display-MSE target; the DEFAULT); pcg = the "
-             "reference's hash chain. Env GLAZE_SAMPLER overrides",
+        help="sub-pixel sampler: pcg = the reference's hash chain (the "
+             "DEFAULT — the r5 multi-seed A/B shows no ld separation "
+             "under the shipped coherent mode); ld = per-pixel "
+             "Owen-scrambled Sobol (stratified path decisions — wins "
+             "~1.2x with --coherent off). Env GLAZE_SAMPLER overrides",
     )
     p.add_argument(
         "--adaptive", choices=("on", "off"), default=None,
@@ -139,7 +140,7 @@ def main(argv=None):
         seed=args.seed, samples_in_flight=args.sif,
         mesh="auto" if args.mesh else None,
         coherent=args.coherent,  # None -> shipped default ('frame')
-        sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'ld'
+        sampler=args.sampler,  # None -> env GLAZE_SAMPLER or 'pcg'
         adaptive=(None if args.adaptive is None
                   else args.adaptive == "on"),
     )

@@ -139,13 +139,18 @@ class RayTraceRenderer:
         self.exposure: Optional[float] = None  # None = scene meta exposure
         self.coherent = (default_coherent(interactive) if coherent is None
                          else integ.resolve_coherent(coherent))
-        # 'ld' (Owen-Sobol stratified jitter) is the shipped default
-        # since round 4: measured 1.33x faster to the display-MSE
-        # target on the bench scene (BENCH ttq segment), estimator-
-        # neutral by test; GLAZE_SAMPLER=pcg restores the reference's
-        # hash chain
+        # 'pcg' (the reference's hash chain) is the default again since
+        # r5: the corrected multi-seed time-to-MSE A/B (BENCH_r05
+        # ttq_pcg/ttq_ld keys — 3 seeds per sampler, medians 8.6 s vs
+        # 8.9 s with overlapping spreads) shows NO separation under the
+        # shipped coherent mode, where ld only contributes sub-pixel
+        # jitter; the r4 ld default rested on a single-seed artifact
+        # that compared ld against itself. ld DOES win measured ground
+        # with fully independent chains (incoherent legs 11.7 s vs
+        # 14.2 s; r4 CPU equal-spp ladders 1.15-1.21x) — use
+        # --sampler ld with --coherent off.
         self.sampler = (sampler if sampler is not None
-                        else os.environ.get("GLAZE_SAMPLER", "ld"))
+                        else os.environ.get("GLAZE_SAMPLER", "pcg"))
         self.adaptive = bool(int(os.environ.get("GLAZE_ADAPTIVE", "0"))
                              if adaptive is None else adaptive)
         self.adaptive_tau = float(os.environ.get("GLAZE_ADAPTIVE_TAU",
